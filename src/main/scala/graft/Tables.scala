@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver testdata (TESTDATA.md): one parquet per table
+  * under `/root/testdata/sf{0.001,0.01,0.1}`. Reads go through the
+  * vectorized parquet reader; column pruning + predicate pushdown apply
+  * per query.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // as a timestamp. Read it as raw nanos and truncate to micros — the
+      // same conversion DuckDB applies when scanning nanos into its
+      // microsecond TIMESTAMP, so oracle results line up.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ =>
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so spark.sql corpus queries and
+    * the gateway can reference them by name (idempotent).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Deterministic-aggregation helpers.
+  *
+  * Double summation is order-dependent, and Spark (partial/final partition
+  * aggregation) visits rows in a different order than a single-node oracle.
+  * The testdata money columns carry <= 2 fractional digits, so casting to
+  * decimal makes the aggregation exact and order-independent; casting the
+  * exact decimal result back to double is then bit-identical across engines.
+  */
+object Num {
+  def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
+
+  /** Exact sum of a <=2-decimal-digit double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent average: exact decimal sum / count, in doubles. */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+}
