@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora, each shaped for
+  * distributed execution: every variant reduces to hash-partitioned
+  * shuffles on content-derived keys (no driver-side state, no cross-
+  * partition broadcast of the corpus).
+  *
+  * - exact:        groupBy(md5(text)) — one shuffle on the content hash.
+  * - n-gram Jaccard: shingle-explode + equi-join on shingle. Exact but
+  *                 quadratic in the worst case; the scale path is MinHash.
+  * - MinHash+LSH:  shingle -> per-seed min-hash signature -> banded
+  *                 bucket join. Candidate generation is linear in corpus
+  *                 size; only same-bucket pairs are compared.
+  * - SimHash:      32-bit signature from per-word hashes; near-dup pairs by
+  *                 hamming distance, or banded for scale.
+  * - embedding:    cosine over `Array[Float]` vectors (see Similarity for
+  *                 the ANN scale path).
+  *
+  * All hashes are md5-derived so an external SQL oracle can reproduce them.
+  */
+object Dedup {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** doc_id -> distinct word n-gram shingles ("a b c" strings). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .filter(size(words(col("text"))) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(split(text, ' ')) - $n), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups: content hash -> surviving id + group size. */
+  def exactStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Ids that survive exact dedup (first id per content hash). */
+  def exactKeep(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+    * Shuffles on shingle (inverted-index join), then on the pair key.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, n)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), col("i") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("j") === col("cb.doc_id"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** MinHash signature: per seed s, min over shingles of md5("s|" + shingle).
+    * (String-min over md5 hex is a valid min-hash family and is exactly
+    * reproducible in any engine with md5.)
+    */
+  def minhashSignature(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until numHashes)
+      .map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"h$s"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded `bands` ways; docs sharing any
+    * band bucket are candidates. Join key is (band index, band value) — a
+    * plain hash-partitioned equi-join, linear in corpus size.
+    */
+  def minhashLshCandidates(
+      docs: DataFrame, numHashes: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(docs, numHashes, n)
+    val bandCols = (0 until bands).map { b =>
+      val v = concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      struct(lit(b).as("b"), v.as("v"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    banded.as("x")
+      .join(banded.as("y"), col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from per-word 32-bit hashes (md5-hex prefix -> int).
+    * Partial-aggregable: the per-bit sign sums combine associatively, so
+    * Spark's map-side combine applies.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wh = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until 32).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = wh.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sim.cast("long").as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance <= maxDist.
+    * All-pairs form (exact); at corpus scale, band the signature into
+    * 16-bit chunks and equi-join chunks first (see simhashBandedCandidates).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    val sig = simhash(docs)
+    sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
+  }
+
+  /** Scale path for SimHash: split the 32-bit signature into 4 x 8-bit
+    * chunks; any pair within hamming distance 3 shares at least one exact
+    * chunk (pigeonhole), so an equi-join per chunk finds all candidates
+    * without the quadratic cross join.
+    */
+  def simhashBandedCandidates(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("c"), expr(s"(simhash div ${1L << (8 * c)}) % 256").as("v")))
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * - Brute-force cosine top-k: exact baseline. The query side is small and
+  *   broadcast; the corpus side streams, so the plan is a broadcast
+  *   nested-loop + per-query top-k (TakeOrdered) — no corpus shuffle.
+  * - Random-hyperplane LSH: the scale path. Each vector hashes to a bucket
+  *   from the sign pattern of `numPlanes` fixed +-1 hyperplanes; neighbor
+  *   candidates are same-bucket pairs (hash-partitioned equi-join, linear
+  *   in corpus size).
+  *
+  * Arithmetic is done in doubles via sequential `aggregate` folds so an
+  * external oracle evaluating the same fold reproduces results bit-exactly.
+  */
+object Similarity {
+
+  /** Elementwise-double view of a float-vector column. */
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double-array columns (codegen'd
+    * higher-order functions — no UDF).
+    */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)"))
+
+  /** (vec_id, v, nrm) with v as double[] and nrm its L2 norm. */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vd(col("embedding")).as("v"))
+      .withColumn("nrm", norm("v"))
+
+  /** All pairs with cosine >= threshold (exact; quadratic — use LSH buckets
+    * to pre-filter at scale).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = normalized(emb)
+    val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(emb)
+    val q = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot("qv", "v") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+  }
+
+  /** Deterministic +-1 hyperplanes: plane p, dim i weight is +1 when the
+    * first hex digit of md5("p:i") is even. Fixed constants — any engine
+    * with md5 reproduces them.
+    */
+  def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = mdig.digest(s"$p:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** vec_id -> LSH bucket id in [0, 2^numPlanes). */
+  def lshBuckets(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val pl = planes(numPlanes, dim)
+    val n = normalized(emb)
+    val bucket = pl.zipWithIndex.map { case (w, p) =>
+      val arr = w.mkString("array(", "D,", "D)")
+      when(expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    n.select(col("vec_id"), bucket.cast("long").as("bucket"))
+  }
+
+  /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
+  def lshCandidates(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(emb, numPlanes, dim)
+    b.as("a").join(b.as("c"),
+        col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("i"), col("c.vec_id").as("j"), col("a.bucket").as("bucket"))
+  }
+}

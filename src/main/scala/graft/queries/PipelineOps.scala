@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Corpus entries for the training-data pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) with DuckDB oracle SQL
+  * reproducing each computation exactly — the md5-derived hashing and
+  * fixed-order double arithmetic in graft.ops are chosen precisely so an
+  * independent engine can replay them bit-for-bit.
+  */
+object PipelineOps {
+
+  // ---- shared oracle fragments -------------------------------------------
+
+  private val shingleCtes =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM ws WHERE len(w) >= 3) x)""".stripMargin
+
+  private val minhashCtes: String = {
+    val sigCols = (0 until 8).map(s => s"MIN(md5('$s|' || shingle)) AS h$s").mkString(", ")
+    val bandSel = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS ($bandSel)""".stripMargin
+  }
+
+  private val simhashCtes: String = {
+    val sums = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE length(text) > 0),
+       |wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h FROM wrd),
+       |sm AS (SELECT doc_id, $sums FROM wh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sm)""".stripMargin
+  }
+
+  private val embCtes =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private val lshBucketExpr: String =
+    Similarity.planes(8, 64).zipWithIndex.map { case (w, p) =>
+      val arr = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), k -> v[k] * ($arr)[k])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // ---- entries -----------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    Q.df(
+      "p01_dedup_exact_stats",
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactStats(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p02_dedup_exact_keep",
+      """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""") { (s, dir) =>
+      Dedup.exactKeep(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p03_dedup_ngram_jaccard",
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, jac FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+         |  FROM pair JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j) p
+         |WHERE jac >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.8)
+    },
+
+    Q.df(
+      "p04_dedup_minhash_lsh",
+      s"""WITH $minhashCtes
+         |SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id""".stripMargin) {
+      (s, dir) => Dedup.minhashLshCandidates(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p05_simhash",
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sig""".stripMargin) { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p06_simhash_pairs",
+      s"""WITH $simhashCtes
+         |SELECT i, j, dist FROM (
+         |  SELECT a.doc_id AS i, c.doc_id AS j,
+         |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS dist
+         |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id) p
+         |WHERE dist <= 6""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), 6)
+    },
+
+    Q.df(
+      "p07_simhash_banded",
+      s"""WITH $simhashCtes,
+         |ch AS (SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS v
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c) cs)
+         |SELECT DISTINCT i, j, dist FROM (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id) p
+         |WHERE dist <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashBandedCandidates(t(s, dir, "documents"), 3)
+    },
+
+    Q.df(
+      "p08_embed_neardup",
+      s"""WITH $embCtes
+         |SELECT i, j, cos FROM (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k] * b.v[k])) / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.4""".stripMargin) { (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+    },
+
+    Q.df(
+      "p09_ann_topk",
+      s"""WITH $embCtes,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+         |scored AS (SELECT q.q_id, n.vec_id AS n_id,
+         |  list_sum(list_transform(generate_series(1, len(qv)), k -> qv[k] * v[k])) / (qn * nrm) AS cos
+         |  FROM n JOIN q ON n.vec_id <> q.q_id)
+         |SELECT q_id, n_id, rnk, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored) r
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    },
+
+    Q.df(
+      "p10_ann_lsh_buckets",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id, CAST($lshBucketExpr AS BIGINT) AS bucket FROM e""".stripMargin) {
+      (s, dir) => Similarity.lshBuckets(t(s, dir, "embeddings"))
+    },
+
+    Q.df(
+      "p11_ann_lsh_candidates",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, CAST($lshBucketExpr AS BIGINT) AS bucket FROM e)
+         |SELECT a.vec_id AS i, c.vec_id AS j, a.bucket AS bucket
+         |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""".stripMargin) {
+      (s, dir) => Similarity.lshCandidates(t(s, dir, "embeddings"))
+    },
+
+    Q.df(
+      "p12_langid",
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS en_h,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','la','les','de','et'))) AS DOUBLE) AS fr_h,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','los','las','y','en'))) AS DOUBLE) AS es_h,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) AS de_h,
+        |  CASE WHEN octet_length(encode(text)) > length(text) THEN 1.0 ELSE 0.0 END AS zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  en_h / n_words AS en_ratio, fr_h / n_words AS fr_ratio,
+        |  es_h / n_words AS es_ratio, de_h / n_words AS de_ratio,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en_h / n_words >= fr_h / n_words AND en_h / n_words >= es_h / n_words AND en_h / n_words >= de_h / n_words THEN 'en'
+        |       WHEN fr_h / n_words >= es_h / n_words AND fr_h / n_words >= de_h / n_words THEN 'fr'
+        |       WHEN es_h / n_words >= de_h / n_words THEN 'es'
+        |       ELSE 'de' END AS pred_lang
+        |FROM b""".stripMargin) { (s, dir) =>
+      TextOps.langId(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p13_quality_score",
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS no_space,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  no_space / n_words AS avg_wlen,
+        |  punct / n_chars AS punct_ratio,
+        |  stop_hits / n_words AS stop_ratio,
+        |  LEAST(n_words / 100.0, 1.0) * 0.25
+        |    + (stop_hits / n_words) * 0.25
+        |    + (1.0 - punct / n_chars) * 0.25
+        |    + (CASE WHEN no_space / n_words BETWEEN 3.0 AND 8.0 THEN 0.25 ELSE 0.0 END) AS quality
+        |FROM b""".stripMargin) { (s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p14_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_obs
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p15_fingerprint",
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS fp,
+        |  substr(md5(text), 1, 8) AS md5_8
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextOps.fingerprints(s, t(s, dir, "documents"))
+    },
+
+    Q.df(
+      "p16_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(length(text) % 640 + 1 AS INT) AS width,
+        |  CAST(length(text) % 480 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  md5(text) AS fingerprint
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
+    },
+  )
+}
