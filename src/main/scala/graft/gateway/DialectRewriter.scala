@@ -1,0 +1,60 @@
+package graft.gateway
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.IcebergLite
+
+/** SQL-string rewrites performed before parsing, mirroring the reference's
+  * `_convert_to_iceberg_query` (/root/reference/backend/main.py:426-449)
+  * plus the `iceberg_scan('path')` table-function surface
+  * (main.py:440,464,556) that Spark SQL lacks.
+  *
+  * 1. read_parquet over an s3 parquet glob (legacy escape hatch) ->
+  *    `iceberg_scan('s3://bucket/path')`, or a
+  *    `iceberg_catalog.<ns>.<table>` reference when a REST catalog is
+  *    configured (table name = last path segment).
+  * 2. `iceberg_scan('path')` -> a generated temp view bound to an
+  *    IcebergLite table scan for that path (SURVEY.md A4, option (i)).
+  */
+object DialectRewriter {
+
+  // Same shape as the reference's pattern (main.py:430): bucket, inner
+  // path, optional glob tail, case-insensitive, ' or " quotes.
+  private val ReadParquetRe: Regex =
+    """(?i)read_parquet\(['"]s3://([^/'"]+)/([^'"]+?)/?\*?\*?/?\*?\.parquet['"]\)""".r
+
+  private val IcebergScanRe: Regex =
+    """(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*\)""".r
+
+  private val viewCounter = new AtomicLong(0)
+
+  /** Rewrite 1: legacy read_parquet globs to the Iceberg surface. */
+  def convertReadParquet(sql: String, config: ConnectionConfig): String =
+    ReadParquetRe.replaceAllIn(sql, m => {
+      val bucket = m.group(1)
+      val path = m.group(2).reverse.dropWhile(c => c == '*' || c == '/').reverse
+      val replacement =
+        if (config.catalogType == "rest") {
+          val tableName = path.split('/').last
+          s"iceberg_catalog.${config.namespace.getOrElse("default")}.$tableName"
+        } else s"iceberg_scan('s3://$bucket/$path')"
+      Regex.quoteReplacement(replacement)
+    })
+
+  /** Rewrite 2: bind each iceberg_scan('p') occurrence to a temp view
+    * backed by an IcebergLite scan of `p` on this session, and substitute
+    * the view name into the SQL. View names are generated (never derived
+    * from user input) so this introduces no injection surface.
+    */
+  def bindIcebergScans(spark: SparkSession, sql: String): String =
+    IcebergScanRe.replaceAllIn(sql, m => {
+      val path = m.group(1)
+      val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
+      IcebergLite.scan(spark, path).createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
+}

@@ -1,0 +1,138 @@
+package graft.gateway
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.sources.{IcebergLite, TableInfo}
+
+/** Per-request query execution (the reference's `run_query` +
+  * `_duckdb_connection`, /root/reference/backend/main.py:361-388,567-620).
+  *
+  * Session model (A7): one long-lived SparkSession per process (JVM/Spark
+  * startup is the analog of the reference's extension warmup) and
+  * `spark.newSession()` per request — isolated SQLConf and temp-view
+  * namespace so concurrent requests cannot see each other's bound
+  * `iceberg_scan` views. Credential isolation on the shared Hadoop conf is
+  * the known hard part (SURVEY.md §7.3); storage settings are produced as
+  * per-request maps (ConnectionConfig.s3aSettings) and would be applied as
+  * per-bucket/per-catalog overrides on a real deployment.
+  */
+object Engine {
+
+  final case class QueryStats(executionTimeMs: Long, bytesScanned: Long, rowsReturned: Long)
+  final case class QueryResult(
+      columns: Seq[String], rows: Seq[Seq[Any]], stats: QueryStats, truncated: Boolean)
+  final case class EngineError(status: Int, detail: String) extends RuntimeException(detail)
+
+  val DefaultRowLimit = 1000
+  val MaxRowLimit = 10000
+
+  def executeQuery(
+      root: SparkSession,
+      sql: String,
+      config: ConnectionConfig,
+      rowLimit: Int = DefaultRowLimit): QueryResult = {
+    if (rowLimit > MaxRowLimit)
+      throw EngineError(400, s"rowLimit must be <= $MaxRowLimit")
+    val t0 = System.nanoTime()
+    val cfg = Try(ConnectionConfig.validated(config)) match {
+      case Success(c) => c
+      case Failure(e) => throw EngineError(400, e.getMessage)
+    }
+    val spark = root.newSession()
+
+    // Delete-guard on the configured direct table path before every query
+    // (reference main.py:575-576). Probe failures degrade inside.
+    cfg.tablePath.foreach { p =>
+      try IcebergLite.assertNoDeletes(spark, p)
+      catch { case e: IcebergLite.DeleteGuardError => throw EngineError(400, e.getMessage) }
+    }
+
+    val converted = DialectRewriter.convertReadParquet(sql, cfg)
+    val bound =
+      try DialectRewriter.bindIcebergScans(spark, converted)
+      catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }
+
+    SqlGuard.validate(spark, bound) match {
+      case Left(r) => throw EngineError(400, r.message)
+      case Right(_) => ()
+    }
+
+    val df =
+      try spark.sql(bound)
+      catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${firstLine(e)}") }
+    val (limited, _) = LimitInjector(df, rowLimit)
+
+    val rows =
+      try limited.collect()
+      catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${firstLine(e)}") }
+
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    val scanned = bytesScanned(limited.queryExecution.executedPlan)
+    val bytes =
+      if (scanned > 0) scanned
+      // Reference-style fallback estimate (main.py:594-595) when no file
+      // scan metric is available (e.g. VALUES-only queries).
+      else rows.iterator.map(r => String.valueOf(r).length.toLong * 2).sum
+
+    QueryResult(
+      columns = limited.columns.toSeq,
+      rows = rows.toSeq.map(_.toSeq),
+      stats = QueryStats(elapsedMs, bytes, rows.length.toLong),
+      truncated = rows.length >= rowLimit)
+  }
+
+  /** Real scan-size metric off the executed plan (vs the reference's
+    * acknowledged `len(str(rows)) * 2` placeholder): sum of file-scan
+    * `filesSize` metrics, descending through AQE's adaptive root.
+    */
+  def bytesScanned(plan: SparkPlan): Long = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      // AQE query stages have no children; the materialized subtree
+      // hangs off .plan.
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(plan)
+      .flatMap(p => p.metrics.get("filesSize").map(_.value).filter(_ > 0))
+      .sum
+  }
+
+  /** Connection test orchestration (reference `run_connection_test`,
+    * main.py:529-564): REST catalog -> list tables; tablePath -> probe;
+    * neither -> probe the bundled demo table. Failures return None — the
+    * detail is deliberately not surfaced to unauthenticated callers.
+    */
+  def runConnectionTest(
+      root: SparkSession,
+      config: ConnectionConfig,
+      demoTablePath: Option[String] = None): Option[TableInfo] =
+    Try {
+      val cfg = ConnectionConfig.validated(config)
+      val spark = root.newSession()
+      if (cfg.catalogType == "rest") {
+        // A real REST catalog would be registered via
+        // ConnectionConfig.restCatalogSettings; without the Iceberg runtime
+        // on the classpath this is exercised only through config mapping.
+        val ns = cfg.namespace.getOrElse("default")
+        spark.sql(s"SHOW TABLES IN iceberg_catalog.$ns").collect()
+        TableInfo(
+          path = s"iceberg_catalog.$ns",
+          suggestedQuery = s"SHOW TABLES IN iceberg_catalog.$ns")
+      } else cfg.tablePath match {
+        case Some(p) => IcebergLite.probe(spark, p)
+        case None =>
+          val demo = demoTablePath.getOrElse(
+            throw IcebergLite.ProbeError("no demo table configured"))
+          IcebergLite.scan(spark, demo).limit(1).collect()
+          IcebergLite.probe(spark, demo)
+      }
+    }.toOption
+
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).map(_.linesIterator.next()).getOrElse(e.getClass.getSimpleName)
+}

@@ -1,0 +1,94 @@
+package graft.gateway
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.Tables
+import graft.sources.IcebergLiteWriter
+
+class EngineSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = ConnectionConfig(
+    storageType = "minio", endpoint = "http://localhost:9000",
+    accessKey = "k", secretKey = "s")
+
+  private def regionSql =
+    s"SELECT r_regionkey, r_name FROM parquet.`$sf0001/region.parquet`"
+
+  test("limit injected when absent; truncated flagged") {
+    val r = Engine.executeQuery(spark, regionSql, cfg, rowLimit = 3)
+    assert(r.rows.length == 3)
+    assert(r.truncated)
+    assert(r.columns == Seq("r_regionkey", "r_name"))
+  }
+
+  test("existing LIMIT never overwritten") {
+    val r = Engine.executeQuery(spark, regionSql + " ORDER BY r_regionkey LIMIT 2", cfg)
+    assert(r.rows.length == 2)
+    assert(!r.truncated)
+  }
+
+  test("LIMIT behind a CTE wrapper is seen") {
+    val sql = s"WITH t AS ($regionSql) SELECT * FROM t LIMIT 2"
+    val r = Engine.executeQuery(spark, sql, cfg, rowLimit = 1000)
+    assert(r.rows.length == 2)
+  }
+
+  test("stats: wall clock, real bytesScanned from scan metrics, row count") {
+    val r = Engine.executeQuery(spark, regionSql, cfg)
+    assert(r.stats.rowsReturned == 5)
+    assert(r.stats.bytesScanned > 0)
+    assert(r.stats.executionTimeMs >= 0)
+  }
+
+  test("rowLimit above hard max rejected") {
+    val e = intercept[Engine.EngineError](
+      Engine.executeQuery(spark, regionSql, cfg, rowLimit = 20000))
+    assert(e.status == 400)
+  }
+
+  test("mutating SQL rejected with 400") {
+    val e = intercept[Engine.EngineError](
+      Engine.executeQuery(spark, "DROP TABLE x", cfg))
+    assert(e.status == 400)
+    assert(e.detail.toLowerCase.contains("not allowed"))
+  }
+
+  test("invalid config rejected with 400") {
+    val e = intercept[Engine.EngineError](
+      Engine.executeQuery(spark, regionSql, cfg.copy(storageType = "bogus")))
+    assert(e.status == 400)
+  }
+
+  test("execution errors surface as 400 with detail") {
+    val e = intercept[Engine.EngineError](
+      Engine.executeQuery(spark, "SELECT * FROM nonexistent_table_xyz", cfg))
+    assert(e.status == 400)
+    assert(e.detail.startsWith("Query execution failed"))
+  }
+
+  test("iceberg_scan('path') is bound and queryable end-to-end") {
+    val dir = tmpDir("engine_iceberg") + "/warehouse/region"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    val r = Engine.executeQuery(
+      spark, s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir')", cfg)
+    assert(r.rows.head.head == 5L)
+  }
+
+  test("per-request sessions are isolated (bound views do not leak)") {
+    val dir = tmpDir("engine_iso") + "/warehouse/region"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    Engine.executeQuery(spark, s"SELECT * FROM iceberg_scan('$dir')", cfg)
+    // The generated view lives on the request's child session only.
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_iceberg_scan_")))
+  }
+
+  test("connection test: demo path probes; garbage returns None") {
+    val dir = tmpDir("engine_demo") + "/warehouse/docs"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "documents"), dir)
+    val ok = Engine.runConnectionTest(spark, cfg, Some(dir))
+    assert(ok.exists(_.rows.exists(_ > 0)))
+    assert(Engine.runConnectionTest(spark, cfg, Some("/no/such/table")).isEmpty)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.gateway
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.Tables
+import graft.sources.IcebergLiteWriter
+import JValue._
+
+/** End-to-end HTTP round-trips over the real server (reference surface:
+  * /root/reference/backend/main.py:646-770).
+  */
+class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
+
+  private var api: HttpApi = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    val demo = tmpDir("http_demo") + "/warehouse/documents"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "documents"), demo)
+    api = new HttpApi(spark, 0, Some(demo))
+    api.start()
+    base = api.address
+  }
+
+  override def afterAll(): Unit = if (api != null) api.stop()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def obj(r: HttpResponse[String]): JObj =
+    Json.parse(r.body()).asInstanceOf[JObj]
+
+  private val connJson =
+    """{"storageType":"minio","endpoint":"http://localhost:9000",
+      |"accessKey":"k","secretKey":"s"}""".stripMargin
+
+  test("GET / returns health stub") {
+    val r = get("/")
+    assert(r.statusCode() == 200)
+    assert(obj(r).str("status").contains("running"))
+  }
+
+  test("GET /health returns engine version") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    val o = obj(r)
+    assert(o.str("status").contains("healthy"))
+    assert(o.str("spark_version").exists(_.startsWith("4.")))
+  }
+
+  test("POST /api/query runs SQL with limit + stats") {
+    val sql = s"SELECT r_regionkey FROM parquet.`$sf0001/region.parquet` ORDER BY r_regionkey"
+    val r = post("/api/query", s"""{"sql":"$sql","connection":$connJson,"rowLimit":3}""")
+    assert(r.statusCode() == 200)
+    val o = obj(r)
+    assert(o.get("columns").contains(JArr(Vector(JStr("r_regionkey")))))
+    assert(o.get("rows").exists { case JArr(rows) => rows.length == 3; case _ => false })
+    assert(o.get("truncated").contains(JBool(true)))
+    assert(o.obj("stats").flatMap(_.get("rowsReturned")).contains(JNum(BigDecimal(3))))
+  }
+
+  test("POST /api/query rejects mutations with 400 + detail") {
+    val r = post("/api/query", s"""{"sql":"DROP TABLE x","connection":$connJson}""")
+    assert(r.statusCode() == 400)
+    assert(obj(r).str("detail").exists(_.contains("not allowed")))
+  }
+
+  test("POST /api/query with invalid JSON -> 400") {
+    val r = post("/api/query", "{not json")
+    assert(r.statusCode() == 400)
+  }
+
+  test("POST /api/query without sql -> 400") {
+    val r = post("/api/query", s"""{"connection":$connJson}""")
+    assert(r.statusCode() == 400)
+  }
+
+  test("POST /api/connect/test succeeds against the demo table") {
+    val r = post("/api/connect/test", s"""{"connection":$connJson}""")
+    assert(r.statusCode() == 200)
+    val info = obj(r).obj("tableInfo").get
+    assert(info.str("format").contains("iceberg-v2"))
+    assert(info.get("rows").exists { case JNum(n) => n.toLong > 0; case _ => false })
+    // snapshotId is a string (64-bit JS-precision guard).
+    assert(info.str("snapshotId").exists(_.forall(_.isDigit)))
+  }
+
+  test("POST /api/connect/test with bad config -> 400, no internals leaked") {
+    val bad = """{"connection":{"storageType":"minio","endpoint":"http://x",
+      |"accessKey":"k","secretKey":"s","tablePath":"s3://nope/missing"}}""".stripMargin
+    val r = post("/api/connect/test", bad)
+    assert(r.statusCode() == 400)
+    assert(obj(r).str("detail").contains("Connection test failed"))
+  }
+
+  test("GET /api/demo/connection returns canned config") {
+    val o = obj(get("/api/demo/connection"))
+    assert(o.str("storageType").contains("minio"))
+    assert(o.str("tablePath").exists(_.nonEmpty))
+  }
+
+  test("GET /api/demo/queries returns runnable iceberg_scan samples") {
+    val o = obj(get("/api/demo/queries"))
+    val queries = o.get("queries").collect { case JArr(q) => q }.get
+    assert(queries.size == 5)
+    // And the first demo query actually runs through /api/query.
+    val sql = queries.head.asInstanceOf[JObj].str("sql").get
+      .replace("\"", "\\\"")
+    val r = post("/api/query", s"""{"sql":"$sql","connection":$connJson}""")
+    assert(r.statusCode() == 200)
+  }
+
+  test("CORS headers present; unknown route 404") {
+    val r = get("/nope")
+    assert(r.statusCode() == 404)
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+  }
+}
