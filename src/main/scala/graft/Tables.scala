@@ -28,10 +28,16 @@ object Tables {
   }
 
   /** Register every table as a temp view so spark.sql corpus queries and
-    * the gateway can reference them by name (idempotent).
+    * the gateway can reference them by name. Memoized per (session, dir) —
+    * repeated corpus queries skip the 10 parquet-footer reads.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.tables.dir"
+    if (!spark.conf.getOption(key).contains(dir)) {
+      names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(key, dir)
+    }
+  }
 }
 
 /** Deterministic-aggregation helpers.

@@ -26,16 +26,21 @@ object Dedup {
 
   private def words(text: Column): Column = split(text, " ")
 
-  /** doc_id -> distinct word n-gram shingles ("a b c" strings). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+  /** doc_id -> word n-gram shingles ("a b c" strings). `distinct` costs a
+    * shuffle — required for set-semantics consumers (Jaccard counts), but
+    * droppable for MIN-based consumers (minhash), where duplicates cannot
+    * change the aggregate.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
+    val sh = docs
       .filter(size(words(col("text"))) >= n)
       .select(
         col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(split(text, ' ')) - $n), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
           .as("shingle"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
+  }
 
   /** Exact duplicate groups: content hash -> surviving id + group size. */
   def exactStats(docs: DataFrame): DataFrame =
@@ -71,14 +76,20 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
-  /** MinHash signature: per seed s, min over shingles of md5("s|" + shingle).
-    * (String-min over md5 hex is a valid min-hash family and is exactly
-    * reproducible in any engine with md5.)
+  /** MinHash signature via the two-hash (Kirsch-Mitzenmacher) family:
+    * one md5 per shingle yields h1/h2 (two 56-bit ints from the hex
+    * digest); hash s is `h1 + s * h2`, and the signature is the per-seed
+    * MIN. One digest per shingle instead of `numHashes` — the md5 cost
+    * dominates signature building at corpus scale. All arithmetic stays
+    * in int64 (s*h2 <= 7 * 2^56), so any engine reproduces it exactly.
     */
   def minhashSignature(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n, distinct = false)
+      .withColumn("d", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("d"), 1, 14), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("d"), 17, 14), 16, 10).cast("long"))
     val aggs = (0 until numHashes)
-      .map(s => min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"h$s"))
+      .map(s => min(col("h1") + lit(s.toLong) * col("h2")).as(s"h$s"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -91,8 +102,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(docs, numHashes, n)
     val bandCols = (0 until bands).map { b =>
-      val v = concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-      struct(lit(b).as("b"), v.as("v"))
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("b"), concat_ws("|", parts: _*).as("v"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))

@@ -4,37 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * - Brute-force cosine top-k: exact baseline. The query side is small and
   *   broadcast; the corpus side streams, so the plan is a broadcast
-  *   nested-loop + per-query top-k (TakeOrdered) — no corpus shuffle.
+  *   nested-loop + per-query top-k — no corpus shuffle.
   * - Random-hyperplane LSH: the scale path. Each vector hashes to a bucket
   *   from the sign pattern of `numPlanes` fixed +-1 hyperplanes; neighbor
   *   candidates are same-bucket pairs (hash-partitioned equi-join, linear
   *   in corpus size).
   *
-  * Arithmetic is done in doubles via sequential `aggregate` folds so an
-  * external oracle evaluating the same fold reproduces results bit-exactly.
+  * Dot products run through the codegen'd [[graft.functions.DotProduct]]
+  * expression — a sequential double fold, so an external oracle evaluating
+  * the same fold (e.g. DuckDB list_sum over the products) reproduces every
+  * score bit-exactly.
   */
 object Similarity {
 
-  /** Elementwise-double view of a float-vector column. */
-  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** Sequential-fold dot product of two double-array columns (codegen'd
-    * higher-order functions — no UDF).
-    */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-
-  def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)"))
-
-  /** (vec_id, v, nrm) with v as double[] and nrm its L2 norm. */
-  def normalized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), vd(col("embedding")).as("v"))
-      .withColumn("nrm", norm("v"))
+  /** (vec_id, v float[], nrm) with nrm the L2 norm. */
+  def normalized(emb: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
 
   /** All pairs with cosine >= threshold (exact; quadratic — use LSH buckets
     * to pre-filter at scale).
@@ -44,7 +38,7 @@ object Similarity {
     val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .withColumn("cos", expr("vec_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }
@@ -55,7 +49,7 @@ object Similarity {
     val q = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot("qv", "v") / (col("qn") * col("nrm")))
+      .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -77,14 +71,16 @@ object Similarity {
     }
   }
 
-  /** vec_id -> LSH bucket id in [0, 2^numPlanes). */
+  /** vec_id -> LSH bucket id in [0, 2^numPlanes). The plane matrix is a
+    * constant folded into the plan (computed once on the driver, not per
+    * row).
+    */
   def lshBuckets(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val pl = planes(numPlanes, dim)
     val n = normalized(emb)
     val bucket = pl.zipWithIndex.map { case (w, p) =>
       val arr = w.mkString("array(", "D,", "D)")
-      when(expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
-        lit(1L << p)).otherwise(lit(0L))
+      when(expr(s"vec_dot(v, $arr)") > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     n.select(col("vec_id"), bucket.cast("long").as("bucket"))
   }

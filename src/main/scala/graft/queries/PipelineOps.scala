@@ -21,12 +21,16 @@ object PipelineOps {
       |  FROM ws WHERE len(w) >= 3) x)""".stripMargin
 
   private val minhashCtes: String = {
-    val sigCols = (0 until 8).map(s => s"MIN(md5('$s|' || shingle)) AS h$s").mkString(", ")
+    val sigCols = (0 until 8).map(s => s"MIN(a1 + $s * a2) AS h$s").mkString(", ")
     val bandSel = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM sig")
+      .map(b => s"SELECT doc_id, $b AS b, CAST(h${2 * b} AS VARCHAR) || '|' || CAST(h${2 * b + 1} AS VARCHAR) AS v FROM sig")
       .mkString(" UNION ALL ")
     s"""$shingleCtes,
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |hsh AS (SELECT doc_id,
+       |  CAST('0x' || substr(d, 1, 14) AS BIGINT) AS a1,
+       |  CAST('0x' || substr(d, 17, 14) AS BIGINT) AS a2
+       |  FROM (SELECT doc_id, md5(shingle) AS d FROM sh) z),
+       |sig AS (SELECT doc_id, $sigCols FROM hsh GROUP BY doc_id),
        |band AS ($bandSel)""".stripMargin
   }
 
