@@ -27,8 +27,10 @@ object DialectRewriter {
   private val ReadParquetRe: Regex =
     """(?i)read_parquet\(['"]s3://([^/'"]+)/([^'"]+?)/?\*?\*?/?\*?\.parquet['"]\)""".r
 
+  // Optional second argument = time-travel snapshot id, accepted both as
+  // `iceberg_scan('p', 123)` and `iceberg_scan('p', snapshot_id => 123)`.
   private val IcebergScanRe: Regex =
-    """(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*\)""".r
+    """(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*)?\)""".r
 
   private val viewCounter = new AtomicLong(0)
 
@@ -53,8 +55,9 @@ object DialectRewriter {
   def bindIcebergScans(spark: SparkSession, sql: String): String =
     IcebergScanRe.replaceAllIn(sql, m => {
       val path = m.group(1)
+      val snapshotId = Option(m.group(2)).map(_.toLong)
       val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
-      IcebergLite.scan(spark, path).createOrReplaceTempView(view)
+      IcebergLite.scan(spark, path, snapshotId).createOrReplaceTempView(view)
       Regex.quoteReplacement(view)
     })
 }

@@ -100,9 +100,14 @@ object IcebergLite {
   private def fieldStr(r: GenericRecord, name: String): Option[String] =
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))).map(_.toString)
 
-  /** Manifest list of the current snapshot. */
-  def currentManifests(conf: Configuration, tablePath: String, meta: JObj): Seq[ManifestInfo] = {
-    val snapId = jLong(meta, "current-snapshot-id")
+  /** Manifest list of the selected snapshot (default: current). The
+    * `snapshotId` override is the time-travel entry point — the analog of
+    * `VERSION AS OF` (the reference documents "time travel via snapshots"
+    * as part of its capability surface, reference README.md:197).
+    */
+  def currentManifests(conf: Configuration, tablePath: String, meta: JObj,
+      snapshotId: Option[Long] = None): Seq[ManifestInfo] = {
+    val snapId = snapshotId.orElse(jLong(meta, "current-snapshot-id"))
       .getOrElse(throw ProbeError("metadata has no current-snapshot-id"))
     val snapshots = meta.get("snapshots") match {
       case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
@@ -120,14 +125,15 @@ object IcebergLite {
     }
   }
 
-  /** All live file entries of the current snapshot (status 2 = deleted
+  /** All live file entries of the selected snapshot (status 2 = deleted
     * entries are dropped, matching an Iceberg planner's view).
     */
-  def fileEntries(conf: Configuration, tablePath: String): Seq[FileEntry] = {
+  def fileEntries(conf: Configuration, tablePath: String,
+      snapshotId: Option[Long] = None): Seq[FileEntry] = {
     val metaPath = latestMetadataPath(conf, tablePath)
       .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
     val meta = readMetadataJson(conf, metaPath)
-    currentManifests(conf, tablePath, meta).flatMap { m =>
+    currentManifests(conf, tablePath, meta, snapshotId).flatMap { m =>
       readAvro(conf, new Path(m.path)).flatMap { entry =>
         val status = fieldLong(entry, "status", 1L).toInt
         Option(entry.get("data_file")).collect { case df: GenericRecord =>
@@ -148,9 +154,10 @@ object IcebergLite {
     * rejects tables with row-level deletes rather than silently returning
     * removed rows, matching the reference's guard, main.py:391-423).
     */
-  def scan(spark: SparkSession, tablePath: String): DataFrame = {
+  def scan(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val dataFiles = fileEntries(conf, tablePath)
+    val dataFiles = fileEntries(conf, tablePath, snapshotId)
       .filter(e => e.manifestContent == 0 && e.fileContent == 0)
       .map(_.path)
     if (dataFiles.isEmpty)

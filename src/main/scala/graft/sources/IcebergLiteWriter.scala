@@ -57,15 +57,39 @@ object IcebergLiteWriter {
     * added so the delete-guard path can be tested.
     */
   def write(spark: SparkSession, df: DataFrame, tableDir: String,
-      withDeleteManifest: Boolean = false): Unit = {
+      withDeleteManifest: Boolean = false): Unit =
+    commit(spark, df, tableDir, SaveMode.Overwrite, withDeleteManifest)
+
+  /** Append `df` as a new snapshot: new data files + a new manifest, with
+    * the previous snapshot's manifests carried forward and its entry kept
+    * in the snapshot log — so time travel to the prior snapshot id works.
+    */
+  def append(spark: SparkSession, df: DataFrame, tableDir: String): Unit =
+    commit(spark, df, tableDir, SaveMode.Append, withDeleteManifest = false)
+
+  private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
+      mode: SaveMode, withDeleteManifest: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = s"$tableDir/data"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+
+    // For appends: carry forward prior manifests + snapshot log, and only
+    // manifest the data files the prior snapshot does not already track.
+    val prior = if (mode == SaveMode.Append)
+      IcebergLite.latestMetadataPath(conf, tableDir)
+        .map(p => IcebergLite.readMetadataJson(conf, p))
+    else None
+    val priorManifests = prior.toSeq.flatMap(m =>
+      IcebergLite.currentManifests(conf, tableDir, m))
+    val priorFiles = prior.toSeq
+      .flatMap(_ => IcebergLite.fileEntries(conf, tableDir)).map(_.path).toSet
+
+    df.write.mode(mode).parquet(dataDir)
 
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)
     val dataFiles = fs.listStatus(dataPath).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .filter(s => !priorFiles.contains(s.getPath.toString))
 
     val entries = dataFiles.map { s =>
       val rc = spark.read.parquet(s.getPath.toString).count()
@@ -88,7 +112,13 @@ object IcebergLiteWriter {
     val manifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
     val manifestLen = writeAvro(conf, manifestPath, ManifestEntrySchema, entries)
 
-    var manifestRecords = Seq(manifestFileRecord(manifestPath.toString, manifestLen, 0, snapshotId))
+    val carried = priorManifests.map { m =>
+      val p = new Path(m.path)
+      manifestFileRecord(m.path, p.getFileSystem(conf).getFileStatus(p).getLen,
+        m.content, snapshotId)
+    }
+    var manifestRecords =
+      carried :+ manifestFileRecord(manifestPath.toString, manifestLen, 0, snapshotId)
 
     if (withDeleteManifest) {
       // A position-delete manifest (content=1) referencing one delete file —
@@ -113,6 +143,18 @@ object IcebergLiteWriter {
     writeAvro(conf, manifestListPath, ManifestFileSchema, manifestRecords)
 
     val nowMs = System.currentTimeMillis()
+    val newSnapshot =
+      s"""{
+         |      "snapshot-id": $snapshotId,
+         |      "timestamp-ms": $nowMs,
+         |      "manifest-list": "$manifestListPath",
+         |      "summary": {"operation": "append"}
+         |    }""".stripMargin
+    val priorSnapshots = prior.toSeq.flatMap(_.get("snapshots")).flatMap {
+      case graft.gateway.JValue.JArr(items) => items.map(graft.gateway.Json.render)
+      case _ => Nil
+    }
+    val snapshotsJson = (priorSnapshots :+ newSnapshot).mkString(",\n    ")
     val metadataJson =
       s"""{
          |  "format-version": 2,
@@ -121,15 +163,16 @@ object IcebergLiteWriter {
          |  "last-updated-ms": $nowMs,
          |  "current-snapshot-id": $snapshotId,
          |  "snapshots": [
-         |    {
-         |      "snapshot-id": $snapshotId,
-         |      "timestamp-ms": $nowMs,
-         |      "manifest-list": "$manifestListPath",
-         |      "summary": {"operation": "append"}
-         |    }
+         |    $snapshotsJson
          |  ]
          |}""".stripMargin
-    val metaJsonPath = new Path(f"$metaDir/00000-${UUID.randomUUID()}.metadata.json")
+    val metaDirPath = new Path(metaDir)
+    val metaFs = metaDirPath.getFileSystem(conf)
+    val version =
+      if (!metaFs.exists(metaDirPath)) 0
+      else metaFs.listStatus(metaDirPath)
+        .count(_.getPath.getName.endsWith(".metadata.json"))
+    val metaJsonPath = new Path(f"$metaDir/$version%05d-${UUID.randomUUID()}.metadata.json")
     val out = metaJsonPath.getFileSystem(conf).create(metaJsonPath, true)
     out.write(metadataJson.getBytes("UTF-8"))
     out.close()

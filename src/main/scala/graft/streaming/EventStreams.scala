@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Num.dec
+
+/** Structured Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly request/response — no streaming surface exists
+  * in it (SURVEY.md §2.B "Streaming: none") — so this module is the
+  * beyond-reference extension: the same engine operators expressed as
+  * incremental plans. Each operator is watermark-bounded so state is
+  * droppable and the plan runs indefinitely on an unbounded source; at
+  * cluster scale the state store shards by the grouping key.
+  */
+object EventStreams {
+
+  /** Read schema: ts is declared as long because the driver's parquet
+    * carries TIMESTAMP(NANOS), which Spark 4 only reads via the
+    * nanos-as-long legacy mode; readEvents converts to a micros timestamp
+    * (the same truncation DuckDB applies).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state retention. Partial aggregation applies per micro-batch; the
+    * shuffle key is (window, event_type).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Gap-based sessionization via the built-in session_window — sessions
+    * close when a user is idle longer than `gap`.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+  final case class UserState(n: Long, total: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState: a running
+    * per-user event count + value sum, emitted each micro-batch (Update
+    * mode). The state object is the minimal commutative summary, so the
+    * state store holds O(users), not O(events).
+    */
+  def statefulUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserState(n, total))
+          UserAgg(userId, n, total)
+      }
+  }
+
+  /** Run a streaming frame to completion against a memory sink and return
+    * the collected result table (test/demo harness for finite sources).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Num, SparkFixture, Tables}
+
+/** Streaming results must equal their batch equivalents on a finite
+  * source — the incremental plan is an implementation detail, not a
+  * semantics change.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(
+      Paths.get(sf0001, "events.parquet"),
+      dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private lazy val batchEvents = Tables.t(spark, sf0001, "events")
+
+  test("windowed counts match the batch computation") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir)),
+      "win_counts", OutputMode.Complete())
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Num.dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows match the batch session_window computation") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.sessionWindows(EventStreams.readEvents(spark, eventsDir), gap = "10 minutes"),
+      "sess_win", OutputMode.Complete())
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(Num.dec(col("value"))).cast("double").as("total"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful per-user totals converge to the batch totals") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.statefulUserTotals(
+        spark, EventStreams.readEvents(spark, eventsDir)).toDF(),
+      "user_totals", OutputMode.Update())
+    // Update mode emits one row per user per batch; the final emission per
+    // user must equal the batch aggregate.
+    val finalPerUser = streamed
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+    val batch = batchEvents.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    assert(finalPerUser.exceptAll(batch).isEmpty && batch.exceptAll(finalPerUser).isEmpty)
+  }
+
+  test("watermark bounds state: late-arriving aggregation plan is streaming") {
+    val df = EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir))
+    assert(df.isStreaming)
+  }
+}
