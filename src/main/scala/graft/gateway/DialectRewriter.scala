@@ -52,12 +52,28 @@ object DialectRewriter {
     * the view name into the SQL. View names are generated (never derived
     * from user input) so this introduces no injection surface.
     */
-  def bindIcebergScans(spark: SparkSession, sql: String): String =
-    IcebergScanRe.replaceAllIn(sql, m => {
+  private val IcebergMetadataRe: Regex =
+    """(?i)iceberg_metadata\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val IcebergSnapshotsRe: Regex =
+    """(?i)iceberg_snapshots\(\s*['"]([^'"]+)['"]\s*\)""".r
+
+  def bindIcebergScans(spark: SparkSession, sql: String): String = {
+    val scans = IcebergScanRe.replaceAllIn(sql, m => {
       val path = m.group(1)
       val snapshotId = Option(m.group(2)).map(_.toLong)
       val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
       IcebergLite.scan(spark, path, snapshotId).createOrReplaceTempView(view)
       Regex.quoteReplacement(view)
     })
+    val withMeta = IcebergMetadataRe.replaceAllIn(scans, m => {
+      val view = s"graft_iceberg_metadata_${viewCounter.incrementAndGet()}"
+      IcebergLite.metadataRelation(spark, m.group(1)).createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
+    IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
+      val view = s"graft_iceberg_snapshots_${viewCounter.incrementAndGet()}"
+      IcebergLite.snapshotsRelation(spark, m.group(1)).createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
+  }
 }

@@ -165,6 +165,49 @@ object IcebergLite {
     spark.read.parquet(dataFiles: _*)
   }
 
+  /** The `iceberg_metadata('path')` relation (the reference probes it at
+    * main.py:503-512): one row per live file entry with its manifest
+    * context — enough surface for the reference's documented
+    * SUM(record_count) / COUNT(*) / delete-detection queries.
+    */
+  def metadataRelation(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    fileEntries(conf, tablePath)
+      .map(e => (
+        e.path,
+        if (e.manifestContent == 0) "DATA" else "DELETE",
+        e.recordCount,
+        if (e.fileContent == 0) "DATA"
+        else if (e.fileContent == 1) "POSITION_DELETES"
+        else "EQUALITY_DELETES",
+        e.status.toLong))
+      .toDF("file_path", "manifest_content", "record_count", "content", "status")
+  }
+
+  /** The `iceberg_snapshots('path')` relation (documented surface,
+    * reference README.md:127-131): the table's snapshot log.
+    */
+  def snapshotsRelation(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = latestMetadataPath(conf, tablePath)
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+    val meta = readMetadataJson(conf, metaPath)
+    val current = jLong(meta, "current-snapshot-id")
+    val snaps = meta.get("snapshots") match {
+      case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
+      case _ => Vector.empty
+    }
+    snaps.map { s =>
+      val id = jLong(s, "snapshot-id").getOrElse(0L)
+      (id,
+        jLong(s, "timestamp-ms").map(ms => new java.sql.Timestamp(ms)).orNull,
+        s.str("manifest-list").getOrElse(""),
+        current.contains(id))
+    }.toDF("snapshot_id", "committed_at", "manifest_list", "is_current")
+  }
+
   /** True when the current snapshot carries any delete manifest/file. */
   def hasDeletes(conf: Configuration, tablePath: String): Boolean = {
     val metaPath = latestMetadataPath(conf, tablePath)
