@@ -85,6 +85,55 @@ object Similarity {
     n.select(col("vec_id"), bucket.cast("long").as("bucket"))
   }
 
+  /** IVF coarse quantizer: assign each vector to its max-cosine centroid.
+    * Centroids here are the first `cells` corpus vectors — a deterministic
+    * stand-in for a k-means codebook (the assignment/search plumbing is
+    * identical; a trained codebook would be broadcast the same way).
+    */
+  def ivfAssign(emb: DataFrame, cells: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val cents = n.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    n.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, rank only the
+    * candidates in those cells. Candidate generation is a broadcast of the
+    * tiny codebook + an equi-join on cell — linear in corpus size, with
+    * recall controlled by nprobe.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 4, cells: Int = 16): DataFrame = {
+    val n = normalized(emb)
+    val assigned = ivfAssign(emb, cells)
+    val withCell = n.join(assigned, "vec_id")
+    val cents = n.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val qCells = q.crossJoin(broadcast(cents))
+      .withColumn("qcos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    qCells.join(withCell, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      // (q_id, vec_id) is already unique: each vector lives in exactly one
+      // cell and the probed cells per query are distinct.
+      .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+  }
+
   /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
   def lshCandidates(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val b = lshBuckets(emb, numPlanes, dim)

@@ -235,6 +235,72 @@ object PipelineOps {
     },
 
     Q.df(
+      "p17_ivf_assign",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16)
+         |SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM n, cent) x
+         |WHERE r = 1""".stripMargin) { (s, dir) =>
+      Similarity.ivfAssign(t(s, dir, "embeddings"))
+    },
+
+    Q.df(
+      "p18_ivf_topk",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM n, cent) x WHERE r = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 4),
+         |qc AS (SELECT q_id, qv, qn, cell FROM (
+         |  SELECT q.q_id, q.qv, q.qn, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * cent.cv[i])) / (q.qn * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM q, cent) y WHERE r <= 4),
+         |cand AS (
+         |  SELECT qc.q_id, qc.qv, qc.qn, n.vec_id, n.v, n.nrm
+         |  FROM qc JOIN asg ON qc.cell = asg.cell JOIN n ON n.vec_id = asg.vec_id
+         |  WHERE n.vec_id <> qc.q_id)
+         |SELECT q_id, n_id, rnk, cos FROM (
+         |  SELECT q_id, vec_id AS n_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) / (qn * nrm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) / (qn * nrm) DESC,
+         |      vec_id) AS rnk
+         |  FROM cand) z
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4), 5, 4, 16)
+    },
+
+    Q.sql(
+      "p19_sessionize_batch",
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin),
+
+    Q.df(
       "p16_multimodal_meta",
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,
