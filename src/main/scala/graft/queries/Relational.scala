@@ -415,5 +415,64 @@ object Relational {
       "q42_not_in_subquery",
       """SELECT c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin),
+
+    // DataFrame-API pivot; the oracle states the equivalent conditional
+    // aggregation (PIVOT syntax differs between the engines).
+    Q.df(
+      "q43_pivot",
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS AUTOMOBILE,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BUILDING,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS MACHINERY
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    Q.sql2(
+      "q44_regex",
+      // Spark: regexp_like; DuckDB calls the same predicate regexp_matches.
+      """SELECT event_id,
+        |  regexp_extract(props, '[0-9]+', 0) AS first_num,
+        |  CASE WHEN regexp_like(props, '"k"') THEN 1 ELSE 0 END AS has_k
+        |FROM events WHERE event_id < 500""".stripMargin,
+      """SELECT event_id,
+        |  regexp_extract(props, '[0-9]+', 0) AS first_num,
+        |  CASE WHEN regexp_matches(props, '"k"') THEN 1 ELSE 0 END AS has_k
+        |FROM events WHERE event_id < 500""".stripMargin),
+
+    // Sorted array aggregation: order-insensitive once sorted, so the
+    // multiset compare holds across engines.
+    Q.df(
+      "q45_array_agg",
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+    },
+
+    Q.df(
+      "q46_higher_order",
+      """SELECT o_orderkey, qtys,
+        |  list_transform(qtys, x -> x * 2) AS doubled,
+        |  CAST(list_sum(qtys) AS DOUBLE) AS qty_sum
+        |FROM (
+        |  SELECT o_orderkey, list_sort(list(l_quantity)) AS qtys
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey < 2000 GROUP BY o_orderkey) x""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderkey") < 2000)
+        .groupBy(col("o_orderkey"))
+        .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
+        .select(
+          col("o_orderkey"), col("qtys"),
+          transform(col("qtys"), x => x * 2).as("doubled"),
+          expr("aggregate(qtys, 0D, (acc, x) -> acc + x)").as("qty_sum"))
+    },
   )
 }
