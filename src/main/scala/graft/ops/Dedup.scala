@@ -57,17 +57,49 @@ object Dedup {
       .select(col("doc_id"))
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
-    * Shuffles on shingle (inverted-index join), then on the pair key.
+  /** Near-duplicate pairs by exact n-gram Jaccard >= threshold, with
+    * PPJoin-style prefix filtering for candidate generation:
+    *
+    * If jaccard(A,B) >= t then |A∩B| >= t*|A∪B| >= t*|A|, so A and B must
+    * share an element within the first `|A| - ceil(t*|A|) + 1` shingles
+    * under ANY consistent global order. Ordering shingles rarest-first
+    * (ascending document frequency) keeps the inverted index nearly
+    * fan-out-free, so the candidate join is tiny even on a corpus whose
+    * vocabulary is heavily shared. Verification then counts exact
+    * intersections over candidates only — the result set (and hence the
+    * oracle) is identical to the all-pairs formulation.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // PPJoin is a multi-pass algorithm over the shingle index (prefix
+    // derivation, candidate join, exact verification). Spark does not share
+    // plan subtrees, so without persistence the index would be re-exploded
+    // and re-shuffled once per pass.
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+
+    // Global rarity order, then per-doc prefix of length n_sh - ceil(t*n_sh) + 1.
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .join(df, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(cnt, "doc_id")
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+
+    // Exact verification over candidates only.
+    val inter = candidates
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    inter
       .join(cnt.as("ca"), col("i") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("j") === col("cb.doc_id"))
       .withColumn("jac",
