@@ -301,6 +301,40 @@ object PipelineOps {
         |FROM sess GROUP BY user_id, sess_id""".stripMargin),
 
     Q.df(
+      "p20_asof_join",
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey,
+        |  (SELECT o.o_totalprice FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_totalprice
+        |FROM events e""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.AsOf.join(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_asof_o_orderkey").as("o_orderkey"),
+          col("_asof_o_totalprice").as("o_totalprice"))
+    },
+
+    // Approximate sketches (HLL distinct, t-digest-style quantiles): the
+    // scale substitutes for exact distinct/percentile. Algorithms differ
+    // across engines, so there is no SQL oracle — OpsSpec pins accuracy
+    // against the exact answers instead.
+    Q.noOracle("p21_approx_stats") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("price_quantiles"))
+    },
+
+    Q.df(
       "p16_multimodal_meta",
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,

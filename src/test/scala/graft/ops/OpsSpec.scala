@@ -87,6 +87,40 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(r => Set("en", "fr", "es", "de", "zh").contains(r.getString(5))))
   }
 
+  test("asof join: nulls exactly for keys with no earlier right row") {
+    val events = Tables.t(spark, sf0001, "events").select("event_id", "user_id", "ts")
+    val orders = Tables.t(spark, sf0001, "orders")
+    val joined = AsOf.join(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+    assert(joined.count() == events.count())
+    val custsWithOrders = orders.select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    joined.select("user_id", "_asof_o_orderkey").collect().foreach { r =>
+      val matched = !r.isNullAt(1)
+      assert(matched == custsWithOrders.contains(r.getLong(0)),
+        s"user ${r.getLong(0)}: matched=$matched")
+    }
+    // Every event user has orders in the testdata, so force the null branch:
+    // drop low custkeys from the right side and check exactly those users
+    // come back unmatched.
+    val restricted = AsOf.join(events, orders.filter(col("o_custkey") >= 50),
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+    restricted.select("user_id", "_asof_o_orderkey").collect().foreach { r =>
+      assert(r.isNullAt(1) == (r.getLong(0) < 50), s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("approx sketches land within tolerance of exact answers") {
+    val li = Tables.t(spark, sf0001, "lineitem")
+    val exactParts = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(approx - exactParts).toDouble / exactParts < 0.1,
+      s"approx=$approx exact=$exactParts")
+    val exactMedian = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    val sketched = li.select(expr("approx_percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    assert(math.abs(sketched - exactMedian) / exactMedian < 0.05)
+  }
+
   test("multimodal stub extracts typed metadata per payload") {
     val meta = Multimodal.extractMeta(spark, Multimodal.fromDocuments(docs))
     assert(meta.columns.toSeq ==
