@@ -43,6 +43,7 @@ object Engine {
       case Failure(e) => throw EngineError(400, e.getMessage)
     }
     val spark = root.newSession()
+    applyStorageSettings(spark, cfg)
 
     // Delete-guard on the configured direct table path before every query
     // (reference main.py:575-576). Probe failures degrade inside.
@@ -84,6 +85,23 @@ object Engine {
       stats = QueryStats(elapsedMs, bytes, rows.length.toLong),
       truncated = rows.length >= rowLimit)
   }
+
+  /** Apply the request's storage settings as per-bucket S3A overrides
+    * (`fs.s3a.bucket.<bucket>.*`), SURVEY.md §7.3 strategy (c): concurrent
+    * requests whose table paths live in different buckets keep distinct
+    * credentials on the shared Hadoop configuration. Same-bucket
+    * different-credential concurrency is the remaining documented
+    * limitation (solved with per-catalog Iceberg S3FileIO properties when
+    * the Iceberg runtime is on the classpath).
+    */
+  def applyStorageSettings(spark: SparkSession, cfg: ConnectionConfig): Unit =
+    cfg.tablePath.filter(_.startsWith("s3://")).foreach { p =>
+      val bucket = p.stripPrefix("s3://").takeWhile(_ != '/')
+      val conf = spark.sparkContext.hadoopConfiguration
+      ConnectionConfig.s3aSettings(cfg).foreach { case (k, v) =>
+        conf.set(k.replace("fs.s3a.", s"fs.s3a.bucket.$bucket."), v)
+      }
+    }
 
   /** Real scan-size metric off the executed plan (vs the reference's
     * acknowledged `len(str(rows)) * 2` placeholder): sum of file-scan

@@ -84,6 +84,18 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .forall(t => !t.name.startsWith("graft_iceberg_scan_")))
   }
 
+  test("storage settings land as per-bucket S3A overrides") {
+    val c = cfg.copy(
+      storageType = "s3", endpoint = "s3.amazonaws.com", region = "eu-west-1",
+      tablePath = Some("s3://acme-lake/wh/tbl"))
+    Engine.applyStorageSettings(spark, ConnectionConfig.validated(c))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.acme-lake.access.key") == "k")
+    assert(hc.get("fs.s3a.bucket.acme-lake.endpoint.region") == "eu-west-1")
+    // Global keys stay untouched — another bucket's request can't be clobbered.
+    assert(hc.get("fs.s3a.access.key") == null)
+  }
+
   test("connection test: demo path probes; garbage returns None") {
     val dir = tmpDir("engine_demo") + "/warehouse/docs"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "documents"), dir)
