@@ -61,4 +61,33 @@ object Multimodal {
   /** Demo source: documents' text bytes standing in for media payloads. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  final case class FrameMeta(
+      doc_id: Long, frame_idx: Int, frame_w: Int, frame_h: Int, frame_fp: String)
+
+  /** Frame sampling: every `step`-th frame of each "video" payload, with a
+    * per-frame fingerprint and resized dimensions. The frame count/decode
+    * is the deterministic stub (a real decoder would demux here); the
+    * plumbing is the real shape — per-partition decode, one output row per
+    * sampled frame, no shuffle (map-side explode).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, step: Int = 5): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val meta = decodeStub(id, payload)
+        val nFrames = (payload.length % 30) + 1
+        (0 until nFrames by step).map { i =>
+          FrameMeta(
+            doc_id = id,
+            frame_idx = i,
+            frame_w = meta.width / 2 + 1, // stub "resize"
+            frame_h = meta.height / 2 + 1,
+            frame_fp = md5Hex((new String(payload, "UTF-8") + "#" + i).getBytes("UTF-8")))
+        }
+      }
+      .toDF()
+  }
 }

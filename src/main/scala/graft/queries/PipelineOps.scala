@@ -345,5 +345,18 @@ object PipelineOps {
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
     },
+
+    Q.df(
+      "p22_frame_sample",
+      """SELECT doc_id,
+        |  CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST((length(text) % 640 + 1) // 2 + 1 AS INT) AS frame_w,
+        |  CAST((length(text) % 480 + 1) // 2 + 1 AS INT) AS frame_h,
+        |  md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(0, length(text) % 30 + 1, 5)) AS frame_idx
+        |  FROM documents) f""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.fromDocuments(t(s, dir, "documents")), 5)
+    },
   )
 }
