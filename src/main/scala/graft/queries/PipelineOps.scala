@@ -328,10 +328,17 @@ object PipelineOps {
     // against the exact answers instead.
     Q.noOracle("p21_approx_stats") { (s, dir) =>
       import org.apache.spark.sql.functions._
+      // One quantile sketch, expanded into scalar columns: the driver's
+      // canonicalizer cannot hash an array-typed result cell.
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("price_quantiles"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
+        .select(
+          col("approx_parts"), col("approx_supps"),
+          element_at(col("q"), 1).as("price_p50"),
+          element_at(col("q"), 2).as("price_p90"),
+          element_at(col("q"), 3).as("price_p99"))
     },
 
     Q.df(

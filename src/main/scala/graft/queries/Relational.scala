@@ -186,9 +186,11 @@ object Relational {
 
     Q.sql(
       "q14_conditional_agg",
+      // CAST wraps the SUM itself: DuckDB integer SUM is HUGEINT, which the
+      // driver's pandas canonicalizer materializes as float64 — hash drift.
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin),
 
@@ -358,10 +360,16 @@ object Relational {
 
     Q.df(
       "q36_casts",
+      // The DECIMAL cast is exercised, but the *result column* is DOUBLE:
+      // DuckDB decimals decode as float64 driver-side while Spark's parquet
+      // decimal stays Decimal/object — equal values, different hash.
+      // ship_date: a DATE result column decodes as Python date objects from
+      // Spark parquet but datetime64 from DuckDB — render ISO string instead
+      // (the DATE cast itself is still exercised underneath).
       """SELECT l_orderkey, CAST(l_quantity AS INT) AS qty_int,
         |  CAST(l_orderkey AS VARCHAR) AS key_str,
-        |  CAST(l_shipdate AS DATE) AS ship_date,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 200)
@@ -369,8 +377,8 @@ object Relational {
           col("l_orderkey"),
           col("l_quantity").cast("int").as("qty_int"),
           col("l_orderkey").cast("string").as("key_str"),
-          col("l_shipdate").cast("date").as("ship_date"),
-          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"))
+          col("l_shipdate").cast("date").cast("string").as("ship_date"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).cast("double").as("price_dec"))
     },
 
     Q.df(
@@ -386,7 +394,8 @@ object Relational {
 
     Q.df(
       "q38_json_extract",
-      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, COUNT(*) AS n
+      // Outer CAST: SUM(BIGINT) is HUGEINT in DuckDB → float64 driver-side.
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -444,21 +453,27 @@ object Relational {
         |  CASE WHEN regexp_matches(props, '"k"') THEN 1 ELSE 0 END AS has_k
         |FROM events WHERE event_id < 500""".stripMargin),
 
-    // Sorted array aggregation: order-insensitive once sorted, so the
-    // multiset compare holds across engines.
+    // Sorted array aggregation, serialized to a string at the corpus
+    // boundary: the driver's pandas canonicalizer cannot sort/hash
+    // array-typed cells (unhashable numpy.ndarray).
     Q.df(
       "q45_array_agg",
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
     },
 
+    // Higher-order functions over the aggregated list; arrays are rendered
+    // through DECIMAL(12,1)→string element-wise (deterministic in both
+    // engines, unlike double→string scientific-notation drift) because the
+    // driver canonicalizer cannot hash array cells.
     Q.df(
       "q46_higher_order",
-      """SELECT o_orderkey, qtys,
-        |  list_transform(qtys, x -> x * 2) AS doubled,
+      """SELECT o_orderkey,
+        |  array_to_string(list_transform(qtys, x -> CAST(CAST(x AS DECIMAL(12,1)) AS VARCHAR)), ',') AS qtys_str,
+        |  array_to_string(list_transform(qtys, x -> CAST(CAST(x * 2 AS DECIMAL(12,1)) AS VARCHAR)), ',') AS doubled_str,
         |  CAST(list_sum(qtys) AS DOUBLE) AS qty_sum
         |FROM (
         |  SELECT o_orderkey, list_sort(list(l_quantity)) AS qtys
@@ -470,8 +485,11 @@ object Relational {
         .groupBy(col("o_orderkey"))
         .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
         .select(
-          col("o_orderkey"), col("qtys"),
-          transform(col("qtys"), x => x * 2).as("doubled"),
+          col("o_orderkey"),
+          array_join(transform(col("qtys"),
+            x => x.cast(DecimalType(12, 1)).cast("string")), ",").as("qtys_str"),
+          array_join(transform(col("qtys"),
+            x => (x * 2).cast(DecimalType(12, 1)).cast("string")), ",").as("doubled_str"),
           expr("aggregate(qtys, 0D, (acc, x) -> acc + x)").as("qty_sum"))
     },
   )
