@@ -48,14 +48,15 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Ids that survive exact dedup (first id per content hash). */
-  def exactKeep(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+  /** Ids that survive exact dedup (first id per content hash). A plain
+    * hash aggregate (map-side combinable) — the row_number-window form
+    * would add a full shuffle-sort for the same MIN semantics.
+    */
+  def exactKeep(docs: DataFrame): DataFrame =
     docs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-  }
 
   /** Near-duplicate pairs by exact n-gram Jaccard >= threshold, with
     * PPJoin-style prefix filtering for candidate generation:

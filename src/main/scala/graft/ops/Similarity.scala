@@ -43,19 +43,36 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
   }
 
-  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    *
+    * Ranking goes through the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate, not a `Window.partitionBy(q_id)`: the window form funnels
+    * the whole corpus x queries scored set into #queries reducers (a skew
+    * wall at scale); the aggregate keeps map-side buffers at k entries and
+    * shuffles only #partitions * k rows per query.
+    */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val n = normalized(emb)
     val q = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+    rankTopK(scored, k)
   }
+
+  /** (q_id, cos, vec_id) -> per-query (q_id, n_id, rnk, cos), rnk 1..k by
+    * cosine desc (vec_id tiebreak), via bounded-heap aggregation.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col._2").as("n_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col._1").as("cos"))
 
   /** Deterministic +-1 hyperplanes: plane p, dim i weight is +1 when the
     * first hex digit of md5("p:i") is even. Fixed constants — any engine
@@ -94,13 +111,14 @@ object Similarity {
     val n = normalized(emb)
     val cents = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_id"))
+    // max_by over (ccos, -c_id) = argmax by cosine with min-c_id tiebreak.
+    // A hash aggregate with map-side combine: no window shuffle-sort, and
+    // the 16-row-per-vector fanout collapses before any exchange.
     n.crossJoin(broadcast(cents))
       .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+      .select(col("vec_id"), col("cell"))
   }
 
   /** IVF search: probe the `nprobe` nearest cells per query, rank only the
@@ -117,21 +135,24 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val q = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val qCells = q.crossJoin(broadcast(cents))
+    // Probe-cell selection: nprobe best cells per query via an array sort of
+    // the per-query (qcos, c_id) pairs — #cells entries per query, no window
+    // exchange. sort_array over struct(-qcos, c_id) = qcos desc, c_id asc.
+    val qTop = q.crossJoin(broadcast(cents))
       .withColumn("qcos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
-      .withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    qCells.join(withCell, "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      // (q_id, vec_id) is already unique: each vector lives in exactly one
-      // cell and the probed cells per query are distinct.
-      .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+      .groupBy(col("q_id"))
+      .agg(slice(
+        sort_array(collect_list(struct(-col("qcos"), col("c_id")))),
+        1, nprobe).as("top"))
+      .select(col("q_id"), explode(col("top.c_id")).as("cell"))
+    val qCells = qTop.join(broadcast(q), "q_id")
+    rankTopK(
+      qCells.join(withCell, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        // (q_id, vec_id) is already unique: each vector lives in exactly one
+        // cell and the probed cells per query are distinct.
+        .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))),
+      k)
   }
 
   /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
