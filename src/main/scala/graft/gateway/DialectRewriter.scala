@@ -27,10 +27,23 @@ object DialectRewriter {
   private val ReadParquetRe: Regex =
     """(?i)read_parquet\(['"]s3://([^/'"]+)/([^'"]+?)/?\*?\*?/?\*?\.parquet['"]\)""".r
 
-  // Optional second argument = time-travel snapshot id, accepted both as
-  // `iceberg_scan('p', 123)` and `iceberg_scan('p', snapshot_id => 123)`.
+  // Optional second argument = time travel, accepted as a snapshot id
+  // (`iceberg_scan('p', 123)` / `snapshot_id => 123`) or a committed-at
+  // bound (`timestamp => '2026-01-01T00:00:00Z'`, also bare
+  // `'2026-01-01 00:00:00'`) resolved via the snapshot log — the
+  // `TIMESTAMP AS OF` analog.
   private val IcebergScanRe: Regex =
-    """(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*)?\)""".r
+    ("""(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*""" +
+      """(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*|,\s*(?:timestamp\s*=>\s*)?['"]([^'"]+)['"]\s*)?\)""").r
+
+  /** ISO instant, or local "yyyy-MM-dd[ HH:mm:ss]" taken as UTC. */
+  private[gateway] def parseTravelTimestamp(s: String): Long =
+    scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse {
+      val norm = if (s.contains(" ")) s.replace(" ", "T") else s
+      val withTime = if (norm.contains("T")) norm else norm + "T00:00:00"
+      java.time.LocalDateTime.parse(withTime)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   private val viewCounter = new AtomicLong(0)
 
@@ -61,8 +74,9 @@ object DialectRewriter {
     val scans = IcebergScanRe.replaceAllIn(sql, m => {
       val path = m.group(1)
       val snapshotId = Option(m.group(2)).map(_.toLong)
+      val asOfMillis = Option(m.group(3)).map(parseTravelTimestamp)
       val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
-      IcebergLite.scan(spark, path, snapshotId).createOrReplaceTempView(view)
+      IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view)
       Regex.quoteReplacement(view)
     })
     val withMeta = IcebergMetadataRe.replaceAllIn(scans, m => {

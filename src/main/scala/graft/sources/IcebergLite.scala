@@ -48,7 +48,12 @@ object IcebergLite {
 
   final case class ManifestInfo(path: String, content: Int)
   final case class FileEntry(
-      path: String, fileContent: Int, recordCount: Long, status: Int, manifestContent: Int)
+      path: String, fileContent: Int, recordCount: Long, status: Int,
+      manifestContent: Int, fileSize: Long = 0L,
+      partitionValues: Map[String, String] = Map.empty,
+      lowerBounds: Map[String, String] = Map.empty,
+      upperBounds: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   final case class ProbeError(message: String) extends RuntimeException(message)
 
@@ -100,6 +105,22 @@ object IcebergLite {
   private def fieldStr(r: GenericRecord, name: String): Option[String] =
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))).map(_.toString)
 
+  private def fieldStrMap(r: GenericRecord, name: String): Map[String, String] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))) match {
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty
+    }
+
+  private def fieldLongMap(r: GenericRecord, name: String): Map[String, Long] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name))) match {
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.collect { case (k, v: java.lang.Number) => k.toString -> v.longValue() }.toMap
+      case _ => Map.empty
+    }
+
   /** Manifest list of the selected snapshot (default: current). The
     * `snapshotId` override is the time-travel entry point — the analog of
     * `VERSION AS OF` (the reference documents "time travel via snapshots"
@@ -143,26 +164,200 @@ object IcebergLite {
             fileContent = fieldLong(df, "content", 0L).toInt,
             recordCount = fieldLong(df, "record_count", 0L),
             status = status,
-            manifestContent = m.content)
+            manifestContent = m.content,
+            fileSize = fieldLong(df, "file_size_in_bytes", 0L),
+            partitionValues = fieldStrMap(df, "partition"),
+            lowerBounds = fieldStrMap(df, "lower_bounds"),
+            upperBounds = fieldStrMap(df, "upper_bounds"),
+            nullCounts = fieldLongMap(df, "null_value_counts"))
         }
       }.filter(_.status != 2)
     }
   }
 
-  /** Scan the table's current snapshot as a DataFrame. Delete files are NOT
-    * applied — callers must run [[assertNoDeletes]] first (the engine
-    * rejects tables with row-level deletes rather than silently returning
-    * removed rows, matching the reference's guard, main.py:391-423).
+  /** Identity-transform partition column names of the default spec. */
+  def partitionColumns(meta: JObj): Seq[String] =
+    meta.get("partition-specs") match {
+      case Some(JValue.JArr(specs)) =>
+        val defaultId = jLong(meta, "default-spec-id").getOrElse(0L)
+        specs.collect { case o: JObj => o }
+          .find(s => jLong(s, "spec-id").contains(defaultId))
+          .toSeq.flatMap(_.get("fields")).flatMap {
+            case JValue.JArr(fs) => fs.collect {
+              case f: JObj if f.str("transform").contains("identity") =>
+                f.str("name")
+            }.flatten
+            case _ => Nil
+          }
+      case _ => Nil
+    }
+
+  /** Declared fields of the current schema: (name, iceberg type name). */
+  def currentSchemaFields(meta: JObj): Option[Seq[(String, String)]] =
+    meta.get("schemas").flatMap {
+      case JValue.JArr(schemas) =>
+        val id = jLong(meta, "current-schema-id").getOrElse(0L)
+        schemas.collect { case o: JObj => o }
+          .find(s => jLong(s, "schema-id").contains(id))
+          .flatMap(_.get("fields")).map {
+            case JValue.JArr(fs) => fs.collect { case f: JObj =>
+              f.str("name").getOrElse("") -> f.str("type").getOrElse("")
+            }
+            case _ => Nil
+          }
+      case _ => None
+    }.filter(_.nonEmpty)
+
+  /** Re-render the current schema's `fields` JSON (writer carry-forward). */
+  def currentSchemaFieldsJson(meta: JObj): Option[String] =
+    meta.get("schemas").flatMap {
+      case JValue.JArr(schemas) =>
+        val id = jLong(meta, "current-schema-id").getOrElse(0L)
+        schemas.collect { case o: JObj => o }
+          .find(s => jLong(s, "schema-id").contains(id))
+          .flatMap(_.get("fields")).map(Json.render)
+      case _ => None
+    }
+
+  private def icebergToSparkType(name: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    name match {
+      case "long" => Some(LongType)
+      case "int" => Some(IntegerType)
+      case "double" => Some(DoubleType)
+      case "float" => Some(FloatType)
+      case "string" => Some(StringType)
+      case "boolean" => Some(BooleanType)
+      case "date" => Some(DateType)
+      case "timestamptz" | "timestamp" => Some(TimestampType)
+      case "binary" => Some(BinaryType)
+      case _ => None
+    }
+  }
+
+  /** Latest snapshot committed at or before `tsMillis` — `TIMESTAMP AS OF`
+    * resolution over the snapshot log's timestamp-ms (reference capability
+    * "time travel via snapshots", README.md:197).
+    */
+  def snapshotIdAsOf(conf: Configuration, tablePath: String, tsMillis: Long): Long = {
+    val metaPath = latestMetadataPath(conf, tablePath)
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+    val meta = readMetadataJson(conf, metaPath)
+    val snaps = meta.get("snapshots") match {
+      case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
+      case _ => Vector.empty
+    }
+    val eligible = snaps.flatMap(s =>
+      for (id <- jLong(s, "snapshot-id"); ts <- jLong(s, "timestamp-ms") if ts <= tsMillis)
+        yield (ts, id))
+    if (eligible.isEmpty)
+      throw ProbeError(
+        s"No snapshot at or before timestamp $tsMillis in table at $tablePath")
+    eligible.maxBy(_._1)._2
+  }
+
+  /** Scan the selected snapshot as a DataFrame.
+    *
+    * The listing goes through [[IcebergLiteFileIndex]], so partition
+    * filters and data filters prune files from the manifests' partition
+    * tuples and column bounds at plan time — a filtered `iceberg_scan` at
+    * 100 TB schedules tasks only for the files that can match.
+    *
+    * Row-level deletes: by default NOT applied — callers must run
+    * [[assertNoDeletes]] first (the engine rejects tables with row-level
+    * deletes rather than silently returning removed rows, matching the
+    * reference's guard, main.py:391-423). With `applyDeletes = true`,
+    * position deletes are merged on read instead: data rows are
+    * anti-joined against the delete files on (file_path, row position)
+    * via the parquet `_metadata` columns.
     */
   def scan(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None,
+      applyDeletes: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
     val conf = spark.sparkContext.hadoopConfiguration
-    val dataFiles = fileEntries(conf, tablePath, snapshotId)
-      .filter(e => e.manifestContent == 0 && e.fileContent == 0)
-      .map(_.path)
-    if (dataFiles.isEmpty)
+    val snapId = snapshotId.orElse(asOfMillis.map(snapshotIdAsOf(conf, tablePath, _)))
+    val entries = fileEntries(conf, tablePath, snapId)
+    val dataEntries = entries.filter(e => e.manifestContent == 0 && e.fileContent == 0)
+    if (dataEntries.isEmpty)
       throw ProbeError(s"No data files in Iceberg table at $tablePath")
-    spark.read.parquet(dataFiles: _*)
+
+    val metaPath = latestMetadataPath(conf, tablePath)
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+    val meta = readMetadataJson(conf, metaPath)
+    val partCols = partitionColumns(meta)
+    val declared = currentSchemaFields(meta)
+
+    // Physical file schema from one footer; the vectorized reader applies
+    // it to every file (schema guard below refuses drifted tables).
+    val fileSchema = spark.read.parquet(dataEntries.head.path).schema
+
+    // Schema-evolution guard: if the metadata declares a schema, every
+    // declared non-partition field must exist in the files and vice versa.
+    // An evolved table (renamed/dropped columns under field-id mapping)
+    // would otherwise come back silently wrong through a name-based scan.
+    declared.foreach { fields =>
+      val declaredData = fields.map(_._1).filterNot(partCols.contains)
+      val physical = fileSchema.fieldNames.toSeq
+      val missing = declaredData.filterNot(physical.contains)
+      val extra = physical.filterNot(declaredData.contains)
+      if (missing.nonEmpty || extra.nonEmpty)
+        throw ProbeError(
+          s"Schema mismatch between Iceberg metadata and data files at $tablePath " +
+            s"(declared-but-absent: ${missing.mkString(",")}; " +
+            s"present-but-undeclared: ${extra.mkString(",")}). The table has " +
+            "evolved its schema; field-id-based projection is not supported " +
+            "by this reader, so the scan is refused rather than silently wrong.")
+    }
+
+    val declaredTypes: Map[String, DataType] = declared.toSeq.flatten
+      .flatMap { case (n, t) => icebergToSparkType(t).map(n -> _) }.toMap
+    // Partition column types: declared schema first, else inferred from the
+    // partition value strings (all-long -> long, all-double -> double).
+    val partitionSchema = StructType(partCols.map { c =>
+      val dt = declaredTypes.getOrElse(c, inferPartitionType(dataEntries.flatMap(_.partitionValues.get(c))))
+      StructField(c, dt, nullable = true)
+    })
+
+    val liteFiles = dataEntries.map(e => LiteDataFile(
+      e.path, e.fileSize, e.recordCount, e.partitionValues,
+      e.lowerBounds, e.upperBounds, e.nullCounts))
+    val statTypes = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+    val index = new IcebergLiteFileIndex(
+      spark, new Path(tablePath), liteFiles, partitionSchema, statTypes)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, fileSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
+    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+
+    val deleteFiles = entries.filter(e => e.fileContent == 1 && e.status != 2).map(_.path)
+    if (!applyDeletes || deleteFiles.isEmpty) base
+    else {
+      // Merge-on-read: anti-join on (file path, row position). The delete
+      // side is normally tiny next to the data side, so Spark broadcasts
+      // it; at worst it is a shuffled anti-join keyed by file — no skew
+      // (positions within a file are unique).
+      val dels = spark.read.parquet(deleteFiles: _*)
+        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
+      base
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dels, col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
+          "left_anti")
+        .drop("__fp", "__pos")
+    }
+  }
+
+  private def inferPartitionType(values: Seq[String]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val present = values.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+    if (present.nonEmpty && present.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+    else if (present.nonEmpty && present.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else StringType
   }
 
   /** The `iceberg_metadata('path')` relation (the reference probes it at

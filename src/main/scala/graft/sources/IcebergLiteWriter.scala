@@ -2,20 +2,34 @@ package graft.sources
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Writes a DataFrame as a minimal Iceberg-v2-shaped table (metadata JSON +
   * Avro manifest list + Avro manifest + parquet data files) so the probe /
   * delete-guard / iceberg_scan paths can be exercised end-to-end without an
   * Iceberg runtime — the Spark-side analog of the reference's demo seeding
-  * script (/root/reference/scripts/upload_sample_data.py). Field names
-  * follow the public Iceberg table spec; this writer emits only the subset
-  * of fields the IcebergLite reader (and the probe contract) consumes.
+  * script (/root/reference/scripts/upload_sample_data.py, which seeds a
+  * table Hive-partitioned by decade/titleType). Field names follow the
+  * public Iceberg table spec; this writer emits only the subset of fields
+  * the IcebergLite reader (and the probe contract) consumes.
+  *
+  * Per-file statistics (record count, lower/upper bounds, null counts) are
+  * lifted from the parquet footers — the same source a real Iceberg writer
+  * uses — so the reader's file pruning has honest inputs and no per-file
+  * Spark job runs at commit time.
   */
 object IcebergLiteWriter {
 
@@ -28,6 +42,10 @@ object IcebergLiteWriter {
       |  {"name":"added_snapshot_id","type":"long"}
       |]}""".stripMargin)
 
+  // partition / bounds / null counts ride as string->string (or long) maps:
+  // the reader types them against the table schema, so the Avro layer stays
+  // schema-agnostic (real Iceberg binary-encodes bounds per field id; this
+  // lite writer keeps the same information content in a readable encoding).
   private val ManifestEntrySchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
@@ -37,7 +55,11 @@ object IcebergLiteWriter {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"partition","type":{"type":"map","values":"string"},"default":{}},
+      |    {"name":"lower_bounds","type":{"type":"map","values":"string"},"default":{}},
+      |    {"name":"upper_bounds","type":{"type":"map","values":"string"},"default":{}},
+      |    {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}}
       |  ]}}
       |]}""".stripMargin)
 
@@ -53,22 +75,129 @@ object IcebergLiteWriter {
   }
 
   /** Write `df` as an Iceberg-lite table rooted at `tableDir`. When
-    * `withDeleteManifest` is set, an extra position-delete manifest is
-    * added so the delete-guard path can be tested.
+    * `partitionBy` is set the data files land Hive-partitioned and the
+    * metadata records an identity partition spec (the reader prunes on it).
+    * When `withDeleteManifest` is set, an extra position-delete manifest is
+    * added so the delete-guard path can be tested (metadata-only fixture).
     */
   def write(spark: SparkSession, df: DataFrame, tableDir: String,
-      withDeleteManifest: Boolean = false): Unit =
-    commit(spark, df, tableDir, SaveMode.Overwrite, withDeleteManifest)
+      withDeleteManifest: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit =
+    commit(spark, df, tableDir, SaveMode.Overwrite, withDeleteManifest, partitionBy)
 
   /** Append `df` as a new snapshot: new data files + a new manifest, with
     * the previous snapshot's manifests carried forward and its entry kept
     * in the snapshot log — so time travel to the prior snapshot id works.
     */
-  def append(spark: SparkSession, df: DataFrame, tableDir: String): Unit =
-    commit(spark, df, tableDir, SaveMode.Append, withDeleteManifest = false)
+  def append(spark: SparkSession, df: DataFrame, tableDir: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    commit(spark, df, tableDir, SaveMode.Append, withDeleteManifest = false, partitionBy)
+
+  /** File-footer statistics for one parquet data file. */
+  private final case class FileStats(
+      recordCount: Long,
+      lower: Map[String, String],
+      upper: Map[String, String],
+      nullCounts: Map[String, Long])
+
+  /** Lift record count + per-column min/max/null-count from the parquet
+    * footer (row-group statistics merged across blocks). Columns whose
+    * statistics are absent in any non-empty block are dropped — pruning
+    * must only ever see bounds that hold for every row of the file.
+    */
+  private def footerStats(conf: Configuration, p: Path): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val recordCount = blocks.map(_.getRowCount).sum
+      val lower = mutable.Map.empty[String, Any]
+      val upper = mutable.Map.empty[String, Any]
+      val nulls = mutable.Map.empty[String, Long]
+      val broken = mutable.Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala if c.getPath.size == 1) {
+        val name = c.getPath.toDotString
+        val stats = c.getStatistics
+        val pt = c.getPrimitiveType
+        if (stats == null || !stats.isNumNullsSet) broken += name
+        else {
+          nulls.update(name, nulls.getOrElse(name, 0L) + stats.getNumNulls)
+          if (stats.hasNonNullValue) {
+            val (mn, mx) = (decodeStat(pt.getPrimitiveTypeName, stats.genericGetMin),
+              decodeStat(pt.getPrimitiveTypeName, stats.genericGetMax))
+            (mn, mx) match {
+              case (Some(a), Some(z)) =>
+                lower.update(name, lower.get(name).map(statMin(_, a)).getOrElse(a))
+                upper.update(name, upper.get(name).map(statMax(_, z)).getOrElse(z))
+              case _ => broken += name
+            }
+          } else if (stats.getNumNulls < b.getRowCount) broken += name
+          // all-null block: bounds of the file are unaffected
+        }
+      }
+      broken.foreach { n => lower.remove(n); upper.remove(n); nulls.remove(n) }
+      FileStats(recordCount,
+        lower.map { case (k, v) => k -> v.toString }.toMap,
+        upper.map { case (k, v) => k -> v.toString }.toMap,
+        nulls.toMap)
+    } finally reader.close()
+  }
+
+  private def decodeStat(t: PrimitiveTypeName, v: Any): Option[Any] = (t, v) match {
+    case (PrimitiveTypeName.BINARY, b: Binary) => Some(b.toStringUsingUTF8)
+    case (_, n: java.lang.Number) if t == PrimitiveTypeName.INT32 || t == PrimitiveTypeName.INT64 =>
+      Some(n.longValue())
+    case (_, n: java.lang.Number) if t == PrimitiveTypeName.FLOAT || t == PrimitiveTypeName.DOUBLE =>
+      Some(n.doubleValue())
+    case (PrimitiveTypeName.BOOLEAN, b: java.lang.Boolean) => Some(b.booleanValue())
+    case _ => None // INT96 / FIXED / unknown: no bounds
+  }
+
+  private def statMin(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => math.min(x, y)
+    case (x: Double, y: Double) => math.min(x, y)
+    case (x: String, y: String) => if (x <= y) x else y
+    case (x: Boolean, y: Boolean) => x && y
+    case _ => a
+  }
+
+  private def statMax(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => math.max(x, y)
+    case (x: Double, y: Double) => math.max(x, y)
+    case (x: String, y: String) => if (x >= y) x else y
+    case (x: Boolean, y: Boolean) => x || y
+    case _ => a
+  }
+
+  /** Hive path segments `col=value` under data/ -> partition value map. */
+  private def partitionValuesOf(dataDir: Path, file: Path): Map[String, String] = {
+    val rel = file.toString.stripPrefix(dataDir.toString).stripPrefix("/")
+    rel.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def icebergTypeName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case ShortType | ByteType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case _: TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => other.catalogString
+  }
 
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
-      mode: SaveMode, withDeleteManifest: Boolean): Unit = {
+      mode: SaveMode, withDeleteManifest: Boolean, partitionBy: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = s"$tableDir/data"
 
@@ -78,28 +207,34 @@ object IcebergLiteWriter {
       IcebergLite.latestMetadataPath(conf, tableDir)
         .map(p => IcebergLite.readMetadataJson(conf, p))
     else None
-    val priorManifests = prior.toSeq.flatMap(m =>
-      IcebergLite.currentManifests(conf, tableDir, m))
     val priorFiles = prior.toSeq
       .flatMap(_ => IcebergLite.fileEntries(conf, tableDir)).map(_.path).toSet
+    // Appends inherit the table's partition spec unless re-specified.
+    val partCols =
+      if (partitionBy.nonEmpty) partitionBy
+      else prior.map(m => IcebergLite.partitionColumns(m)).getOrElse(Nil)
 
-    df.write.mode(mode).parquet(dataDir)
+    val writer = df.write.mode(mode)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
 
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)
-    val dataFiles = fs.listStatus(dataPath).toSeq
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
+    val dataFiles = listParquet(fs, dataPath)
       .filter(s => !priorFiles.contains(s.getPath.toString))
 
     val entries = dataFiles.map { s =>
-      val rc = spark.read.parquet(s.getPath.toString).count()
+      val stats = footerStats(conf, s.getPath)
       val dataFile = new GenericData.Record(
         ManifestEntrySchema.getField("data_file").schema())
       dataFile.put("content", 0)
       dataFile.put("file_path", s.getPath.toString)
       dataFile.put("file_format", "PARQUET")
-      dataFile.put("record_count", rc)
+      dataFile.put("record_count", stats.recordCount)
       dataFile.put("file_size_in_bytes", s.getLen)
+      dataFile.put("partition", toJavaMap(partitionValuesOf(dataPath, s.getPath)))
+      dataFile.put("lower_bounds", toJavaMap(stats.lower))
+      dataFile.put("upper_bounds", toJavaMap(stats.upper))
+      dataFile.put("null_value_counts", toJavaLongMap(stats.nullCounts))
       val entry = new GenericData.Record(ManifestEntrySchema)
       entry.put("status", 1) // ADDED
       entry.put("snapshot_id", null)
@@ -111,34 +246,126 @@ object IcebergLiteWriter {
     val metaDir = s"$tableDir/metadata"
     val manifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
     val manifestLen = writeAvro(conf, manifestPath, ManifestEntrySchema, entries)
-
-    val carried = priorManifests.map { m =>
-      val p = new Path(m.path)
-      manifestFileRecord(m.path, p.getFileSystem(conf).getFileStatus(p).getLen,
-        m.content, snapshotId)
-    }
-    var manifestRecords =
-      carried :+ manifestFileRecord(manifestPath.toString, manifestLen, 0, snapshotId)
+    var newManifests = Seq((manifestPath.toString, manifestLen, 0))
 
     if (withDeleteManifest) {
       // A position-delete manifest (content=1) referencing one delete file —
       // enough metadata for hasDeletes to trip, as it would on a real
       // merge-on-read table.
-      val delFile = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
-      delFile.put("content", 1)
-      delFile.put("file_path", s"$tableDir/data/delete-00000.parquet")
-      delFile.put("file_format", "PARQUET")
-      delFile.put("record_count", 1L)
-      delFile.put("file_size_in_bytes", 0L)
-      val delEntry = new GenericData.Record(ManifestEntrySchema)
-      delEntry.put("status", 1)
-      delEntry.put("snapshot_id", null)
-      delEntry.put("data_file", delFile)
       val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m1.avro")
-      val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(delEntry))
-      manifestRecords :+= manifestFileRecord(delManifestPath.toString, delLen, 1, snapshotId)
+      val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
+        deleteEntry(s"$tableDir/data/delete-00000.parquet", 1L, 0L)))
+      newManifests :+= ((delManifestPath.toString, delLen, 1))
     }
 
+    commitSnapshot(conf, tableDir, prior, snapshotId, newManifests,
+      schemaJson = Some(schemaFieldsJson(df.schema)), partCols = partCols)
+  }
+
+  /** Commit a position-delete snapshot: writes the (file_path, pos) rows as
+    * a real parquet delete file plus a content=1 manifest, carrying the
+    * prior snapshot's manifests forward. `IcebergLite.scan(...,
+    * applyDeletes = true)` then merges them on read.
+    */
+  def addPositionDeletes(spark: SparkSession, tableDir: String,
+      deletes: Seq[(String, Long)]): Unit = {
+    require(deletes.nonEmpty, "addPositionDeletes needs at least one (file, pos)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = IcebergLite.latestMetadataPath(conf, tableDir)
+      .map(p => IcebergLite.readMetadataJson(conf, p))
+      .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    // Write the delete rows through Spark, then promote the single part
+    // file to a stable name under data/.
+    val tmp = s"$tableDir/tmp-delete-$snapshotId"
+    import spark.implicits._
+    deletes.toDF("file_path", "pos").coalesce(1).write.parquet(tmp)
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = listParquet(fs, tmpPath).head.getPath
+    val delFile = new Path(s"$tableDir/data/delete-$snapshotId.parquet")
+    fs.rename(part, delFile)
+    fs.delete(tmpPath, true)
+
+    val metaDir = s"$tableDir/metadata"
+    val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
+    val len = fs.getFileStatus(delFile).getLen
+    val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
+      deleteEntry(delFile.toString, deletes.length.toLong, len)))
+    commitSnapshot(conf, tableDir, Some(prior), snapshotId,
+      Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
+      partCols = IcebergLite.partitionColumns(prior))
+  }
+
+  private def deleteEntry(path: String, rows: Long, size: Long): GenericRecord = {
+    val delFile = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+    delFile.put("content", 1)
+    delFile.put("file_path", path)
+    delFile.put("file_format", "PARQUET")
+    delFile.put("record_count", rows)
+    delFile.put("file_size_in_bytes", size)
+    delFile.put("partition", new java.util.HashMap[String, String]())
+    delFile.put("lower_bounds", new java.util.HashMap[String, String]())
+    delFile.put("upper_bounds", new java.util.HashMap[String, String]())
+    delFile.put("null_value_counts", new java.util.HashMap[String, java.lang.Long]())
+    val delEntry = new GenericData.Record(ManifestEntrySchema)
+    delEntry.put("status", 1)
+    delEntry.put("snapshot_id", null)
+    delEntry.put("data_file", delFile)
+    delEntry
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val out = mutable.ArrayBuffer.empty[FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) out += s
+    }
+    out.toSeq.sortBy(_.getPath.toString)
+  }
+
+  private def toJavaMap(m: Map[String, String]): java.util.Map[String, String] = {
+    val jm = new java.util.HashMap[String, String]()
+    m.foreach { case (k, v) => jm.put(k, v) }
+    jm
+  }
+
+  private def toJavaLongMap(m: Map[String, Long]): java.util.Map[String, java.lang.Long] = {
+    val jm = new java.util.HashMap[String, java.lang.Long]()
+    m.foreach { case (k, v) => jm.put(k, Long.box(v)) }
+    jm
+  }
+
+  /** `fields` array of the lite schema entry (name/required/type per the
+    * Iceberg spec's schema JSON; ids are ordinal — this writer never
+    * renames, so ordinal ids are stable).
+    */
+  private def schemaFieldsJson(schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": "${f.name}", "required": ${!f.nullable}, "type": "${icebergTypeName(f.dataType)}"}"""
+    }.mkString("[", ", ", "]")
+
+  /** Write manifest list + new metadata JSON for a snapshot whose new
+    * manifests are `newManifests` (path, length, content), carrying the
+    * prior snapshot's manifests and snapshot log forward.
+    */
+  private def commitSnapshot(conf: Configuration, tableDir: String,
+      prior: Option[graft.gateway.JValue.JObj], snapshotId: Long,
+      newManifests: Seq[(String, Long, Int)], schemaJson: Option[String],
+      partCols: Seq[String]): Unit = {
+    val metaDir = s"$tableDir/metadata"
+    val priorManifests = prior.toSeq.flatMap(m =>
+      IcebergLite.currentManifests(conf, tableDir, m))
+    val carried = priorManifests.map { m =>
+      val p = new Path(m.path)
+      manifestFileRecord(m.path, p.getFileSystem(conf).getFileStatus(p).getLen,
+        m.content, snapshotId)
+    }
+    val manifestRecords = carried ++ newManifests.map { case (p, len, content) =>
+      manifestFileRecord(p, len, content, snapshotId)
+    }
     val manifestListPath = new Path(s"$metaDir/snap-$snapshotId-1.avro")
     writeAvro(conf, manifestListPath, ManifestFileSchema, manifestRecords)
 
@@ -154,13 +381,27 @@ object IcebergLiteWriter {
       case graft.gateway.JValue.JArr(items) => items.map(graft.gateway.Json.render)
       case _ => Nil
     }
+    // Schema: new commits declare theirs; carry the prior declaration when
+    // this commit has none (delete commits).
+    val effSchema = schemaJson.orElse(
+      prior.flatMap(m => IcebergLite.currentSchemaFieldsJson(m)))
     val snapshotsJson = (priorSnapshots :+ newSnapshot).mkString(",\n    ")
+    val specFields = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name": "$c", "transform": "identity", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+    val schemaSection = effSchema.map(fs =>
+      s"""
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": $fs}],""".stripMargin)
+      .getOrElse("")
     val metadataJson =
       s"""{
          |  "format-version": 2,
          |  "table-uuid": "${UUID.randomUUID()}",
          |  "location": "$tableDir",
-         |  "last-updated-ms": $nowMs,
+         |  "last-updated-ms": $nowMs,$schemaSection
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": $specFields}],
          |  "current-snapshot-id": $snapshotId,
          |  "snapshots": [
          |    $snapshotsJson

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+/** File/partition pruning, TIMESTAMP AS OF, schema-evolution guard, and
+  * merge-on-read deletes over the Iceberg-lite chain — the capabilities the
+  * reference gets from its engine's iceberg extension (reference
+  * README.md:197-198,233).
+  */
+class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
+
+  /** numFiles summed over the executed plan's file scans (AQE-aware). */
+  private def filesScanned(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }
+      .sum
+  }
+
+  private lazy val partitionedTable: String = {
+    val dir = tmpDir("iceberg_part") + "/warehouse/orders_part"
+    IcebergLiteWriter.write(spark,
+      Tables.t(spark, sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      dir, partitionBy = Seq("o_orderstatus"))
+    dir
+  }
+
+  private lazy val rangedTable: String = {
+    val dir = tmpDir("iceberg_range") + "/warehouse/orders_range"
+    IcebergLiteWriter.write(spark,
+      Tables.t(spark, sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(4, col("o_orderkey")),
+      dir)
+    dir
+  }
+
+  test("partitioned write round-trips with the partition column restored") {
+    val df = IcebergLite.scan(spark, partitionedTable)
+    assert(df.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    assert(df.count() == 1500)
+    val statuses = df.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("F", "O", "P"))
+  }
+
+  test("partition filter prunes data files before the scan") {
+    val df = IcebergLite.scan(spark, partitionedTable)
+    val all = filesScanned(df)
+    val pruned = filesScanned(df.filter(col("o_orderstatus") === "P"))
+    assert(pruned < all, s"expected pruning: $pruned < $all")
+    // Cross-check rows against a plain read.
+    val expected = Tables.t(spark, sf0001, "orders")
+      .filter(col("o_orderstatus") === "P").count()
+    assert(df.filter(col("o_orderstatus") === "P").count() == expected)
+  }
+
+  test("column-bounds filter skips files whose min/max exclude the predicate") {
+    val df = IcebergLite.scan(spark, rangedTable)
+    val all = filesScanned(df)
+    assert(all >= 4)
+    val pruned = filesScanned(df.filter(col("o_orderkey") < 100))
+    assert(pruned < all, s"expected bounds pruning: $pruned < $all")
+    val expected = Tables.t(spark, sf0001, "orders")
+      .filter(col("o_orderkey") < 100).count()
+    assert(df.filter(col("o_orderkey") < 100).count() == expected)
+  }
+
+  test("TIMESTAMP AS OF resolves via the snapshot log") {
+    val dir = tmpDir("iceberg_ts") + "/warehouse/region_ts"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    Thread.sleep(5) // distinct commit timestamps
+    IcebergLiteWriter.append(spark,
+      Tables.t(spark, sf0001, "region").limit(2), dir)
+    val snaps = IcebergLite.snapshotsRelation(spark, dir)
+      .orderBy("committed_at").collect()
+    assert(snaps.length == 2)
+    val t1 = snaps(0).getTimestamp(1).getTime
+    val t2 = snaps(1).getTimestamp(1).getTime
+    assert(IcebergLite.scan(spark, dir, asOfMillis = Some(t1)).count() == 5)
+    assert(IcebergLite.scan(spark, dir, asOfMillis = Some(t2)).count() == 7)
+    // Through the SQL surface.
+    val iso = java.time.Instant.ofEpochMilli(t1).toString
+    val sql = graft.gateway.DialectRewriter.bindIcebergScans(spark,
+      s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir', timestamp => '$iso')")
+    assert(spark.sql(sql).collect()(0).getLong(0) == 5)
+    // Before the first commit: loud error.
+    assertThrows[IcebergLite.ProbeError](
+      IcebergLite.scan(spark, dir, asOfMillis = Some(t1 - 10000)))
+  }
+
+  test("schema drift between metadata and data files is refused loudly") {
+    val dir = tmpDir("iceberg_evolved") + "/warehouse/region_ev"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = IcebergLite.latestMetadataPath(conf, dir).get
+    val fs = metaPath.getFileSystem(conf)
+    val in = fs.open(metaPath)
+    val text = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    // A rename the data files don't know about (evolved schema).
+    val evolved = text.replace("\"name\": \"r_name\"", "\"name\": \"region_name\"")
+    assert(evolved != text, "fixture should contain the declared column")
+    val next = new Path(metaPath.getParent, "99999-evolved.metadata.json")
+    val out = fs.create(next, true)
+    out.write(evolved.getBytes("UTF-8"))
+    out.close()
+    val err = intercept[IcebergLite.ProbeError](IcebergLite.scan(spark, dir))
+    assert(err.getMessage.contains("region_name"))
+    assert(err.getMessage.contains("r_name"))
+  }
+
+  test("position deletes: guarded by default, merged on read when opted in") {
+    val dir = tmpDir("iceberg_mor") + "/warehouse/region_mor"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    // Pick one physical row to delete, addressed exactly as the reader
+    // will see it: (file_path, row_index) from the parquet metadata cols.
+    val victim = IcebergLite.scan(spark, dir)
+      .select(col("_metadata.file_path"), col("_metadata.row_index"), col("r_regionkey"))
+      .orderBy("r_regionkey").limit(1).collect()(0)
+    IcebergLiteWriter.addPositionDeletes(spark, dir,
+      Seq((victim.getString(0), victim.getLong(1))))
+
+    assert(IcebergLite.probe(spark, dir).hasDeletes.contains(true))
+    assertThrows[IcebergLite.DeleteGuardError](
+      IcebergLite.assertNoDeletes(spark, dir))
+
+    val merged = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(merged.count() == 4)
+    assert(!merged.select("r_regionkey").collect()
+      .map(_.getAs[Number](0).longValue())
+      .contains(victim.getAs[Number](2).longValue()))
+    // Without opting in, the raw scan still returns all 5 rows.
+    assert(IcebergLite.scan(spark, dir).count() == 5)
+  }
+}
