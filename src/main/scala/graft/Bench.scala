@@ -10,6 +10,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +20,26 @@ object Bench {
     // startup costs it didn't cause.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=p03,p12 times just those queries
+    // (prefix match); unset = the full corpus, as the driver runs it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    // Dev loop: SPARK_GRAFT_BENCH_REPEAT=N times each query N times (the
+    // report keeps the last run — isolates codegen/JIT-compile overhead
+    // from steady-state execution). Unset/1 = driver methodology.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (1 until repeat).foreach { i =>
+        val r0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+        System.err.println(s"[bench] $name run $i: ${(System.nanoTime() - r0) / 1e9}")
+        spark.catalog.clearCache() // repeats must re-materialize persists
+      }
       val t0 = System.nanoTime()
       // Execute the already-compiled physical plan end to end. A DataFrame
       // .count() would let Catalyst prune the projections away; toRdd keeps
@@ -44,5 +65,13 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     println(json)
+    // The driver recovers the result from a bounded log tail; the full
+    // per-query dict above overflows it. Emit a compact summary as the very
+    // last line: totals plus the slowest queries, full detail in `outPath`.
+    val top = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 100) / 100.0) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$top,"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

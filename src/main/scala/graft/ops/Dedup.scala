@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora, each shaped for
@@ -71,40 +70,67 @@ object Dedup {
     * oracle) is identical to the all-pairs formulation.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // PPJoin is a multi-pass algorithm over the shingle index (prefix
-    // derivation, candidate join, exact verification). Spark does not share
-    // plan subtrees, so without persistence the index would be re-exploded
-    // and re-shuffled once per pass.
-    val sh = shingles(docs, n)
+    // PPJoin, collapsed to per-document state: ONE hash aggregate builds the
+    // rarity-sorted shingle array per doc ((df, shingle) is a consistent
+    // global total order), the PPJoin prefix is a row-local slice of it, and
+    // exact verification is a row-local array_intersect over the candidate
+    // pair's sets. Compared to the window-sort + exploded-index-double-join
+    // formulation this removes the per-doc shuffle-sort and both wide
+    // verification shuffles; only the tiny (doc_id, set, prefix) relation —
+    // one row per doc, not per shingle — flows into the joins, so the plan
+    // holds at corpus scale where the exploded index dwarfs memory.
+    // Per-doc distinct shingle sets in ONE shuffle (collect_set dedupes in
+    // the partial aggregate, so no separate distinct pass); the exploded
+    // views below re-derive from this small persisted per-doc relation.
+    val docSets = shingles(docs, n, distinct = false)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-
-    // Global rarity order, then per-doc prefix of length n_sh - ceil(t*n_sh) + 1.
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh
+    val ex = docSets.select(col("doc_id"), explode(col("set0")).as("shingle"))
+    val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val docData = ex
       .join(df, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .join(cnt, "doc_id")
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("arr"))
+      .select(col("doc_id"), expr("transform(arr, x -> x.shingle)").as("set"))
+      .withColumn("n_sh", size(col("set")).cast("long"))
+      // Prefix length |A| - ceil(t*|A|) + 1: two docs with jaccard >= t must
+      // share a shingle within each other's prefix under the global order.
+      .withColumn("prefix", expr(
+        s"slice(set, 1, cast(size(set) - ceil(size(set) * $threshold) + 1 as int))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    // Candidate generation: equi-join on prefix shingles, pruned row-locally
+    // by (a) the length bound — jac >= t forces t*|A| <= |B| <= |A|/t — and
+    // (b) PPJoin's positional bound: a pair matching at (sorted) positions
+    // pa/pb can intersect in at most 1 + min(|A|-pa-1, |B|-pb-1) elements,
+    // which must reach the required overlap t/(1+t)*(|A|+|B|). Both filters
+    // carry a 1e-9 slack so float rounding can only ADMIT a candidate (the
+    // exact verification below decides), never drop a true pair.
+    val pre = docData.select(
+      col("doc_id"), col("n_sh"),
+      posexplode(col("prefix")).as(Seq("p", "shingle")))
+    val candidates = pre.as("a")
+      .join(pre.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * threshold <= col("b.n_sh") + lit(1e-9) &&
+          col("b.n_sh") * threshold <= col("a.n_sh") + lit(1e-9) &&
+          (lit(1.0) + least(col("a.n_sh") - col("a.p") - 1, col("b.n_sh") - col("b.p") - 1)) * (1.0 + threshold)
+            >= (col("a.n_sh") + col("b.n_sh")) * threshold - lit(1e-9))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    // Exact verification over candidates only.
-    val inter = candidates
-      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.as("ca"), col("i") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("j") === col("cb.doc_id"))
+    // Exact verification: both sets are distinct arrays, so
+    // size(array_intersect) is the exact intersection cardinality.
+    candidates
+      .join(docData.select(
+        col("doc_id").as("i"), col("n_sh").as("na"), col("set").as("sa")), "i")
+      .join(docData.select(
+        col("doc_id").as("j"), col("n_sh").as("nb"), col("set").as("sb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jac",
-        col("inter").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }

@@ -19,8 +19,22 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
-  private def hits(c: Column, stops: Seq[String]): Column =
-    size(filter(transform(words(c), w => lower(w)), w => w.isin(stops: _*)))
+  /** Lowered token array, computed ONCE per row in its own projection.
+    * Referencing the alias from a later projection is load-bearing:
+    * Catalyst's CollapseProject declines to inline a non-cheap alias used
+    * more than once, so the tokenization runs once instead of once per
+    * downstream signal (langId reads it 5x, qualityScore 3x). Lowering the
+    * whole string before the split (rather than transform(lower) after)
+    * keeps both ops codegen'd scalar functions and matches the oracle's
+    * `string_split(lower(text), ' ')` shape; a space is never produced or
+    * consumed by lowercasing, so the token arrays are identical.
+    */
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      words(lower(col("text"))).as("toks"))
+
+  private def hits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, w => w.isin(stops: _*)))
 
   /** Whitespace tokens, BPE-ish regex tokens, and char counts per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -36,23 +50,27 @@ object TextOps {
     * so any engine reproduces the score bit-exactly.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val nWords = size(words(col("text"))).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
-    val punct =
+    // Base signals once per row; the ratio/score projection reuses them by
+    // attribute, mirroring the oracle's `WITH b AS (...)` structure.
+    val base = withToks(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("double").as("n_words"),
+      length(col("text")).cast("double").as("n_chars"),
+      length(regexp_replace(col("text"), " ", "")).cast("double").as("no_space"),
       (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-        .cast("double")
-    val avgWlen = noSpace / nWords
-    val stopRatio = hits(col("text"), StopEn).cast("double") / nWords
-    val punctRatio = punct / nChars
+        .cast("double").as("punct"),
+      hits(col("toks"), StopEn).cast("double").as("stop_hits"))
+    val avgWlen = col("no_space") / col("n_words")
+    val stopRatio = col("stop_hits") / col("n_words")
+    val punctRatio = col("punct") / col("n_chars")
     val quality =
-      least(nWords / lit(100.0), lit(1.0)) * 0.25 +
+      least(col("n_words") / lit(100.0), lit(1.0)) * 0.25 +
         stopRatio * 0.25 +
         (lit(1.0) - punctRatio) * 0.25 +
         when(avgWlen.between(3.0, 8.0), 0.25).otherwise(0.0)
-    docs.select(
+    base.select(
       col("doc_id"),
-      nWords.as("n_words"),
+      col("n_words"),
       avgWlen.as("avg_wlen"),
       punctRatio.as("punct_ratio"),
       stopRatio.as("stop_ratio"),
@@ -63,18 +81,26 @@ object TextOps {
     * check for zh. Deterministic argmax with a fixed preference order.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val nWords = size(words(col("text"))).cast("double")
-    val en = hits(col("text"), StopEn).cast("double") / nWords
-    val fr = hits(col("text"), StopFr).cast("double") / nWords
-    val es = hits(col("text"), StopEs).cast("double") / nWords
-    val de = hits(col("text"), StopDe).cast("double") / nWords
-    val zh = when(octet_length(col("text")) > length(col("text")), 1.0).otherwise(0.0)
-    val pred = when(zh > 0, "zh")
+    // Hit counts once per row in a base projection; ratios and the argmax
+    // reuse the attributes instead of re-tokenizing per language.
+    val base = withToks(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("double").as("n_words"),
+      hits(col("toks"), StopEn).cast("double").as("en_h"),
+      hits(col("toks"), StopFr).cast("double").as("fr_h"),
+      hits(col("toks"), StopEs).cast("double").as("es_h"),
+      hits(col("toks"), StopDe).cast("double").as("de_h"),
+      when(octet_length(col("text")) > length(col("text")), 1.0).otherwise(0.0).as("zh"))
+    val en = col("en_h") / col("n_words")
+    val fr = col("fr_h") / col("n_words")
+    val es = col("es_h") / col("n_words")
+    val de = col("de_h") / col("n_words")
+    val pred = when(col("zh") > 0, "zh")
       .when(en >= fr && en >= es && en >= de, "en")
       .when(fr >= es && fr >= de, "fr")
       .when(es >= de, "es")
       .otherwise("de")
-    docs.select(
+    base.select(
       col("doc_id"),
       en.as("en_ratio"), fr.as("fr_ratio"), es.as("es_ratio"), de.as("de_ratio"),
       pred.as("pred_lang"))
