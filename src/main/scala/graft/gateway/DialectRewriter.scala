@@ -70,6 +70,49 @@ object DialectRewriter {
   private val IcebergSnapshotsRe: Regex =
     """(?i)iceberg_snapshots\(\s*['"]([^'"]+)['"]\s*\)""".r
 
+  // `iceberg_catalog.<ns>.<table>` references and the reference's
+  // suggested `SHOW TABLES FROM iceberg_catalog.<ns>` probe, resolved
+  // through the REST catalog (A9). Identifier charset is enforced on the
+  // TABLE NAMES RETURNED BY THE CATALOG too — a hostile catalog response
+  // must not become a SQL fragment.
+  private val CatalogRefRe: Regex =
+    """(?i)\biceberg_catalog\.([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val ShowTablesRe: Regex =
+    """(?i)SHOW\s+TABLES\s+(?:FROM|IN)\s+iceberg_catalog\.([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val SafeIdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Rewrite 3 (REST catalogs only): `SHOW TABLES FROM iceberg_catalog.ns`
+    * becomes an inline VALUES relation of the catalog's table list, and
+    * each `iceberg_catalog.ns.tbl` reference becomes a temp view over the
+    * table's REST-loaded `metadata-location` via the IcebergLite chain —
+    * the analog of the reference's ATTACH'd catalog (main.py:317-358).
+    */
+  def bindCatalogRefs(spark: SparkSession, sql: String, config: ConnectionConfig): String = {
+    if (config.catalogType != "rest" ||
+        !sql.toLowerCase(java.util.Locale.ROOT).contains("iceberg_catalog.")) return sql
+    lazy val client = graft.sources.RestCatalogClient.fromConfig(config)
+    val afterShow = ShowTablesRe.replaceAllIn(sql, m => {
+      val ns = m.group(1)
+      val names = client.listTables(ns).filter(SafeIdentRe.matches)
+      val rel =
+        if (names.isEmpty)
+          "SELECT * FROM (VALUES ('', '')) AS t(namespace, tableName) WHERE 1 = 0"
+        else
+          names.map(n => s"('$ns', '$n')")
+            .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(namespace, tableName)")
+      Regex.quoteReplacement(rel)
+    })
+    CatalogRefRe.replaceAllIn(afterShow, m => {
+      val (ns, tbl) = (m.group(1), m.group(2))
+      val loc = client.metadataLocation(ns, tbl)
+      val view = s"graft_iceberg_catalog_${viewCounter.incrementAndGet()}"
+      val tableRoot = loc.replaceAll("/metadata/[^/]+$", "")
+      IcebergLite.scan(spark, tableRoot, metadataLocation = Some(loc))
+        .createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
+  }
+
   def bindIcebergScans(spark: SparkSession, sql: String): String = {
     val scans = IcebergScanRe.replaceAllIn(sql, m => {
       val path = m.group(1)

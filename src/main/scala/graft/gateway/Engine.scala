@@ -54,7 +54,8 @@ object Engine {
 
     val converted = DialectRewriter.convertReadParquet(sql, cfg)
     val bound =
-      try DialectRewriter.bindIcebergScans(spark, converted)
+      try DialectRewriter.bindIcebergScans(
+        spark, DialectRewriter.bindCatalogRefs(spark, converted, cfg))
       catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }
 
     SqlGuard.validate(spark, bound) match {
@@ -133,14 +134,16 @@ object Engine {
       val cfg = ConnectionConfig.validated(config)
       val spark = root.newSession()
       if (cfg.catalogType == "rest") {
-        // A real REST catalog would be registered via
-        // ConnectionConfig.restCatalogSettings; without the Iceberg runtime
-        // on the classpath this is exercised only through config mapping.
+        // List the namespace's tables over the REST catalog API — the
+        // analog of the reference's `SHOW TABLES FROM iceberg_catalog.ns`
+        // probe after ATTACH (main.py:543-549): any HTTP/parse failure
+        // lands in the enclosing Try -> None, like the reference's generic
+        // connection-test failure path.
         val ns = cfg.namespace.getOrElse("default")
-        spark.sql(s"SHOW TABLES IN iceberg_catalog.$ns").collect()
+        graft.sources.RestCatalogClient.fromConfig(cfg).listTables(ns)
         TableInfo(
           path = s"iceberg_catalog.$ns",
-          suggestedQuery = s"SHOW TABLES IN iceberg_catalog.$ns")
+          suggestedQuery = s"SHOW TABLES FROM iceberg_catalog.$ns")
       } else cfg.tablePath match {
         case Some(p) => IcebergLite.probe(spark, p)
         case None =>

@@ -146,15 +146,40 @@ object IcebergLite {
     }
   }
 
+  /** Resolve the metadata JSON to read: an explicit location (e.g. handed
+    * out by a REST catalog's LoadTableResult) wins over directory listing.
+    */
+  def resolveMetadataPath(conf: Configuration, tablePath: String,
+      metadataLocation: Option[String] = None): Path =
+    metadataLocation.map(new Path(_)).orElse(latestMetadataPath(conf, tablePath))
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+
+  /** Fixed daemon pool for manifest fan-out: scan *planning* reads one Avro
+    * file per manifest, and a large table carries thousands of manifests —
+    * serial driver-side reads would make planning the bottleneck long
+    * before the distributed data scan starts (Iceberg's own planner
+    * parallelizes this the same way).
+    */
+  private lazy val manifestPool = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-manifest-read")
+      t.setDaemon(true)
+      t
+    })
+
   /** All live file entries of the selected snapshot (status 2 = deleted
-    * entries are dropped, matching an Iceberg planner's view).
+    * entries are dropped, matching an Iceberg planner's view). Manifests
+    * are fetched concurrently; entry order stays deterministic (manifest
+    * list order, then entry order within each manifest).
     */
   def fileEntries(conf: Configuration, tablePath: String,
-      snapshotId: Option[Long] = None): Seq[FileEntry] = {
-    val metaPath = latestMetadataPath(conf, tablePath)
-      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+      snapshotId: Option[Long] = None,
+      metadataLocation: Option[String] = None): Seq[FileEntry] = {
+    val metaPath = resolveMetadataPath(conf, tablePath, metadataLocation)
     val meta = readMetadataJson(conf, metaPath)
-    currentManifests(conf, tablePath, meta, snapshotId).flatMap { m =>
+    val manifests = currentManifests(conf, tablePath, meta, snapshotId)
+    def entriesOf(m: ManifestInfo): Seq[FileEntry] =
       readAvro(conf, new Path(m.path)).flatMap { entry =>
         val status = fieldLong(entry, "status", 1L).toInt
         Option(entry.get("data_file")).collect { case df: GenericRecord =>
@@ -172,6 +197,17 @@ object IcebergLite {
             nullCounts = fieldLongMap(df, "null_value_counts"))
         }
       }.filter(_.status != 2)
+    if (manifests.lengthCompare(2) < 0) manifests.flatMap(entriesOf)
+    else {
+      val futures = manifests.map(m =>
+        manifestPool.submit(new java.util.concurrent.Callable[Seq[FileEntry]] {
+          def call(): Seq[FileEntry] = entriesOf(m)
+        }))
+      try futures.flatMap(_.get())
+      catch {
+        // Surface the planner's own error, not the executor wrapper.
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     }
   }
 
@@ -208,6 +244,77 @@ object IcebergLite {
       case _ => None
     }.filter(_.nonEmpty)
 
+  /** Declared fields with ids: (field id, name, iceberg type name). */
+  def currentSchemaFieldIds(meta: JObj): Option[Seq[(Long, String, String)]] =
+    meta.get("schemas").flatMap {
+      case JValue.JArr(schemas) =>
+        val id = jLong(meta, "current-schema-id").getOrElse(0L)
+        schemas.collect { case o: JObj => o }
+          .find(s => jLong(s, "schema-id").contains(id))
+          .flatMap(_.get("fields")).map {
+            case JValue.JArr(fs) => fs.collect { case f: JObj =>
+              (jLong(f, "id").getOrElse(-1L),
+                f.str("name").getOrElse(""),
+                f.str("type").getOrElse(""))
+            }
+            case _ => Nil
+          }
+      case _ => None
+    }.filter(fs => fs.nonEmpty && fs.forall(_._1 >= 0))
+
+  /** `parquet.field.id` -> column name from one data file's footer (cached:
+    * Iceberg data files are immutable). Empty when the writer embedded no
+    * field ids.
+    */
+  private val fieldIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
+
+  private def parquetFieldIds(conf: Configuration, path: String): Map[Long, String] =
+    fieldIdCache.computeIfAbsent(path, p => {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(t => Option(t.getId).map(id => id.intValue().toLong -> t.getName))
+          .toMap
+      } finally reader.close()
+    })
+
+  /** Field-id projection for evolved tables: when the declared schema and
+    * the data files disagree by NAME, a real Iceberg reader projects by
+    * field id. Returns the (physical -> declared) rename list when every
+    * declared data column's id resolves to a physical column of the same
+    * type AND every physical column is claimed; None otherwise (dropped
+    * columns / type changes / files without field ids stay refused).
+    */
+  private def fieldIdRenames(
+      conf: Configuration,
+      headPath: String,
+      fileSchema: org.apache.spark.sql.types.StructType,
+      declaredIds: Seq[(Long, String, String)],
+      partCols: Seq[String]): Option[Seq[(String, String)]] = {
+    val physIds = parquetFieldIds(conf, headPath)
+    if (physIds.isEmpty) return None
+    val physTypes = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+    val resolved = declaredIds
+      .filterNot { case (_, n, _) => partCols.contains(n) }
+      .map { case (id, name, tpe) =>
+        for {
+          phys <- physIds.get(id)
+          physType <- physTypes.get(phys)
+          if icebergToSparkType(tpe).forall(_ == physType)
+        } yield phys -> name
+      }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val renames = resolved.flatten
+      val claimed = renames.map(_._1).toSet
+      if (fileSchema.fieldNames.exists(n => !claimed.contains(n))) None
+      else Some(renames)
+    }
+  }
+
   /** Re-render the current schema's `fields` JSON (writer carry-forward). */
   def currentSchemaFieldsJson(meta: JObj): Option[String] =
     meta.get("schemas").flatMap {
@@ -240,9 +347,11 @@ object IcebergLite {
     * "time travel via snapshots", README.md:197).
     */
   def snapshotIdAsOf(conf: Configuration, tablePath: String, tsMillis: Long): Long = {
-    val metaPath = latestMetadataPath(conf, tablePath)
-      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
-    val meta = readMetadataJson(conf, metaPath)
+    val metaPath = resolveMetadataPath(conf, tablePath)
+    snapshotIdAsOfMeta(readMetadataJson(conf, metaPath), tsMillis, tablePath)
+  }
+
+  private def snapshotIdAsOfMeta(meta: JObj, tsMillis: Long, tablePath: String): Long = {
     val snaps = meta.get("snapshots") match {
       case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
       case _ => Vector.empty
@@ -255,6 +364,12 @@ object IcebergLite {
         s"No snapshot at or before timestamp $tsMillis in table at $tablePath")
     eligible.maxBy(_._1)._2
   }
+
+  /** Footer schema per data-file path (Iceberg data files are immutable,
+    * so a path keys identical content for the process lifetime).
+    */
+  private val footerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   /** Scan the selected snapshot as a DataFrame.
     *
@@ -274,42 +389,55 @@ object IcebergLite {
   def scan(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None,
-      applyDeletes: Boolean = false): DataFrame = {
+      applyDeletes: Boolean = false,
+      metadataLocation: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val conf = spark.sparkContext.hadoopConfiguration
-    val snapId = snapshotId.orElse(asOfMillis.map(snapshotIdAsOf(conf, tablePath, _)))
-    val entries = fileEntries(conf, tablePath, snapId)
+    val metaPath = resolveMetadataPath(conf, tablePath, metadataLocation)
+    val meta = readMetadataJson(conf, metaPath)
+    val snapId = snapshotId.orElse(asOfMillis.map(ts =>
+      snapshotIdAsOfMeta(meta, ts, tablePath)))
+    val entries = fileEntries(conf, tablePath, snapId, metadataLocation)
     val dataEntries = entries.filter(e => e.manifestContent == 0 && e.fileContent == 0)
     if (dataEntries.isEmpty)
       throw ProbeError(s"No data files in Iceberg table at $tablePath")
 
-    val metaPath = latestMetadataPath(conf, tablePath)
-      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
-    val meta = readMetadataJson(conf, metaPath)
     val partCols = partitionColumns(meta)
     val declared = currentSchemaFields(meta)
 
     // Physical file schema from one footer; the vectorized reader applies
-    // it to every file (schema guard below refuses drifted tables).
-    val fileSchema = spark.read.parquet(dataEntries.head.path).schema
+    // it to every file (schema guard below refuses drifted tables). Cached
+    // per head-file path — a path names immutable content in Iceberg, and
+    // re-reading a footer per scan() call is planning overhead at scale.
+    val fileSchema = footerSchemaCache.computeIfAbsent(
+      dataEntries.head.path, p => spark.read.parquet(p).schema)
 
-    // Schema-evolution guard: if the metadata declares a schema, every
-    // declared non-partition field must exist in the files and vice versa.
-    // An evolved table (renamed/dropped columns under field-id mapping)
-    // would otherwise come back silently wrong through a name-based scan.
+    // Schema-evolution guard: if the metadata declares a schema and the
+    // file columns disagree by name, try field-id projection (renamed
+    // columns read correctly, like a real Iceberg reader); if ids can't
+    // account for every column — dropped columns, type changes, or files
+    // without embedded field ids — refuse rather than scan silently wrong.
+    var renames: Seq[(String, String)] = Nil
     declared.foreach { fields =>
       val declaredData = fields.map(_._1).filterNot(partCols.contains)
       val physical = fileSchema.fieldNames.toSeq
       val missing = declaredData.filterNot(physical.contains)
       val extra = physical.filterNot(declaredData.contains)
-      if (missing.nonEmpty || extra.nonEmpty)
-        throw ProbeError(
-          s"Schema mismatch between Iceberg metadata and data files at $tablePath " +
-            s"(declared-but-absent: ${missing.mkString(",")}; " +
-            s"present-but-undeclared: ${extra.mkString(",")}). The table has " +
-            "evolved its schema; field-id-based projection is not supported " +
-            "by this reader, so the scan is refused rather than silently wrong.")
+      if (missing.nonEmpty || extra.nonEmpty) {
+        val byId = currentSchemaFieldIds(meta).flatMap(ids =>
+          fieldIdRenames(conf, dataEntries.head.path, fileSchema, ids, partCols))
+        byId match {
+          case Some(rs) => renames = rs.filter { case (p, d) => p != d }
+          case None => throw ProbeError(
+            s"Schema mismatch between Iceberg metadata and data files at $tablePath " +
+              s"(declared-but-absent: ${missing.mkString(",")}; " +
+              s"present-but-undeclared: ${extra.mkString(",")}) and field-id " +
+              "projection cannot reconcile them (dropped column, changed type, " +
+              "or data files without field ids), so the scan is refused rather " +
+              "than silently wrong.")
+        }
+      }
     }
 
     val declaredTypes: Map[String, DataType] = declared.toSeq.flatten
@@ -334,21 +462,43 @@ object IcebergLite {
     val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
 
+    // Merge-on-read covers POSITION deletes only. Equality-delete files
+    // (content=2) would need per-row predicate matching against the delete
+    // rows' equality columns; silently skipping them resurrects deleted
+    // rows, so an opted-in scan of such a table is refused instead
+    // (reference behavior is to reject ALL delete types, main.py:398-414 —
+    // the opt-in relaxation must not be weaker than the guard it relaxes).
+    if (applyDeletes && entries.exists(e => e.fileContent == 2 && e.status != 2))
+      throw ProbeError(
+        s"Iceberg table at $tablePath carries equality-delete files; " +
+          "merge-on-read supports position deletes only, and skipping " +
+          "equality deletes would return rows the table has deleted. " +
+          "Compact the table, then retry.")
     val deleteFiles = entries.filter(e => e.fileContent == 1 && e.status != 2).map(_.path)
-    if (!applyDeletes || deleteFiles.isEmpty) base
+    val merged =
+      if (!applyDeletes || deleteFiles.isEmpty) base
+      else {
+        // Merge-on-read: anti-join on (file path, row position). The delete
+        // side is normally tiny next to the data side, so Spark broadcasts
+        // it; at worst it is a shuffled anti-join keyed by file — no skew
+        // (positions within a file are unique).
+        val dels = spark.read.parquet(deleteFiles: _*)
+          .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
+        base
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dels, col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
+            "left_anti")
+          .drop("__fp", "__pos")
+      }
+    // Field-id projection: physical file columns -> declared names. A
+    // filter on a declared name pushes through this projection to the
+    // physical attribute, so file pruning and parquet pushdown still apply.
+    if (renames.isEmpty) merged
     else {
-      // Merge-on-read: anti-join on (file path, row position). The delete
-      // side is normally tiny next to the data side, so Spark broadcasts
-      // it; at worst it is a shuffled anti-join keyed by file — no skew
-      // (positions within a file are unique).
-      val dels = spark.read.parquet(deleteFiles: _*)
-        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
-      base
-        .withColumn("__fp", col("_metadata.file_path"))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(dels, col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
-          "left_anti")
-        .drop("__fp", "__pos")
+      val renameMap = renames.toMap
+      merged.select(merged.columns.toIndexedSeq
+        .map(c => col(c).as(renameMap.getOrElse(c, c))): _*)
     }
   }
 

@@ -214,7 +214,17 @@ object IcebergLiteWriter {
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(m => IcebergLite.partitionColumns(m)).getOrElse(Nil)
 
-    val writer = df.write.mode(mode)
+    // Stamp each column with its declared Iceberg field id (ordinal, the
+    // same assignment as schemaFieldsJson) so the parquet files carry
+    // `parquet.field.id` like real Iceberg writers — the reader's
+    // field-id-based projection of evolved (renamed) tables depends on it.
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
+    }.toIndexedSeq: _*)
+    val writer = withIds.write.mode(mode)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
 
     val dataPath = new Path(dataDir)
@@ -268,7 +278,7 @@ object IcebergLiteWriter {
     * applyDeletes = true)` then merges them on read.
     */
   def addPositionDeletes(spark: SparkSession, tableDir: String,
-      deletes: Seq[(String, Long)]): Unit = {
+      deletes: Seq[(String, Long)], fileContent: Int = 1): Unit = {
     require(deletes.nonEmpty, "addPositionDeletes needs at least one (file, pos)")
     val conf = spark.sparkContext.hadoopConfiguration
     val prior = IcebergLite.latestMetadataPath(conf, tableDir)
@@ -292,15 +302,19 @@ object IcebergLiteWriter {
     val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
     val len = fs.getFileStatus(delFile).getLen
     val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
-      deleteEntry(delFile.toString, deletes.length.toLong, len)))
+      deleteEntry(delFile.toString, deletes.length.toLong, len, fileContent)))
     commitSnapshot(conf, tableDir, Some(prior), snapshotId,
       Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
       partCols = IcebergLite.partitionColumns(prior))
   }
 
-  private def deleteEntry(path: String, rows: Long, size: Long): GenericRecord = {
+  // fileContent 1 = position deletes; 2 = equality deletes (fixture
+  // support for the scan-side refusal — this writer never produces
+  // equality deletes in its own commit paths).
+  private def deleteEntry(path: String, rows: Long, size: Long,
+      fileContent: Int = 1): GenericRecord = {
     val delFile = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
-    delFile.put("content", 1)
+    delFile.put("content", fileContent)
     delFile.put("file_path", path)
     delFile.put("file_format", "PARQUET")
     delFile.put("record_count", rows)

@@ -102,8 +102,12 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
       IcebergLite.scan(spark, dir, asOfMillis = Some(t1 - 10000)))
   }
 
-  test("schema drift between metadata and data files is refused loudly") {
-    val dir = tmpDir("iceberg_evolved") + "/warehouse/region_ev"
+  /** Write a region fixture, then commit a hand-evolved metadata JSON on
+    * top (the writer's files stay untouched — exactly the shape of a
+    * schema-evolution commit from another engine).
+    */
+  private def evolvedFixture(prefix: String)(evolve: String => String): String = {
+    val dir = tmpDir(prefix) + "/warehouse/region_ev"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = IcebergLite.latestMetadataPath(conf, dir).get
@@ -112,16 +116,44 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     val text = new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     in.close()
-    // A rename the data files don't know about (evolved schema).
-    val evolved = text.replace("\"name\": \"r_name\"", "\"name\": \"region_name\"")
-    assert(evolved != text, "fixture should contain the declared column")
+    val evolved = evolve(text)
+    assert(evolved != text, "fixture evolution must change the metadata")
     val next = new Path(metaPath.getParent, "99999-evolved.metadata.json")
     val out = fs.create(next, true)
     out.write(evolved.getBytes("UTF-8"))
     out.close()
-    val err = intercept[IcebergLite.ProbeError](IcebergLite.scan(spark, dir))
-    assert(err.getMessage.contains("region_name"))
-    assert(err.getMessage.contains("r_name"))
+    dir
+  }
+
+  test("renamed column reads correctly through field-id projection") {
+    val dir = evolvedFixture("iceberg_renamed")(
+      _.replace("\"name\": \"r_name\"", "\"name\": \"region_name\""))
+    val df = IcebergLite.scan(spark, dir)
+    assert(df.columns.toSet == Set("r_regionkey", "region_name"))
+    // Values come from the physical r_name column, found by field id.
+    val names = df.select("region_name").collect().map(_.getString(0)).toSet
+    assert(names.contains("AFRICA"))
+    // A filter on the renamed column still prunes/pushes down through the
+    // rename projection.
+    assert(df.filter(col("region_name") === "AFRICA").count() == 1)
+  }
+
+  test("dropped columns and type changes are still refused loudly") {
+    // Declared schema no longer carries r_name -> the physical column is
+    // unclaimed by any field id: refuse.
+    val dropped = evolvedFixture("iceberg_dropped") { text =>
+      val re = """, \{"id": \d+, "name": "r_name"[^}]*\}""".r
+      re.replaceAllIn(text, "")
+    }
+    val e1 = intercept[IcebergLite.ProbeError](IcebergLite.scan(spark, dropped))
+    assert(e1.getMessage.contains("r_name"))
+    // Same field id, renamed AND retyped: the id resolves but the types
+    // disagree -> refuse.
+    val retyped = evolvedFixture("iceberg_retyped")(
+      _.replace("\"name\": \"r_name\", \"required\": false, \"type\": \"string\"",
+        "\"name\": \"region_name\", \"required\": false, \"type\": \"long\""))
+    val e2 = intercept[IcebergLite.ProbeError](IcebergLite.scan(spark, retyped))
+    assert(e2.getMessage.contains("field-id"))
   }
 
   test("position deletes: guarded by default, merged on read when opted in") {
@@ -146,5 +178,43 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
       .contains(victim.getAs[Number](2).longValue()))
     // Without opting in, the raw scan still returns all 5 rows.
     assert(IcebergLite.scan(spark, dir).count() == 5)
+  }
+
+  test("equality deletes refuse merge-on-read instead of resurrecting rows") {
+    val dir = tmpDir("iceberg_eq") + "/warehouse/region_eq"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    // A content=2 (equality) delete file: the lite reader cannot apply it,
+    // so the opt-in merge path must throw — an applyDeletes=true scan that
+    // silently skipped it would return rows the table has deleted.
+    IcebergLiteWriter.addPositionDeletes(spark, dir,
+      Seq(("unused", 0L)), fileContent = 2)
+    assertThrows[IcebergLite.DeleteGuardError](
+      IcebergLite.assertNoDeletes(spark, dir))
+    val err = intercept[IcebergLite.ProbeError](
+      IcebergLite.scan(spark, dir, applyDeletes = true))
+    assert(err.getMessage.contains("equality-delete"))
+    // The default (no merge) scan is unaffected — the guard above is what
+    // protects it, exactly as for position deletes.
+    assert(IcebergLite.scan(spark, dir).count() == 5)
+  }
+
+  test("scan planning fans out across many manifests deterministically") {
+    val dir = tmpDir("iceberg_many") + "/warehouse/orders_many"
+    val orders = Tables.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // 9 commits -> 9 manifests carried forward into the latest snapshot.
+    IcebergLiteWriter.write(spark, orders.filter(col("o_orderkey") % 9 === 0), dir)
+    (1 until 9).foreach(i =>
+      IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 9 === i), dir))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = IcebergLite.latestMetadataPath(conf, dir).get
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    assert(IcebergLite.currentManifests(conf, dir, meta).length == 9)
+    // Parallel read path (>1 manifest) must preserve manifest-list order
+    // and lose no entries: the scan sees every row exactly once.
+    val entries = IcebergLite.fileEntries(conf, dir)
+    assert(entries.map(_.recordCount).sum == 1500)
+    assert(entries == IcebergLite.fileEntries(conf, dir), "deterministic order")
+    assert(IcebergLite.scan(spark, dir).count() == 1500)
   }
 }
