@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Globally-ordered rankings without a single-reducer sort.
+  *
+  * `NTILE(n) OVER (ORDER BY ...)` (no PARTITION BY) makes Spark move every
+  * row to one partition ("WindowExec: No Partition Defined") — a wall at
+  * corpus scale. The scale-safe shape: range-repartition on the order key
+  * (each partition holds a contiguous key range), rank locally per
+  * partition, then add per-partition offsets computed from the tiny
+  * partition-count relation. The global rank is exact for any total order
+  * (give LIMIT-style tiebreakers), independent of where the range sampler
+  * places partition boundaries.
+  */
+object GlobalRank {
+
+  /** Exact global row number (1-based) under `order`, as column `out`.
+    * One range shuffle + one partition-local sort; the offset side is one
+    * row per partition, broadcast back.
+    */
+  def rowNumber(df: DataFrame, order: Seq[Column], out: String = "rn"): DataFrame =
+    withGlobalRank(df, order).withColumnRenamed("__rn", out).drop("__tot")
+
+  /** Exact NTILE(buckets) under `order` — same bucket boundaries as the
+    * single-reducer window form: the first `total % buckets` buckets take
+    * `ceil(total / buckets)` rows, the rest `floor(total / buckets)`.
+    */
+  def ntile(df: DataFrame, buckets: Int, order: Seq[Column], out: String = "ntile"): DataFrame = {
+    require(buckets > 0, "ntile needs at least one bucket")
+    val big = col("__tot").divide(buckets).cast("long") + 1L // ceil size q+1
+    val r = col("__tot") % buckets                           // buckets of that size
+    val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
+      .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
+    withGlobalRank(df, order)
+      .withColumn(out, floor(bucket).cast("int"))
+      .drop("__rn", "__tot")
+  }
+
+  private def withGlobalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // One row per partition: local count -> exclusive prefix offset and the
+    // global total. The window here runs over partition-count rows (tens),
+    // not data rows — that is the whole point.
+    val ow = Window.orderBy(col("__pid"))
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .select(
+        col("__pid"),
+        (sum(col("__cnt")).over(ow) - col("__cnt")).as("__off"),
+        sum(col("__cnt")).over(
+          ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__tot"))
+    // Local rank per range partition (partitioned window — no global move),
+    // plus the broadcast offset = exact global rank.
+    val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged
+      .withColumn("__lrn", row_number().over(lw))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+}

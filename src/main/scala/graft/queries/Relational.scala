@@ -266,10 +266,20 @@ object Relational {
         |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
         |FROM orders""".stripMargin),
 
-    Q.sql(
+    // Global NTILE: the naive window form moves every row to ONE partition
+    // ("WindowExec: No Partition Defined"); GlobalRank.ntile keeps it
+    // distributed (range repartition + per-partition offsets) with
+    // identical bucket assignment — the oracle below stays the plain
+    // window form.
+    Q.df(
       "q22_window_ntile",
       """SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
-        |FROM orders""".stripMargin),
+        |FROM orders""".stripMargin) { (s, dir) =>
+      graft.ops.GlobalRank.ntile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
+        .select(col("o_orderkey"), col("quartile"))
+    },
 
     Q.sql(
       "q23_window_minmax",

@@ -130,4 +130,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getInt(2) >= 1))
     assert(rows.forall(_.getString(5).length == 32))
   }
+
+  test("distributed global ntile/rowNumber match the single-reducer window forms") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val order = Seq(col("o_totalprice"), col("o_orderkey"))
+    for (buckets <- Seq(4, 7)) {
+      val dist = GlobalRank.ntile(orders, buckets, order, "q")
+        .select(col("o_orderkey"), col("q"))
+      val window = orders.select(col("o_orderkey"),
+        ntile(buckets).over(Window.orderBy(order: _*)).as("q"))
+      assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty,
+        s"ntile($buckets) mismatch")
+    }
+    val distRn = GlobalRank.rowNumber(orders, order, "rn")
+      .select(col("o_orderkey"), col("rn"))
+    val windowRn = orders.select(col("o_orderkey"),
+      row_number().over(Window.orderBy(order: _*)).cast("long").as("rn"))
+    assert(distRn.exceptAll(windowRn).isEmpty && windowRn.exceptAll(distRn).isEmpty)
+    // The point of the op: no empty-frame global window in the data path.
+    val plan = GlobalRank.ntile(orders, 4, order, "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [ntile"))
+  }
 }
