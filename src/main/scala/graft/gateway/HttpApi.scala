@@ -20,6 +20,8 @@ import JValue._
   *   GET  /health              engine version + timestamp
   *   POST /api/connect/test    {connection} -> {status,message,tableInfo}
   *   POST /api/query           {sql,connection,rowLimit} -> QueryResponse
+  *   POST /api/query/export    same body -> text/csv attachment (A14)
+  *   POST /api/format          {sql} -> {formatted} (A15)
   *   GET  /api/demo/connection canned demo config
   *   GET  /api/demo/queries    sample queries over the demo table
   *
@@ -62,6 +64,43 @@ final class HttpApi(spark: SparkSession, port: Int, demoTablePath: Option[String
       val rowLimit = obj.int("rowLimit").getOrElse(Engine.DefaultRowLimit)
       val result = Engine.executeQuery(spark, sql, conn, rowLimit)
       (200, queryResponseJson(result))
+    })
+    // CSV export (A14): same request as /api/query, result as a text/csv
+    // attachment — the server-side analog of the reference UI's
+    // exportResults download (frontend/js/app.js:451-479).
+    server.createContext("/api/query/export", (ex: HttpExchange) => {
+      Try {
+        ex.getRequestMethod match {
+          case "OPTIONS" => Left((204, JObj()))
+          case "POST" =>
+            val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val body =
+              if (raw.trim.isEmpty) None
+              else Json.parse(raw) match {
+                case o: JObj => Some(o)
+                case _ => throw Engine.EngineError(400, "Request body must be a JSON object")
+              }
+            val obj = body.getOrElse(throw Engine.EngineError(400, "Request body required"))
+            val sql = obj.str("sql").getOrElse(throw Engine.EngineError(400, "sql is required"))
+            val conn = connectionFrom(body)
+            val rowLimit = obj.int("rowLimit").getOrElse(Engine.DefaultRowLimit)
+            Right(ResultExport.toCsv(Engine.executeQuery(spark, sql, conn, rowLimit)))
+          case _ => Left((405, JObj("detail" -> JStr("Method Not Allowed"))))
+        }
+      } match {
+        case Success(Right(csv)) => respondRaw(ex, 200, csv.getBytes(StandardCharsets.UTF_8),
+          "text/csv", Some(s"attachment; filename=graft-results-${System.currentTimeMillis()}.csv"))
+        case Success(Left(r)) => respond(ex, Success(r))
+        case Failure(e) => respond(ex, Failure(e))
+      }
+    })
+    // SQL formatter (A15): the reference formats in the editor
+    // (frontend/js/app.js:352-369); the engine exposes the same transform
+    // as an endpoint so any client gets identical output.
+    server.createContext("/api/format", handlerWithBody { body =>
+      val obj = body.getOrElse(throw Engine.EngineError(400, "Request body required"))
+      val sql = obj.str("sql").getOrElse(throw Engine.EngineError(400, "sql is required"))
+      (200, JObj("formatted" -> JStr(SqlFormatter.format(sql))))
     })
     server.createContext("/api/demo/connection", handler {
       case ("GET", _) =>
@@ -161,6 +200,20 @@ final class HttpApi(spark: SparkSession, port: Int, demoTablePath: Option[String
       os.write(bytes)
       os.close()
     }
+  }
+
+  private def respondRaw(ex: HttpExchange, status: Int, bytes: Array[Byte],
+      contentType: String, disposition: Option[String] = None): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", contentType)
+    disposition.foreach(h.set("Content-Disposition", _))
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "*")
+    h.set("Access-Control-Allow-Headers", "*")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
   }
 
   private def tableInfoJson(i: TableInfo): JObj = {

@@ -130,4 +130,32 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(r.statusCode() == 404)
     assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
   }
+
+  test("POST /api/query/export streams the result as CSV (A14)") {
+    val sql = s"SELECT r_regionkey, r_name FROM parquet.`$sf0001/region.parquet` ORDER BY r_regionkey"
+    val r = post("/api/query/export", s"""{"sql":"$sql","connection":$connJson,"rowLimit":2}""")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/csv"))
+    assert(r.headers().firstValue("Content-Disposition").orElse("").contains(".csv"))
+    val lines = r.body().split("\n").toSeq
+    assert(lines.head == "r_regionkey,r_name")
+    assert(lines(1) == "\"0\",\"AFRICA\"")
+    assert(lines.length == 3) // header + 2 limited rows
+    // Errors keep the JSON error contract.
+    val bad = post("/api/query/export", s"""{"sql":"DROP TABLE x","connection":$connJson}""")
+    assert(bad.statusCode() == 400)
+    assert(obj(bad).str("detail").exists(_.contains("not allowed")))
+  }
+
+  test("POST /api/format mirrors the reference formatter (A15)") {
+    val r = post("/api/format",
+      """{"sql":"SELECT a, b FROM t WHERE x = 1 AND y = 2 ORDER BY a LIMIT 5"}""")
+    assert(r.statusCode() == 200)
+    val formatted = obj(r).str("formatted").get
+    // Note the 5 spaces before `b`: the comma rule inserts 4 and the
+    // original space survives — byte-for-byte the reference's output.
+    assert(formatted ==
+      "SELECT a,\n     b\nFROM t\nWHERE x = 1\n  AND y = 2\nORDER BY a\nLIMIT 5")
+    assert(post("/api/format", "{}").statusCode() == 400)
+  }
 }
