@@ -28,16 +28,16 @@ object Dedup {
   /** doc_id -> word n-gram shingles ("a b c" strings). `distinct` costs a
     * shuffle — required for set-semantics consumers (Jaccard counts), but
     * droppable for MIN-based consumers (minhash), where duplicates cannot
-    * change the aggregate.
+    * change the aggregate. Shingling runs through the codegen'd
+    * [[graft.functions.NgramShingles]] expression (one pass, no
+    * interpreted lambdas); `explode` of its empty array drops short docs
+    * exactly like the previous size-filtered form.
     */
   def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
-    val sh = docs
-      .filter(size(words(col("text"))) >= n)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(split(text, ' ')) - $n), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
-          .as("shingle"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(
+      col("doc_id"),
+      explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
     if (distinct) sh.distinct() else sh
   }
 
