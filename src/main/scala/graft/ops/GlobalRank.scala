@@ -40,11 +40,32 @@ object GlobalRank {
   }
 
   private def withGlobalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // Sort within the range partitions, then derive BOTH the partition id
+    // and the local 1-based index from monotonically_increasing_id
+    // (partition index << 33 | row index) — rank assignment costs no
+    // second full-data exchange, unlike a window PARTITION BY would.
+    // The id is deterministic here because the partition-local sort is on
+    // a caller-supplied total order.
+    // The persist is CORRECTNESS, not tuning: the offsets branch and the
+    // data branch would otherwise each plan their own range Exchange, and
+    // RangePartitioner samples bounds with a plan-instance-dependent seed
+    // — two instances can place boundaries differently once the sample no
+    // longer covers every row, making the counts describe a partitioning
+    // the data rows don't have. One materialization pins one partitioning
+    // for both consumers (the cost is the same disk footprint the two
+    // jobs' shared shuffle files would have under RDD zipWithIndex).
     val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .withColumn("__lrn", (col("__mono") % (1L << 33)) + 1L)
+      .drop("__mono")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One row per partition: local count -> exclusive prefix offset and the
     // global total. The window here runs over partition-count rows (tens),
-    // not data rows — that is the whole point.
+    // not data rows — that is the whole point. (The second pass over the
+    // source is the standard two-phase global-index shape, same as RDD
+    // zipWithIndex; only per-partition COUNTS shuffle.)
     val ow = Window.orderBy(col("__pid"))
     val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .select(
@@ -53,11 +74,7 @@ object GlobalRank {
         sum(col("__cnt")).over(
           ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
           .as("__tot"))
-    // Local rank per range partition (partitioned window — no global move),
-    // plus the broadcast offset = exact global rank.
-    val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
     ranged
-      .withColumn("__lrn", row_number().over(lw))
       .join(broadcast(offsets), "__pid")
       .withColumn("__rn", col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
