@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split-assignment operators for training-data
+  * pipelines. All decisions are pure functions of a content key's md5 —
+  * reproducible across runs, engines, and cluster sizes (no RNG state, no
+  * partition-dependent seeds, unlike `df.sample`), which is what makes a
+  * 100 TB sample auditable: membership can be re-derived row-locally.
+  *
+  * hashSample / splitAssign are map-only (scan-speed, no shuffle);
+  * stratifiedSample shuffles once on the stratum key.
+  */
+object Sampling {
+
+  /** First 56 bits of md5(key) as a non-negative int64 — the shared
+    * uniform hash (14 hex chars so any engine reproduces it in int64).
+    */
+  def h56(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 14), 16, 10).cast("long")
+
+  /** The `h56 < threshold` cutoff for a given fraction. */
+  def thresholdFor(fraction: Double): Long =
+    (fraction * (1L << 56).toDouble).toLong
+
+  /** Deterministic Bernoulli sample: keep rows whose key-hash falls below
+    * fraction * 2^56. Exactly reproducible; expected fraction `fraction`.
+    */
+  def hashSample(df: DataFrame, fraction: Double, key: Column): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.filter(h56(key) < thresholdFor(fraction))
+  }
+
+  /** Train/validation/test assignment by hash bucket (stable under
+    * re-runs AND under corpus growth — a doc's split never changes when
+    * other docs are added, unlike randomSplit).
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      trainPct: Int = 90, valPct: Int = 5, out: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be non-negative and sum to at most 100")
+    val bucket = h56(key) % 100
+    df.withColumn(out,
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "validation")
+        .otherwise("test"))
+  }
+
+  /** Exactly-k-per-stratum sample: the k smallest key-hashes within each
+    * stratum (deterministic tiebreak on the key). One shuffle on the
+    * stratum; the per-stratum window never sees more than a stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, k: Int, key: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(stratum).orderBy(h56(key), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

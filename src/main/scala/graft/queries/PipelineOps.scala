@@ -353,6 +353,47 @@ object PipelineOps {
       Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
     },
 
+    // Deterministic sampling family: membership is a pure function of
+    // md5(key) — reproducible across engines (hence oracle-able) and
+    // cluster sizes, auditable row-locally at 100 TB. h56 = first 14 md5
+    // hex chars as int64, the same construction the minhash family uses.
+    Q.df(
+      "p23_hash_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |  < ${graft.ops.Sampling.thresholdFor(0.1)}""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.hashSample(t(s, dir, "documents"), 0.1, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    Q.df(
+      "p24_split_assign",
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 100 AS b
+        |  FROM documents) x""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.splitAssign(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+    },
+
+    Q.df(
+      "p25_stratified_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT), doc_id) AS rk
+        |  FROM documents) x
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents"), col("source"), 20, col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    },
+
     Q.df(
       "p22_frame_sample",
       """SELECT doc_id,

@@ -131,6 +131,31 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getString(5).length == 32))
   }
 
+  test("hash sampling is deterministic, near-fraction, and stable under growth") {
+    val s1 = Sampling.hashSample(docs, 0.2, col("doc_id"))
+    val s2 = Sampling.hashSample(docs, 0.2, col("doc_id"))
+    val ids = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val frac = ids.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
+    // Growth stability: sampling a SUBSET picks exactly the intersection —
+    // a doc's membership cannot depend on what else is in the corpus.
+    val subsetIds = Sampling.hashSample(docs.filter(col("doc_id") < 100), 0.2, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subsetIds == ids.filter(_ < 100))
+    // Splits partition the corpus with the expected skew.
+    val splits = Sampling.splitAssign(docs, col("doc_id"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == docs.count())
+    assert(splits("train") > splits.getOrElse("validation", 0L))
+    // Stratified: exactly min(k, stratum size) rows per stratum.
+    val strat = Sampling.stratifiedSample(docs, col("source"), 5, col("doc_id"))
+    val perSource = strat.groupBy("source").count().collect()
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.forall(r => r.getLong(1) == math.min(5L, sizes(r.getString(0)))))
+  }
+
   test("distributed global ntile/rowNumber match the single-reducer window forms") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.t(spark, sf0001, "orders")
