@@ -106,6 +106,19 @@ object TextOps {
       pred.as("pred_lang"))
   }
 
+  /** Corpus vocabulary with term frequency (total occurrences) and
+    * document frequency (docs containing the token) — the
+    * tokenizer-training precursor. One shuffle keyed on the token;
+    * COUNT(DISTINCT doc_id) expands map-side, aggregates exactly.
+    */
+  def vocabulary(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

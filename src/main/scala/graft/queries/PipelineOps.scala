@@ -353,6 +353,46 @@ object PipelineOps {
       Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
     },
 
+    // Cluster resolution over the MinHash LSH candidate graph (the p04
+    // edge set): connected components by iterative min-label propagation
+    // Spark-side; the oracle derives the same components as a recursive
+    // transitive-closure CTE — feasible in DuckDB because dup clusters
+    // are small, while the Spark loop is the shape that scales.
+    Q.df(
+      "p26_dedup_clusters",
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id),
+         |e AS (SELECT i AS src, j AS dst FROM pr UNION SELECT j AS src, i AS dst FROM pr),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN comp.min_reach IS NULL OR d.doc_id < comp.min_reach
+         |       THEN d.doc_id ELSE comp.min_reach END AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        graft.ops.DedupClusters.connectedComponents(
+          docs, Dedup.minhashLshCandidates(docs))
+    },
+
+    // Vocabulary building: corpus-wide term and document frequencies —
+    // the tokenizer-training precursor. Pure integer aggregates (exact in
+    // any engine); one shuffle on the token.
+    Q.df(
+      "p27_vocabulary",
+      """SELECT word,
+        |  CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents) w
+        |GROUP BY word""".stripMargin) { (s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"))
+    },
+
     // Deterministic sampling family: membership is a pure function of
     // md5(key) — reproducible across engines (hence oracle-able) and
     // cluster sizes, auditable row-locally at 100 TB. h56 = first 14 md5

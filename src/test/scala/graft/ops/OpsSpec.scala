@@ -156,6 +156,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(perSource.forall(r => r.getLong(1) == math.min(5L, sizes(r.getString(0)))))
   }
 
+  test("dedup clusters: edge endpoints share a cluster, labels are cluster minima") {
+    val pairs = Dedup.minhashLshCandidates(docs)
+    val cc = DedupClusters.connectedComponents(docs, pairs)
+    val label = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every doc labelled; every edge endpoint pair agrees.
+    assert(label.size == docs.count())
+    pairs.collect().foreach { r =>
+      assert(label(r.getLong(0)) == label(r.getLong(1)))
+    }
+    // Each label is the minimum member of its own cluster, and a member.
+    label.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("distributed global ntile/rowNumber match the single-reducer window forms") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.t(spark, sf0001, "orders")
