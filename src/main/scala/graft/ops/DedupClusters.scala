@@ -18,6 +18,13 @@ object DedupClusters {
   /** (doc_id, cluster_id) for every doc in `docs`: cluster_id = the
     * smallest doc_id reachable through `pairs` (i,j edges); singletons
     * keep their own id. Deterministic for any edge set.
+    *
+    * Two things make the loop viable: (a) `localCheckpoint` truncates the
+    * plan each round — without it every iteration's logical plan embeds
+    * all prior rounds and Catalyst analysis/codegen grows quadratically;
+    * (b) a pointer-jumping step (label <- label(label), valid because a
+    * label is always some node's id) collapses chains exponentially, so
+    * rounds are O(log diameter) instead of O(diameter).
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
@@ -27,7 +34,7 @@ object DedupClusters {
     var labels = docs.select(col("doc_id").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -35,17 +42,27 @@ object DedupClusters {
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels
+      // One checkpointed plan per round: neighbor-min step (carrying the
+      // previous label for the convergence check), then the pointer jump
+      // as a self-join of the stepped relation. Two jobs per round: the
+      // eager checkpoint, and a shuffle-free changed-count over it.
+      val stepped = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("label") === col("jid"), "left")
+        .select(col("id"),
+          coalesce(col("jlabel"), col("label")).as("label"),
+          col("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(s"[cc] round $iter: $changed labels changed")
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

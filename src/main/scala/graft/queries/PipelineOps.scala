@@ -353,17 +353,26 @@ object PipelineOps {
       Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
     },
 
-    // Cluster resolution over the MinHash LSH candidate graph (the p04
-    // edge set): connected components by iterative min-label propagation
-    // Spark-side; the oracle derives the same components as a recursive
-    // transitive-closure CTE — feasible in DuckDB because dup clusters
-    // are small, while the Spark loop is the shape that scales.
+    // Cluster resolution over the VERIFIED near-duplicate pairs (the p03
+    // edge set — candidates are clustered only after exact verification;
+    // raw LSH candidate graphs chain through false positives into giant
+    // components that are not duplicate groups): connected components by
+    // iterative min-label propagation Spark-side; the oracle derives the
+    // same components as a recursive transitive-closure CTE — feasible in
+    // DuckDB because verified dup clusters are small, while the Spark
+    // loop is the shape that scales.
     Q.df(
       "p26_dedup_clusters",
-      s"""WITH RECURSIVE $minhashCtes,
-         |pr AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
-         |  FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id),
-         |e AS (SELECT i AS src, j AS dst FROM pr UNION SELECT j AS src, i AS dst FROM pr),
+      s"""WITH RECURSIVE $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairx AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT i, j FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+         |  FROM pairx JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j) p
+         |  WHERE jac >= 0.8),
+         |e AS (SELECT i AS src, j AS dst FROM jp UNION SELECT j AS src, i AS dst FROM jp),
          |reach AS (
          |  SELECT src, dst FROM e
          |  UNION
@@ -376,7 +385,7 @@ object PipelineOps {
       (s, dir) =>
         val docs = t(s, dir, "documents")
         graft.ops.DedupClusters.connectedComponents(
-          docs, Dedup.minhashLshCandidates(docs))
+          docs, Dedup.ngramJaccardPairs(docs, 3, 0.8))
     },
 
     // Vocabulary building: corpus-wide term and document frequencies —
