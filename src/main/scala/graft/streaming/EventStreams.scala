@@ -103,6 +103,31 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication: first occurrence per key wins, with
+    * the watermark bounding how long a key is remembered — the streaming
+    * face of `Dedup.exactKeep`. State is O(distinct keys inside the
+    * watermark window), sharded by key, so an unbounded stream cannot
+    * grow state without bound (plain dropDuplicates on a stream would).
+    */
+  def dedupByKey(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (stateless — each micro-batch joins independently, and a
+    * small dimension broadcasts exactly as in the batch plan).
+    */
+  def enrichWithStatic(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, col(streamKey) === col(dimKey), "left")
+
   /** Run a streaming frame to completion against a memory sink and return
     * the collected result table (test/demo harness for finite sources).
     */

@@ -70,4 +70,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     val df = EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir))
     assert(df.isStreaming)
   }
+
+  test("streaming dedup keeps one row per key, matching batch dropDuplicates") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.dedupByKey(
+        EventStreams.readEvents(spark, eventsDir), Seq("user_id")),
+      "dedup_stream", OutputMode.Append())
+    // One survivor per user, and the surviving key set is the batch's.
+    val perKey = streamed.groupBy("user_id").count().collect()
+    assert(perKey.forall(_.getLong(1) == 1))
+    val streamKeys = perKey.map(_.getLong(0)).toSet
+    val batchKeys = batchEvents.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamKeys == batchKeys)
+  }
+
+  test("stream-static enrichment equals the batch join") {
+    val dim = Tables.t(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.enrichWithStatic(
+        EventStreams.readEvents(spark, eventsDir), dim, "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_nationkey")),
+      "enrich_stream", OutputMode.Append())
+    val batch = batchEvents
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("c_nationkey"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
