@@ -443,6 +443,21 @@ object PipelineOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // Skew-safe aggregation: the salted two-stage plan computes the SAME
+    // answer as a plain GROUP BY (the oracle), but no reducer ever sees
+    // more than ~1/16 of a hot key's rows — the planned answer to key
+    // skew where AQE's runtime skew handling (joins only) cannot help.
+    Q.df(
+      "p28_salted_agg",
+      """SELECT user_id AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Skew.saltedCountSum(
+        t(s, dir, "events"), col("user_id"), col("event_id"), col("value"))
+    },
+
     Q.df(
       "p22_frame_sample",
       """SELECT doc_id,

@@ -156,6 +156,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(perSource.forall(r => r.getLong(1) == math.min(5L, sizes(r.getString(0)))))
   }
 
+  test("salted join equals the plain join; salt spreads a hot key") {
+    val events = Tables.t(spark, sf0001, "events")
+    val dim = Tables.t(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val plain = events.join(dim, events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("c_nationkey"))
+    val salted = Skew.saltedJoin(events, dim, "user_id", "c_custkey",
+      col("event_id"), factor = 8)
+      .select(col("event_id"), col("c_nationkey"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // The salt actually spreads rows: a single key maps to several salts.
+    val spread = events.filter(col("user_id") === events.select("user_id").head.getLong(0))
+      .select(Skew.salt(col("event_id"), 8).as("s")).distinct().count()
+    assert(spread > 1)
+  }
+
   test("dedup clusters: edge endpoints share a cluster, labels are cluster minima") {
     val pairs = Dedup.minhashLshCandidates(docs)
     val cc = DedupClusters.connectedComponents(docs, pairs)
