@@ -39,6 +39,35 @@ object GlobalRank {
       .drop("__rn", "__tot")
   }
 
+  /** Exact global running sum of `value` under `order` (inclusive of the
+    * current row), as column `out` — the distributed form of
+    * `SUM(value) OVER (ORDER BY ...)`, which Spark would otherwise
+    * execute on a single partition. Same partition-offset construction
+    * as the ranks: per-partition sums (one tiny row each) become
+    * exclusive offsets, added to a partition-local running sum. `value`
+    * must be exact-typed (integral/decimal) for cross-engine
+    * reproducibility — wrap doubles in graft.Num.dec first.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String = "cumsum"): DataFrame = {
+    // Persisted for the same reason as withGlobalRank: both branches must
+    // see ONE range partitioning.
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ow = Window.orderBy(col("__pid"))
+    val offsets = ranged.groupBy(col("__pid")).agg(sum(value).as("__psum"))
+      .select(col("__pid"),
+        (sum(col("__psum")).over(ow) - col("__psum")).as("__off"))
+    val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lcum", sum(value).over(lw))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__lcum"))
+      .drop("__pid", "__lcum", "__off")
+  }
+
   private def withGlobalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
     // Sort within the range partitions, then derive BOTH the partition id
     // and the local 1-based index from monotonically_increasing_id

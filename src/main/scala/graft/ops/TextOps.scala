@@ -119,6 +119,29 @@ object TextOps {
         count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"))
 
+  /** PII scrubbing patterns, written with the portable regex subset ([.]
+    * instead of escaped dots, [0-9] instead of perl classes) so one
+    * pattern string behaves identically in Spark, DuckDB, and RE2-style
+    * engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9]{10,}"
+
+  /** Map-only PII redaction: emails and long digit runs (phone/account
+    * numbers) replaced with typed placeholders, with per-doc match counts
+    * kept for curation stats. Runs at scan speed over any corpus size.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        LongDigitsRe, "[NUMBER]").as("clean_text"),
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$LongDigitsRe', 0)"))
+        .cast("long").as("n_numbers"))
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

@@ -443,6 +443,45 @@ object PipelineOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // PII scrubbing: map-only regex redaction with per-doc match counts.
+    // The pattern strings use the portable regex subset so the same
+    // pattern means the same thing in Spark and the DuckDB oracle.
+    Q.df(
+      "p29_redact",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{10,}', '[NUMBER]', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{10,}')) AS BIGINT) AS n_numbers
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextOps.redact(t(s, dir, "documents"))
+    },
+
+    // Sequence packing: concatenate docs in doc_id order and cut at a
+    // 512-token budget — bin = how many full budgets precede the doc's
+    // first token. The global running sum behind it is the distributed
+    // prefix-sum (partition sums -> offsets), NOT the single-partition
+    // `SUM OVER (ORDER BY)` window the oracle uses.
+    Q.df(
+      "p30_seq_pack",
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) t) x""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.GlobalRank.prefixSum(docs, Seq(col("doc_id")), col("n_tokens"), "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST((cum - n_tokens) div 512 AS BIGINT)").as("bin"))
+    },
+
     // Skew-safe aggregation: the salted two-stage plan computes the SAME
     // answer as a plain GROUP BY (the oracle), but no reducer ever sees
     // more than ~1/16 of a hot key's rows — the planned answer to key

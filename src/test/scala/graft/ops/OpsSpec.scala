@@ -209,5 +209,14 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val plan = GlobalRank.ntile(orders, 4, order, "q")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window [ntile"))
+    // Distributed prefix sum equals the single-reducer running-sum window.
+    val longs = orders.select(col("o_orderkey"),
+      (col("o_orderkey") % 7).as("v"))
+    val distCum = GlobalRank.prefixSum(longs, Seq(col("o_orderkey")), col("v"), "c")
+      .select(col("o_orderkey"), col("c"))
+    val winCum = longs.select(col("o_orderkey"),
+      sum(col("v")).over(Window.orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("c"))
+    assert(distCum.exceptAll(winCum).isEmpty && winCum.exceptAll(distCum).isEmpty)
   }
 }
