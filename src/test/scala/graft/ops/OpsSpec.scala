@@ -156,6 +156,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(perSource.forall(r => r.getLong(1) == math.min(5L, sizes(r.getString(0)))))
   }
 
+  test("ngram_shingles equals the composed split/sequence/slice form") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // Edge shapes: empty, single word, exact n, consecutive/leading/
+    // trailing spaces (empty tokens!), unicode, long text.
+    val texts = Seq("", "one", "a b", "a b c", "a b c d", "  a b", "a  b c ",
+      "é ü 漢 字 x", ("w " * 500).trim)
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val custom = df.selectExpr(s"ngram_shingles(text, $n) AS s").collect()
+      val composed = df.selectExpr(
+        s"""CASE WHEN size(split(text, ' ')) >= $n
+           |THEN transform(sequence(0, size(split(text, ' ')) - $n),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+           |ELSE array() END AS s""".stripMargin).collect()
+      custom.zip(composed).zipWithIndex.foreach { case ((c, e), i) =>
+        assert(c.getSeq[String](0) == e.getSeq[String](0),
+          s"mismatch for n=$n text='${texts(i)}'")
+      }
+    }
+  }
+
   test("salted join equals the plain join; salt spreads a hot key") {
     val events = Tables.t(spark, sf0001, "events")
     val dim = Tables.t(spark, sf0001, "customer")
