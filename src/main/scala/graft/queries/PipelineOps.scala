@@ -47,6 +47,18 @@ object PipelineOps {
        |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sm)""".stripMargin
   }
 
+  /** Parameterized n-gram shingle CTE over any relation (3-gram fixed
+    * form above predates it; kept for the queries already written on it).
+    */
+  private def shingleCteN(n: Int, table: String, cte: String): String = {
+    val concat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""${cte}_ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $table),
+       |$cte AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${n - 1}),
+       |    i -> $concat)) AS shingle
+       |  FROM ${cte}_ws WHERE len(w) >= $n) x)""".stripMargin
+  }
+
   private val embCtes =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
@@ -441,6 +453,71 @@ object PipelineOps {
       graft.ops.Sampling.stratifiedSample(
         t(s, dir, "documents"), col("source"), 20, col("doc_id"))
         .select(col("doc_id"), col("source"))
+    },
+
+    // Benchmark decontamination: corpus docs leaking evaluation content.
+    // The pseudo-benchmark is the deterministic 5% hash sample, so both
+    // engines derive the identical benchmark set.
+    Q.df(
+      "p31_decontam_exact",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |    < ${graft.ops.Sampling.thresholdFor(0.05)}),
+         |b AS (SELECT doc_id AS bench_doc_id, md5(substr(text, 1, 100)) AS h FROM bench),
+         |c AS (SELECT doc_id AS corpus_doc_id, md5(substr(text, 1, 100)) AS h FROM documents)
+         |SELECT bench_doc_id, corpus_doc_id
+         |FROM b JOIN c USING (h)
+         |WHERE bench_doc_id <> corpus_doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontamination.exactOverlap(
+        docs, graft.ops.Sampling.hashSample(docs, 0.05, col("doc_id")),
+        prefixLen = 100)
+    },
+
+    Q.df(
+      "p32_decontam_ngram",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |    < ${graft.ops.Sampling.thresholdFor(0.05)}),
+         |${shingleCteN(8, "documents", "csh")},
+         |${shingleCteN(8, "bench", "bsh")}
+         |SELECT bench_doc_id, corpus_doc_id, shared FROM (
+         |  SELECT b.doc_id AS bench_doc_id, c.doc_id AS corpus_doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM bsh b JOIN csh c ON b.shingle = c.shingle AND b.doc_id <> c.doc_id
+         |  GROUP BY 1, 2) p
+         |WHERE shared >= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontamination.ngramOverlap(
+        docs, graft.ops.Sampling.hashSample(docs, 0.05, col("doc_id")), 8, 3)
+    },
+
+    // The curation funnel, composed from the operators above: exact-dedup
+    // survivors with an adequate stopword ratio, thinned by the
+    // deterministic 50% sample — the end-to-end shape of a corpus
+    // curation pass, verifying the operators compose.
+    Q.df(
+      "p33_curation_funnel",
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT doc_id FROM documents
+         |  WHERE CAST(len(list_filter(string_split(lower(text), ' '),
+         |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) >= 0.04)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |JOIN keep ON keep.doc_id = d.doc_id
+         |JOIN q ON q.doc_id = d.doc_id
+         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |  < ${graft.ops.Sampling.thresholdFor(0.5)}""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exactKeep(docs)
+      val quality = TextOps.qualityScore(docs)
+        .filter(col("stop_ratio") >= 0.04).select(col("doc_id"))
+      graft.ops.Sampling.hashSample(
+        docs.join(keep, "doc_id").join(quality, "doc_id"), 0.5, col("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
     },
 
     // PII scrubbing: map-only regex redaction with per-doc match counts.
