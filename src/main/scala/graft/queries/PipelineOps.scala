@@ -455,6 +455,30 @@ object PipelineOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // Point-in-interval join (attribution windows): every event landing
+    // within one hour after a purchase by the same user. The oracle
+    // states the plain theta join; the Spark side runs the bucketed
+    // equi-join form (RangeJoin) — same rows, no per-key nested loop.
+    Q.df(
+      "p34_range_join",
+      """SELECT e.event_id, p.event_id AS purchase_id FROM events e
+        |JOIN events p ON p.event_type = 'purchase'
+        |AND p.user_id = e.user_id
+        |AND e.ts >= p.ts
+        |AND e.ts < p.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val events = t(s, dir, "events")
+      val points = events.select(col("event_id"), col("user_id"), col("ts"))
+      val windows = events.filter(col("event_type") === "purchase").select(
+        col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.ops.RangeJoin.pointInRange(
+        points, windows, "user_id", "p_user", "ts", "w_start", "w_end",
+        granularitySec = 3600L)
+        .select(col("event_id"), col("purchase_id"))
+    },
+
     // Benchmark decontamination: corpus docs leaking evaluation content.
     // The pseudo-benchmark is the deterministic 5% hash sample, so both
     // engines derive the identical benchmark set.
