@@ -455,6 +455,27 @@ object PipelineOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // int8 quantization (4x ANN index memory reduction), scalarized for
+    // the driver's canonicalizer: per-vector scale plus summary stats of
+    // the quantized array stand in for the array itself.
+    Q.df(
+      "p35_quantize_int8",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |s AS (SELECT vec_id, v, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale FROM a),
+        |q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(FLOOR(x * scale + 0.5) AS INT)) AS qv FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"))
+    },
+
     // Point-in-interval join (attribution windows): every event landing
     // within one hour after a purchase by the same user. The oracle
     // states the plain theta join; the Spark side runs the bucketed
