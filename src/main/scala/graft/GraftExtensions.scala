@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, NgramShingles, RollingHash}
+
+/** Session-extension entry point: makes graft's codegen'd expressions
+  * available to EVERY session of a cluster via configuration —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * — the deployment-grade alternative to the per-session
+  * `GraftFunctions.register` call (which remains for embedded/test use).
+  * Injected at session build time, so SQL-only users (e.g. through the
+  * gateway) get `rolling_hash`, `vec_dot`, and `ngram_shingles` without
+  * any Scala code running first.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_shingles"),
+      new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
+      (exprs: Seq[Expression]) => NgramShingles(
+        exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3))))
+  }
+}
