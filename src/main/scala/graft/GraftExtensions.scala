@@ -31,8 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
-      (exprs: Seq[Expression]) => NgramShingles(
-        exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3))))
+      (exprs: Seq[Expression]) => NgramShingles.forArgs(exprs)))
   }
 }

@@ -46,6 +46,26 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object NgramShingles {
 
+  /** SQL-registration builder: the optional second argument must be a
+    * foldable integer literal — checked here so a bad call surfaces as a
+    * clear error instead of an internal eval() crash on an unbound or
+    * non-numeric expression.
+    */
+  def forArgs(exprs: Seq[Expression]): NgramShingles = {
+    val n = exprs.lift(1) match {
+      case None => 3
+      case Some(e) if e.foldable =>
+        e.eval() match {
+          case num: Number => num.intValue
+          case other => throw new IllegalArgumentException(
+            s"ngram_shingles: n must be an integer literal, got $other")
+        }
+      case Some(_) => throw new IllegalArgumentException(
+        "ngram_shingles: n must be an integer literal, not a column")
+    }
+    NgramShingles(exprs.head, n)
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Referenced from generated code — keep public and stable. Tokens are

@@ -56,9 +56,6 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_shingles", exprs => NgramShingles(
-        exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3)),
-      "built-in")
+      "ngram_shingles", NgramShingles.forArgs, "built-in")
   }
 }

@@ -2,18 +2,23 @@ package graft.gateway
 
 /** CSV export of a query result (A14) — server-side analog of the
   * reference's client-side `exportResults`
-  * (/root/reference/frontend/js/app.js:451-479): a header row of raw
-  * column names, then every data cell double-quoted, rows separated by
-  * `\n`. Cells render as the UI table would show them (null -> empty
-  * string, timestamps ISO-8601). One deliberate fix over the reference:
-  * inner double quotes are doubled (RFC 4180) — the reference's blob
-  * writer would emit a malformed row for a cell containing `"`.
+  * (/root/reference/frontend/js/app.js:451-479): a header row, then
+  * every data cell double-quoted, rows separated by `\n`. Cells render
+  * as the UI table would show them (null -> empty string, timestamps
+  * ISO-8601). Two deliberate fixes over the reference's blob writer:
+  * inner double quotes are doubled (RFC 4180 — a cell containing `"`
+  * would emit a malformed row there), and headers get the same quoting
+  * (a column alias containing a comma would shift the parsed grid).
   */
 object ResultExport {
 
   def toCsv(result: Engine.QueryResult): String = {
     val sb = new StringBuilder
-    sb ++= result.columns.mkString(",")
+    // Headers get the same quoting as cells — a column alias containing a
+    // comma or quote must not shift the parsed column grid.
+    sb ++= result.columns.iterator
+      .map(c => "\"" + c.replace("\"", "\"\"") + "\"")
+      .mkString(",")
     sb += '\n'
     result.rows.foreach { row =>
       sb ++= row.iterator

@@ -82,6 +82,10 @@ object Dedup {
     // Per-doc distinct shingle sets in ONE shuffle (collect_set dedupes in
     // the partial aggregate, so no separate distinct pass); the exploded
     // views below re-derive from this small persisted per-doc relation.
+    // Cache lifecycle is caller-managed: the persists must outlive the
+    // returned DataFrame's actions (the op cannot know when the caller is
+    // done), so a long-lived session should spark.catalog.clearCache()
+    // between unrelated workloads.
     val docSets = shingles(docs, n, distinct = false)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set0"))

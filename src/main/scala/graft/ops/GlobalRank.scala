@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * partition-count relation. The global rank is exact for any total order
   * (give LIMIT-style tiebreakers), independent of where the range sampler
   * places partition boundaries.
+  *
+  * Cache lifecycle: each op persists its ranged relation (required for
+  * bounds consistency — see withGlobalRank) and the persist must outlive
+  * the returned DataFrame's actions; long-lived sessions should
+  * `spark.catalog.clearCache()` between unrelated workloads.
   */
 object GlobalRank {
 

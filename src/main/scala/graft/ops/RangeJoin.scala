@@ -22,15 +22,21 @@ object RangeJoin {
       pointKey: String, rangeKey: String,
       pointTime: String, rangeStart: String, rangeEnd: String,
       granularitySec: Long = 86400L): DataFrame = {
-    // Epoch seconds via timestamp_ltz: NTZ timestamps refuse a direct
-    // long cast, and this route also accepts DATE and epoch-long inputs.
-    def secs(c: org.apache.spark.sql.Column) =
-      c.cast("timestamp_ltz").cast("long")
+    // Bucket at MICROSECOND resolution (the timestamps' native precision):
+    // truncated-seconds arithmetic would mis-bucket the final fractional
+    // second of a range — a point in [end's-truncated-second, end) lands
+    // one bucket past floor((secs(end)-1)/g) and would be silently
+    // dropped. The exclusive upper bucket is the bucket of the last
+    // included microsecond, end-1us. The timestamp_ltz cast also accepts
+    // NTZ/DATE/epoch-long inputs.
+    val granMicros = granularitySec * 1000000L
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast("timestamp_ltz"))
     val pb = points.withColumn("__b",
-      floor(secs(col(pointTime)) / granularitySec))
+      floor(micros(col(pointTime)) / granMicros))
     val rb = ranges.withColumn("__b", explode(sequence(
-      floor(secs(col(rangeStart)) / granularitySec),
-      floor((secs(col(rangeEnd)) - 1) / granularitySec))))
+      floor(micros(col(rangeStart)) / granMicros),
+      floor((micros(col(rangeEnd)) - 1) / granMicros))))
     pb.join(rb,
         pb(pointKey) === rb(rangeKey) && pb("__b") === rb("__b") &&
           pb(pointTime) >= rb(rangeStart) && pb(pointTime) < rb(rangeEnd))

@@ -155,7 +155,6 @@ object Similarity {
       k)
   }
 
-  /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
   /** Symmetric int8 quantization per vector: scale = 127/max|x| (1.0 for
     * a zero vector), q_i = floor(x_i*scale + 0.5) — 4x memory reduction
     * for ANN indexes at corpus scale. Row-local and fully deterministic
@@ -174,6 +173,7 @@ object Similarity {
         expr("transform(v, x -> CAST(FLOOR(x * scale + 0.5D) AS INT))"))
       .select(col("vec_id"), col("scale"), col("q"))
 
+  /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
   def lshCandidates(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val b = lshBuckets(emb, numPlanes, dim)
     b.as("a").join(b.as("c"),

@@ -218,14 +218,23 @@ object IcebergLiteWriter {
     // same assignment as schemaFieldsJson) so the parquet files carry
     // `parquet.field.id` like real Iceberg writers — the reader's
     // field-id-based projection of evolved (renamed) tables depends on it.
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // The session conf flip is restored afterwards: this writer must not
+    // change how the caller's OTHER parquet writes behave.
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
       org.apache.spark.sql.functions.col(f.name).as(f.name,
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
-    val writer = withIds.write.mode(mode)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      val writer = withIds.write.mode(mode)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
+    } finally priorFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
 
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)

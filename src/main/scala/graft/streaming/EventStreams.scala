@@ -126,7 +126,9 @@ object EventStreams {
       dim: DataFrame,
       streamKey: String,
       dimKey: String): DataFrame =
-    events.join(dim, col(streamKey) === col(dimKey), "left")
+    // Dataset-qualified keys: bare col() would be AMBIGUOUS_REFERENCE
+    // whenever both sides name the key identically.
+    events.join(dim, events(streamKey) === dim(dimKey), "left")
 
   /** Run a streaming frame to completion against a memory sink and return
     * the collected result table (test/demo harness for finite sources).

@@ -138,7 +138,7 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/csv"))
     assert(r.headers().firstValue("Content-Disposition").orElse("").contains(".csv"))
     val lines = r.body().split("\n").toSeq
-    assert(lines.head == "r_regionkey,r_name")
+    assert(lines.head == "\"r_regionkey\",\"r_name\"")
     assert(lines(1) == "\"0\",\"AFRICA\"")
     assert(lines.length == 3) // header + 2 limited rows
     // Errors keep the JSON error contract.

@@ -178,6 +178,44 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("range join equals the theta join, including fractional-second range ends") {
+    import spark.implicits._
+    // Boundary regression: window [10:00:00.500, 11:00:00.500) with an
+    // event at 11:00:00.200 — inside the window but in the bucket AFTER
+    // the window's truncated end-second. Seconds-truncated bucketing
+    // dropped this pair.
+    val points = Seq(
+      (1L, 7L, "2024-01-01 11:00:00.200"),
+      (2L, 7L, "2024-01-01 10:30:00.000"),
+      (3L, 7L, "2024-01-01 11:00:00.600"), // past the end: must NOT match
+      (4L, 8L, "2024-01-01 10:30:00.000")) // other key: must NOT match
+      .toDF("event_id", "user_id", "ts_s")
+      .select(col("event_id"), col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val ranges = Seq((100L, 7L, "2024-01-01 10:00:00.500", "2024-01-01 11:00:00.500"))
+      .toDF("range_id", "r_user", "s_s", "e_s")
+      .select(col("range_id"), col("r_user"),
+        col("s_s").cast("timestamp").as("w_start"),
+        col("e_s").cast("timestamp").as("w_end"))
+    val out = RangeJoin.pointInRange(points, ranges,
+      "user_id", "r_user", "ts", "w_start", "w_end", granularitySec = 3600L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+    // And over real data: identical rows to the plain theta join.
+    val events = Tables.t(spark, sf0001, "events")
+    val pts = events.select(col("event_id"), col("user_id"), col("ts"))
+    val wins = events.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val bucketed = RangeJoin.pointInRange(pts, wins,
+      "user_id", "p_user", "ts", "w_start", "w_end", 3600L)
+      .select(col("event_id"), col("purchase_id"))
+    val theta = pts.join(wins,
+      pts("user_id") === wins("p_user") &&
+        pts("ts") >= wins("w_start") && pts("ts") < wins("w_end"))
+      .select(col("event_id"), col("purchase_id"))
+    assert(bucketed.exceptAll(theta).isEmpty && theta.exceptAll(bucketed).isEmpty)
+  }
+
   test("salted join equals the plain join; salt spreads a hot key") {
     val events = Tables.t(spark, sf0001, "events")
     val dim = Tables.t(spark, sf0001, "customer")
