@@ -173,6 +173,26 @@ object Similarity {
         expr("transform(v, x -> CAST(FLOOR(x * scale + 0.5D) AS INT))"))
       .select(col("vec_id"), col("scale"), col("q"))
 
+  /** One k-means refinement step (the M-step) over the IVF assignment:
+    * per (cell, dimension) centroid means. The mean is computed as a
+    * SEQUENTIAL fold over values sorted by vec_id — double addition is
+    * order-dependent, so a fixed fold order is what makes refined
+    * centroids bit-reproducible across engines and cluster sizes (a
+    * plain SUM would differ run to run). Per-group lists stay bounded by
+    * cell population; the shuffle key is (cell, dimension).
+    */
+  def kmeansStep(emb: DataFrame, cells: Int = 16): DataFrame =
+    emb
+      .join(ivfAssign(emb, cells), "vec_id")
+      .select(col("vec_id"), col("cell"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+      .select(col("cell"), col("pos"),
+        (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
+          / size(col("arr"))).as("c"))
+
   /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
   def lshCandidates(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val b = lshBuckets(emb, numPlanes, dim)

@@ -455,6 +455,29 @@ object PipelineOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // k-means M-step over the IVF cells: per-(cell, dim) centroid means
+    // via a fixed-order sequential fold (double addition is
+    // order-dependent; the sorted fold is what makes refined centroids
+    // reproducible across engines).
+    Q.df(
+      "p36_kmeans_step",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM n, cent) x WHERE r = 1),
+         |px AS (SELECT a.vec_id, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
+         |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+         |  CROSS JOIN generate_series(1, 64) t(i))
+         |SELECT cell, pos,
+         |  list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
+         |FROM px GROUP BY cell, pos""".stripMargin) { (s, dir) =>
+      Similarity.kmeansStep(t(s, dir, "embeddings"))
+    },
+
     // int8 quantization (4x ANN index memory reduction), scalarized for
     // the driver's canonicalizer: per-vector scale plus summary stats of
     // the quantized array stand in for the array itself.
