@@ -52,6 +52,9 @@ object NgramShingles {
     * non-numeric expression.
     */
   def forArgs(exprs: Seq[Expression]): NgramShingles = {
+    if (exprs.isEmpty || exprs.size > 2)
+      throw new IllegalArgumentException(
+        s"ngram_shingles takes (text[, n]); got ${exprs.size} arguments")
     val n = exprs.lift(1) match {
       case None => 3
       case Some(e) if e.foldable =>

@@ -12,18 +12,17 @@ package graft.gateway
   */
 object ResultExport {
 
+  // Headers get the same quoting as cells — a column alias containing a
+  // comma or quote must not shift the parsed column grid.
+  private def quote(s: String): String =
+    "\"" + s.replace("\"", "\"\"") + "\""
+
   def toCsv(result: Engine.QueryResult): String = {
     val sb = new StringBuilder
-    // Headers get the same quoting as cells — a column alias containing a
-    // comma or quote must not shift the parsed column grid.
-    sb ++= result.columns.iterator
-      .map(c => "\"" + c.replace("\"", "\"\"") + "\"")
-      .mkString(",")
+    sb ++= result.columns.iterator.map(quote).mkString(",")
     sb += '\n'
     result.rows.foreach { row =>
-      sb ++= row.iterator
-        .map(c => "\"" + cellText(c).replace("\"", "\"\"") + "\"")
-        .mkString(",")
+      sb ++= row.iterator.map(c => quote(cellText(c))).mkString(",")
       sb += '\n'
     }
     sb.toString

@@ -34,9 +34,14 @@ object RangeJoin {
       unix_micros(c.cast("timestamp_ltz"))
     val pb = points.withColumn("__b",
       floor(micros(col(pointTime)) / granMicros))
-    val rb = ranges.withColumn("__b", explode(sequence(
-      floor(micros(col(rangeStart)) / granMicros),
-      floor((micros(col(rangeEnd)) - 1) / granMicros))))
+    // Empty/inverted ranges (end <= start) must produce ZERO buckets —
+    // sequence(a, b) with a > b counts DOWN in Spark, so a malformed row
+    // would otherwise explode into a huge descending bucket array. The
+    // unmatched `when` yields NULL, which explode drops.
+    val rb = ranges.withColumn("__b", explode(
+      when(col(rangeEnd) > col(rangeStart), sequence(
+        floor(micros(col(rangeStart)) / granMicros),
+        floor((micros(col(rangeEnd)) - 1) / granMicros)))))
     pb.join(rb,
         pb(pointKey) === rb(rangeKey) && pb("__b") === rb("__b") &&
           pb(pointTime) >= rb(rangeStart) && pb(pointTime) < rb(rangeEnd))

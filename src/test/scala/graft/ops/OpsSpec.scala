@@ -200,6 +200,12 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       "user_id", "r_user", "ts", "w_start", "w_end", granularitySec = 3600L)
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L))
+    // Inverted range -> zero buckets, zero rows (not a descending-sequence
+    // explosion joined and filtered away).
+    val inverted = ranges.select(col("range_id"), col("r_user"),
+      col("w_end").as("w_start"), col("w_start").as("w_end"))
+    assert(RangeJoin.pointInRange(points, inverted,
+      "user_id", "r_user", "ts", "w_start", "w_end", 3600L).isEmpty)
     // And over real data: identical rows to the plain theta join.
     val events = Tables.t(spark, sf0001, "events")
     val pts = events.select(col("event_id"), col("user_id"), col("ts"))
