@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally flows through sbt's logger, which prefixes
+// every line with "[info] " — that prefix breaks line-oriented JSON
+// consumers tailing the log (graft.Bench's final summary line). Inherit
+// the parent stdout instead so program output is emitted verbatim.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,55 +82,107 @@ object DialectRewriter {
   private val SafeIdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
   /** Rewrite 3 (REST catalogs only): `SHOW TABLES FROM iceberg_catalog.ns`
-    * becomes an inline VALUES relation of the catalog's table list, and
-    * each `iceberg_catalog.ns.tbl` reference becomes a temp view over the
-    * table's REST-loaded `metadata-location` via the IcebergLite chain —
-    * the analog of the reference's ATTACH'd catalog (main.py:317-358).
+    * becomes a (namespace, tableName) listing view over the catalog's
+    * table list, and each `iceberg_catalog.ns.tbl` reference becomes a
+    * temp view over the table's REST-loaded `metadata-location` via the
+    * IcebergLite chain — the analog of the reference's ATTACH'd catalog
+    * (main.py:317-358).
+    *
+    * TEXT-ONLY: substitutes generated view names and returns the binders
+    * that perform the catalog HTTP fetches, metadata/footer IO, and temp-
+    * view creation. Callers validate the rewritten SQL first, so a
+    * statement the guard rejects triggers no network or filesystem side
+    * effects.
     */
-  def bindCatalogRefs(spark: SparkSession, sql: String, config: ConnectionConfig): String = {
+  def planCatalogRefs(spark: SparkSession, sql: String,
+      config: ConnectionConfig): (String, Seq[() => Unit]) = {
     if (config.catalogType != "rest" ||
-        !sql.toLowerCase(java.util.Locale.ROOT).contains("iceberg_catalog.")) return sql
+        !sql.toLowerCase(java.util.Locale.ROOT).contains("iceberg_catalog."))
+      return (sql, Nil)
     lazy val client = graft.sources.RestCatalogClient.fromConfig(config)
+    val binders = Seq.newBuilder[() => Unit]
     val afterShow = ShowTablesRe.replaceAllIn(sql, m => {
       val ns = m.group(1)
-      val names = client.listTables(ns).filter(SafeIdentRe.matches)
-      val rel =
-        if (names.isEmpty)
-          "SELECT * FROM (VALUES ('', '')) AS t(namespace, tableName) WHERE 1 = 0"
-        else
-          names.map(n => s"('$ns', '$n')")
-            .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(namespace, tableName)")
-      Regex.quoteReplacement(rel)
+      val view = s"graft_iceberg_catalog_listing_${viewCounter.incrementAndGet()}"
+      binders += (() => {
+        // Identifier charset is enforced on the names RETURNED by the
+        // catalog too — a hostile catalog response must not become a SQL
+        // fragment (they land in a DataFrame here, but stay consistent
+        // with the reference-shape listing).
+        val names = client.listTables(ns).filter(SafeIdentRe.matches)
+        spark.createDataFrame(names.map(n => (ns, n)))
+          .toDF("namespace", "tableName")
+          .createOrReplaceTempView(view)
+      })
+      Regex.quoteReplacement(s"SELECT namespace, tableName FROM $view")
     })
-    CatalogRefRe.replaceAllIn(afterShow, m => {
+    val bound = CatalogRefRe.replaceAllIn(afterShow, m => {
       val (ns, tbl) = (m.group(1), m.group(2))
-      val loc = client.metadataLocation(ns, tbl)
       val view = s"graft_iceberg_catalog_${viewCounter.incrementAndGet()}"
-      val tableRoot = loc.replaceAll("/metadata/[^/]+$", "")
-      IcebergLite.scan(spark, tableRoot, metadataLocation = Some(loc))
-        .createOrReplaceTempView(view)
+      binders += (() => {
+        val loc = client.metadataLocation(ns, tbl)
+        val tableRoot = loc.replaceAll("/metadata/[^/]+$", "")
+        IcebergLite.scan(spark, tableRoot, metadataLocation = Some(loc))
+          .createOrReplaceTempView(view)
+      })
       Regex.quoteReplacement(view)
     })
+    (bound, binders.result())
   }
 
-  def bindIcebergScans(spark: SparkSession, sql: String): String = {
+  /** Text-only planning for the `iceberg_scan` / `iceberg_metadata` /
+    * `iceberg_snapshots` table functions; same deferred-binder contract as
+    * [[planCatalogRefs]].
+    */
+  def planIcebergScans(spark: SparkSession, sql: String): (String, Seq[() => Unit]) = {
+    val binders = Seq.newBuilder[() => Unit]
     val scans = IcebergScanRe.replaceAllIn(sql, m => {
       val path = m.group(1)
       val snapshotId = Option(m.group(2)).map(_.toLong)
       val asOfMillis = Option(m.group(3)).map(parseTravelTimestamp)
       val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
-      IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view)
+      binders += (() =>
+        IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
     val withMeta = IcebergMetadataRe.replaceAllIn(scans, m => {
+      val path = m.group(1)
       val view = s"graft_iceberg_metadata_${viewCounter.incrementAndGet()}"
-      IcebergLite.metadataRelation(spark, m.group(1)).createOrReplaceTempView(view)
+      binders += (() =>
+        IcebergLite.metadataRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
+    val bound = IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
+      val path = m.group(1)
       val view = s"graft_iceberg_snapshots_${viewCounter.incrementAndGet()}"
-      IcebergLite.snapshotsRelation(spark, m.group(1)).createOrReplaceTempView(view)
+      binders += (() =>
+        IcebergLite.snapshotsRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
+    (bound, binders.result())
+  }
+
+  /** Full planning pass: catalog refs then scan functions, text-only.
+    * Returns the rewritten SQL (safe to validate) and the IO binders to
+    * run — in order — once validation accepts the statement.
+    */
+  def plan(spark: SparkSession, sql: String,
+      config: ConnectionConfig): (String, Seq[() => Unit]) = {
+    val (afterCatalog, catalogBinders) = planCatalogRefs(spark, sql, config)
+    val (bound, scanBinders) = planIcebergScans(spark, afterCatalog)
+    (bound, catalogBinders ++ scanBinders)
+  }
+
+  /** Immediate-execution forms (tests, ad-hoc callers): plan + bind. */
+  def bindCatalogRefs(spark: SparkSession, sql: String, config: ConnectionConfig): String = {
+    val (bound, binders) = planCatalogRefs(spark, sql, config)
+    binders.foreach(_.apply())
+    bound
+  }
+
+  def bindIcebergScans(spark: SparkSession, sql: String): String = {
+    val (bound, binders) = planIcebergScans(spark, sql)
+    binders.foreach(_.apply())
+    bound
   }
 }

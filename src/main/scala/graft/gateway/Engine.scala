@@ -52,16 +52,21 @@ object Engine {
       catch { case e: IcebergLite.DeleteGuardError => throw EngineError(400, e.getMessage) }
     }
 
+    // Plan the dialect rewrites text-only, validate, THEN run the binders:
+    // a statement the guard rejects must not trigger catalog HTTP fetches,
+    // Iceberg metadata/footer IO, or temp-view creation as side effects.
     val converted = DialectRewriter.convertReadParquet(sql, cfg)
-    val bound =
-      try DialectRewriter.bindIcebergScans(
-        spark, DialectRewriter.bindCatalogRefs(spark, converted, cfg))
+    val (bound, binders) =
+      try DialectRewriter.plan(spark, converted, cfg) // text-only (may reject a malformed travel timestamp)
       catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }
 
     SqlGuard.validate(spark, bound) match {
       case Left(r) => throw EngineError(400, r.message)
       case Right(_) => ()
     }
+
+    try binders.foreach(_.apply())
+    catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }
 
     val df =
       try spark.sql(bound)

@@ -100,8 +100,12 @@ object Dedup {
       .withColumn("n_sh", size(col("set")).cast("long"))
       // Prefix length |A| - ceil(t*|A|) + 1: two docs with jaccard >= t must
       // share a shingle within each other's prefix under the global order.
+      // The 1e-9 slack inside ceil keeps float rounding from pushing the
+      // product just above the exact integer (which would shorten the
+      // prefix and silently drop a true pair) — like the candidate-join
+      // bounds, rounding here may only ADMIT candidates.
       .withColumn("prefix", expr(
-        s"slice(set, 1, cast(size(set) - ceil(size(set) * $threshold) + 1 as int))"))
+        s"slice(set, 1, cast(size(set) - ceil(size(set) * $threshold - 1e-9) + 1 as int))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate generation: equi-join on prefix shingles, pruned row-locally
@@ -198,8 +202,15 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxDist.
-    * All-pairs form (exact); at corpus scale, band the signature into
-    * 16-bit chunks and equi-join chunks first (see simhashBandedCandidates).
+    * All-pairs form — the EXACT baseline; simhashBandedCandidates is the
+    * corpus-scale path. A pigeonhole-exact variant (maxDist+1 bands, join
+    * on exact band match) was measured and REJECTED here: simhash bits
+    * are corpus-biased (docs sharing a vocabulary push every bit the same
+    * way), so the 4-5-bit buckets a 32-bit/7-band split allows collapse
+    * into near-corpus-sized groups and the per-bucket quadratic join
+    * exceeds the plain cross join it replaces (8.3 s vs 1.8 s at sf0.1).
+    * Banding only wins with >= 8-bit bands, which caps the guaranteed-
+    * exact distance at 3 (see simhashBandedCandidates).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
     val sig = simhash(docs)

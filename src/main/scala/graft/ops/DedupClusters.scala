@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate CLUSTER resolution: pair generators (exact Jaccard,
   * MinHash LSH, SimHash) emit edges; keeping one doc per duplicate GROUP
@@ -28,13 +27,18 @@ object DedupClusters {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    // Eager checkpoint: materializes the (tiny) edge relation ONCE and
+    // truncates its lineage, so no per-round job DAG re-embeds the pair
+    // generator's plan (for verified-duplicate edges that is the whole
+    // PPJoin pipeline).
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = docs.select(col("doc_id").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var retired = List.empty[DataFrame]
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -42,15 +46,19 @@ object DedupClusters {
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
-      // One checkpointed plan per round: neighbor-min step (carrying the
-      // previous label for the convergence check), then the pointer jump
-      // as a self-join of the stepped relation. Two jobs per round: the
-      // eager checkpoint, and a shuffle-free changed-count over it.
+      // Neighbor-min step (carrying the previous label for the convergence
+      // check), checkpointed BEFORE the pointer jump: the self-join below
+      // consumes `stepped` on both sides, and without materialization the
+      // join+aggregate above would run twice per round.
       val stepped = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
+        .localCheckpoint()
+      // Pointer jump (label <- label(label), valid because a label is
+      // always some node's id) over the materialized step, then a
+      // shuffle-free changed-count on the checkpointed result.
       val next = stepped
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
           col("label") === col("jid"), "left")
@@ -59,12 +67,29 @@ object DedupClusters {
           col("prev"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("prev")).count()
+      // Prior rounds' checkpoint blocks are no longer reachable from the
+      // live plan — free them now instead of waiting for the GC-driven
+      // ContextCleaner, which lets storage accumulate across rounds on a
+      // big corpus.
+      retired.foreach(freeCheckpoint)
+      retired = List(labels, stepped)
       labels = next.select(col("id"), col("label"))
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
         System.err.println(s"[cc] round $iter: $changed labels changed")
     }
-    edges.unpersist()
+    retired.foreach(d => if (!(d eq labels)) freeCheckpoint(d))
+    freeCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Drop the storage blocks behind a localCheckpoint'd DataFrame. The
+    * checkpointed RDD hangs off the plan's LogicalRDD leaf; DataFrame
+    * .unpersist only touches CacheManager entries, not checkpoint blocks.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

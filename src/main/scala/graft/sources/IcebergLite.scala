@@ -303,7 +303,12 @@ object IcebergLite {
         for {
           phys <- physIds.get(id)
           physType <- physTypes.get(phys)
-          if icebergToSparkType(tpe).forall(_ == physType)
+          // The declared type MUST resolve and match: with Option.forall a
+          // declared type outside the mapping (decimal, uuid, nested, ...)
+          // would be trusted unverified, letting a type change on such a
+          // column scan silently wrong instead of staying refused.
+          declType <- icebergToSparkType(tpe)
+          if declType == physType
         } yield phys -> name
       }
     if (resolved.exists(_.isEmpty)) None
