@@ -2,15 +2,26 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import scala.util.control.NonFatal
 
 /** Near-duplicate CLUSTER resolution: pair generators (exact Jaccard,
   * MinHash LSH, SimHash) emit edges; keeping one doc per duplicate GROUP
-  * needs the connected components of that graph. Computed by iterative
-  * min-label propagation (each round: neighbors' labels -> min, one
-  * shuffle-join + one min-aggregate), converging in O(component diameter)
-  * rounds — duplicate clusters are shallow, so a handful of rounds at any
-  * corpus size. The iteration is driver-CONTROLLED but data never leaves
-  * the cluster: the driver sees only the changed-row count per round.
+  * needs the connected components of that graph.
+  *
+  * Scale shape: the iteration state is proportional to the EDGE-TOUCHED
+  * node set (docs that appear in at least one near-dup pair), never the
+  * corpus — singletons keep their own id and are attached with one final
+  * left join. A 100 TB corpus with a 0.1% duplicate rate iterates over
+  * 0.2% of the ids. Below a configurable edge threshold the components
+  * are solved by union-find on the driver (two longs per edge; the edge
+  * relation after verification is tiny relative to the corpus) and
+  * broadcast back — one collect + one broadcast join instead of a
+  * multi-round loop. Above it, iterative min-label propagation with
+  * pointer jumping (each round: neighbor-min join + label(label) jump),
+  * converging in O(log diameter) rounds. The loop is driver-CONTROLLED
+  * but data never leaves the cluster: the driver sees only the
+  * changed-row count per round.
   */
 object DedupClusters {
 
@@ -18,15 +29,13 @@ object DedupClusters {
     * smallest doc_id reachable through `pairs` (i,j edges); singletons
     * keep their own id. Deterministic for any edge set.
     *
-    * Two things make the loop viable: (a) `localCheckpoint` truncates the
-    * plan each round — without it every iteration's logical plan embeds
-    * all prior rounds and Catalyst analysis/codegen grows quadratically;
-    * (b) a pointer-jumping step (label <- label(label), valid because a
-    * label is always some node's id) collapses chains exponentially, so
-    * rounds are O(log diameter) instead of O(diameter).
+    * `driverEdgeLimit`: max number of (i,j) pairs solved driver-side
+    * (long ids only). 2M pairs ≈ 32 MB collected — well under driver
+    * headroom; set 0 to force the distributed loop.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+    val idType = docs.schema("doc_id").dataType
     // Eager checkpoint: materializes the (tiny) edge relation ONCE and
     // truncates its lineage, so no per-round job DAG re-embeds the pair
     // generator's plan (for verified-duplicate edges that is the whole
@@ -34,7 +43,62 @@ object DedupClusters {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("id"))
+    val edgeRows = edges.count()
+    val integralIds = idType == LongType || idType == IntegerType
+
+    val labelled: DataFrame =
+      if (integralIds && edgeRows <= 2 * driverEdgeLimit)
+        driverUnionFind(docs, edges, idType)
+      else distributedLabelProp(docs, edges, maxIter)
+
+    freeCheckpoint(edges)
+    labelled
+  }
+
+  /** Fast path: union-find over the collected edge list (representative =
+    * component minimum via min-root union), broadcast the non-singleton
+    * (id -> min) map back, left-join. One Spark action + one broadcast
+    * join regardless of component diameter.
+    */
+  private def driverUnionFind(docs: DataFrame, edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def root(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // Path compression: point every node on the walk at the root.
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
+        val (ra, rb) = (root(row.getLong(0)), root(row.getLong(1)))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    val mapping = parent.keys.toSeq.map(id => (id, root(id))).filter(t => t._1 != t._2)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mapDf = mapping.toDF("m_id", "m_label")
+      .select(col("m_id").cast(idType), col("m_label").cast(idType))
+    docs.select(col("doc_id")).distinct()
+      .join(broadcast(mapDf), col("doc_id") === col("m_id"), "left")
+      .select(col("doc_id"), coalesce(col("m_label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Distributed path: min-label propagation restricted to edge-touched
+    * nodes, with a pointer-jumping step (label <- label(label), valid
+    * because a label is always some node's id) that collapses chains
+    * exponentially — O(log diameter) rounds. `localCheckpoint` truncates
+    * the plan each round; without it every iteration's logical plan
+    * embeds all prior rounds and Catalyst analysis grows quadratically.
+    */
+  private def distributedLabelProp(docs: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    // Only nodes with at least one edge can change label; everything else
+    // is a singleton attached after the loop. Keeps per-round state
+    // proportional to duplicates, not corpus size.
+    var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -56,9 +120,8 @@ object DedupClusters {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
         .localCheckpoint()
-      // Pointer jump (label <- label(label), valid because a label is
-      // always some node's id) over the materialized step, then a
-      // shuffle-free changed-count on the checkpointed result.
+      // Pointer jump over the materialized step, then a shuffle-free
+      // changed-count on the checkpointed result.
       val next = stepped
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
           col("label") === col("jid"), "left")
@@ -78,9 +141,11 @@ object DedupClusters {
       if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
         System.err.println(s"[cc] round $iter: $changed labels changed")
     }
-    retired.foreach(d => if (!(d eq labels)) freeCheckpoint(d))
-    freeCheckpoint(edges)
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val out = docs.select(col("doc_id")).distinct()
+      .join(labels.select(col("id"), col("label")), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    retired.foreach(freeCheckpoint)
+    out
   }
 
   /** Drop the storage blocks behind a localCheckpoint'd DataFrame. The
@@ -91,5 +156,5 @@ object DedupClusters {
     try df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
 }

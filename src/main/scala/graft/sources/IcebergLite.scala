@@ -331,6 +331,8 @@ object IcebergLite {
       case _ => None
     }
 
+  private val DecimalTypeRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
   private def icebergToSparkType(name: String): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     name match {
@@ -343,7 +345,10 @@ object IcebergLite {
       case "date" => Some(DateType)
       case "timestamptz" | "timestamp" => Some(TimestampType)
       case "binary" => Some(BinaryType)
-      case _ => None
+      case DecimalTypeRe(p, s) => Some(DecimalType(p.toInt, s.toInt))
+      // Iceberg uuid is parquet fixed[16]; Spark surfaces it as binary.
+      case "uuid" => Some(BinaryType)
+      case _ => None // nested/list/map/time: field-id projection refuses, loudly
     }
   }
 
@@ -430,17 +435,25 @@ object IcebergLite {
       val missing = declaredData.filterNot(physical.contains)
       val extra = physical.filterNot(declaredData.contains)
       if (missing.nonEmpty || extra.nonEmpty) {
-        val byId = currentSchemaFieldIds(meta).flatMap(ids =>
+        val declaredFieldIds = currentSchemaFieldIds(meta)
+        val byId = declaredFieldIds.flatMap(ids =>
           fieldIdRenames(conf, dataEntries.head.path, fileSchema, ids, partCols))
         byId match {
           case Some(rs) => renames = rs.filter { case (p, d) => p != d }
-          case None => throw ProbeError(
-            s"Schema mismatch between Iceberg metadata and data files at $tablePath " +
-              s"(declared-but-absent: ${missing.mkString(",")}; " +
-              s"present-but-undeclared: ${extra.mkString(",")}) and field-id " +
-              "projection cannot reconcile them (dropped column, changed type, " +
-              "or data files without field ids), so the scan is refused rather " +
-              "than silently wrong.")
+          case None =>
+            val unmapped = declaredFieldIds.toSeq.flatten.collect {
+              case (_, n, t) if icebergToSparkType(t).isEmpty => s"$n:$t"
+            }
+            val unmappedNote =
+              if (unmapped.isEmpty) ""
+              else s"; declared types outside the reader's mapping: ${unmapped.mkString(",")}"
+            throw ProbeError(
+              s"Schema mismatch between Iceberg metadata and data files at $tablePath " +
+                s"(declared-but-absent: ${missing.mkString(",")}; " +
+                s"present-but-undeclared: ${extra.mkString(",")}) and field-id " +
+                "projection cannot reconcile them (dropped column, changed type, " +
+                "or data files without field ids), so the scan is refused rather " +
+                s"than silently wrong$unmappedNote.")
         }
       }
     }

@@ -251,6 +251,10 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     label.groupBy(_._2).foreach { case (cid, members) =>
       assert(members.keys.min == cid)
     }
+    // The distributed label-propagation path (forced via driverEdgeLimit=0)
+    // resolves the identical components as the driver union-find fast path.
+    val ccDist = DedupClusters.connectedComponents(docs, pairs, driverEdgeLimit = 0L)
+    assert(ccDist.exceptAll(cc).isEmpty && cc.exceptAll(ccDist).isEmpty)
   }
 
   test("distributed global ntile/rowNumber match the single-reducer window forms") {
