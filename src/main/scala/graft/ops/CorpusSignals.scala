@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text signals that need aggregation (unlike the row-local
+  * TextOps): repetition profiling, distinctive-term extraction, and
+  * token-window chunking. All outputs are integers/strings so any engine
+  * reproduces them bit-exactly.
+  */
+object CorpusSignals {
+
+  /** Gopher-style repetition signals per document: total word count, the
+    * occurrence count of the most frequent word, and how many 2-gram
+    * occurrences are repeats (total minus distinct). High values flag
+    * boilerplate/spam for curation filters.
+    *
+    * Scale shape: explode + two hash aggregates keyed on (doc_id, token)
+    * then doc_id — map-side partial aggregation bounds shuffle volume by
+    * the per-partition distinct token count, and no stage ever holds more
+    * than one doc's counts. Linear at any corpus size.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+    val wc = toks
+      .select(col("doc_id"), explode(split(col("lt"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val top = wc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_n"), sum(col("c")).as("n_words"))
+    val grams = toks
+      .select(col("doc_id"), explode(expr("ngram_shingles(lt, 2)")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_2grams"),
+        countDistinct(col("g")).as("n_distinct_2grams"))
+    top.join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_2grams") - col("n_distinct_2grams"), lit(0L)).as("dup_2grams"))
+  }
+
+  /** The corpus-RAREST term each document contains (minimum document
+    * frequency, ties broken by term) — distinctive-term tagging, the
+    * integer-exact cousin of tf-idf keyword extraction (argmax of
+    * idf alone, so no float log/division enters the result).
+    *
+    * Scale shape: distinct (doc_id, term) pairs -> df aggregate keyed on
+    * the term -> join back on the term -> per-doc min. Two shuffles on
+    * the term, one on doc_id; the df relation is vocabulary-sized.
+    */
+  def rarestTerm(docs: DataFrame): DataFrame = {
+    val docTerms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .distinct()
+    val dfreq = docTerms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    docTerms.join(dfreq, "w")
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("df"), col("w"))).as("m"))
+      .select(col("doc_id"), col("m.w").as("rare_term"), col("m.df").as("df"))
+  }
+
+  /** Overlapping token-window chunks — the retrieval/context-window prep
+    * step. Chunk k covers tokens [k*stride, k*stride + window); the last
+    * chunk starts at the smallest multiple of stride reaching the tail.
+    * Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_md5) — the md5
+    * stands in for the chunk text to keep results compact; the text
+    * itself is `concat_ws` of the same slice.
+    *
+    * Scale shape: map-only (generate indices + slice per row, explode) —
+    * no shuffle, runs at scan speed and stays in whole-stage codegen.
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, (greatest(size(toks) - $window, 0) + ${stride - 1}) div $stride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(toks, chunk_idx * $stride + 1, $window)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+  }
+}

@@ -51,4 +51,46 @@ object Decontamination {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Same answer as [[ngramOverlap]], executed with a Bloom prefilter:
+    * the benchmark's shingle set is sketched once (treeAggregate — the
+    * only imperative step, and it builds a bounded-size sketch, not
+    * data), and the CORPUS side drops non-candidate shingles at scan
+    * speed before the shuffle. At 100 TB this is the difference between
+    * shuffling every corpus shingle and shuffling only the ~fpp false
+    * positives plus true hits; the exact join over survivors removes the
+    * false positives, so the result is still exact.
+    *
+    * `expectedItems` sizes the sketch (default 1M ≈ 1.2 MB at 1% fpp;
+    * size it to the benchmark's distinct-shingle count at scale).
+    */
+  private val bloomFnCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  def ngramOverlapBloom(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minShared: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bs = Dedup.shingles(benchmark, n)
+      .select(col("doc_id").as("bench_doc_id"), col("shingle"))
+    val bloom = bs.select(col("shingle"))
+      .rdd.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, row) => { f.putString(row.getString(0)); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    // A runtime object can't ride a SQL string into expr(); a uniquely
+    // named temp function whose builder closes over the filter carries it
+    // into the plan (resolution inlines the expression, so later
+    // registrations can't clobber this query).
+    val fname = s"graft_bloom_probe_${bloomFnCounter.incrementAndGet()}"
+    corpus.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.BloomMightContainString(exprs.head, bloom),
+      "built-in")
+    val cs = Dedup.shingles(corpus, n)
+      .select(col("doc_id").as("corpus_doc_id"), col("shingle"))
+      .filter(expr(s"$fname(shingle)"))
+    bs.join(cs, "shingle")
+      .filter(col("bench_doc_id") =!= col("corpus_doc_id"))
+      .groupBy(col("bench_doc_id"), col("corpus_doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -654,5 +654,79 @@ object PipelineOps {
         |  FROM documents) f""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.fromDocuments(t(s, dir, "documents")), 5)
     },
+
+    // Gopher-style repetition signals: integer counts only, so any engine
+    // reproduces them exactly (no fraction arithmetic enters the result).
+    Q.df(
+      "p37_repetition",
+      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(w) AS word FROM ws) x GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |  CAST(MAX(c) AS BIGINT) AS top_word_n FROM wc GROUP BY 1),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram FROM ws WHERE len(w) >= 2),
+        |ga AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_2grams,
+        |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS nd FROM g GROUP BY 1)
+        |SELECT t.doc_id, t.n_words, t.top_word_n,
+        |  COALESCE(ga.n_2grams, 0) AS n_2grams,
+        |  COALESCE(ga.n_2grams - ga.nd, 0) AS dup_2grams
+        |FROM top t LEFT JOIN ga USING (doc_id)""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.repetitionSignals(t(s, dir, "documents"))
+    },
+
+    // Retrieval-prep chunking: overlapping 64-token windows, stride 48.
+    // Map-only — no shuffle at any corpus size.
+    Q.df(
+      "p38_chunk",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, unnest(generate_series(0,
+        |  ((CASE WHEN len(w) > 64 THEN len(w) - 64 ELSE 0 END) + 47) // 48)) AS k
+        |  FROM ws)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(w, k * 48 + 1, k * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, k * 48 + 1, k * 48 + 64), ' ')) AS chunk_md5
+        |FROM k""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.chunk(t(s, dir, "documents"), 64, 48)
+    },
+
+    // Distinctive-term extraction: the corpus-rarest term per doc (argmax
+    // of idf alone — integer document frequencies, no float log).
+    Q.df(
+      "p39_rare_terms",
+      """WITH wrd AS (SELECT DISTINCT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents) x),
+        |dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM wrd GROUP BY 1),
+        |r AS (SELECT doc_id, word, df, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY df, word) AS rn
+        |  FROM wrd JOIN dfq USING (word))
+        |SELECT doc_id, word AS rare_term, df FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.rarestTerm(t(s, dir, "documents"))
+    },
+
+    // Bloom-prefiltered n-gram decontamination: same answer as the plain
+    // join (the oracle states it directly), but the corpus side is
+    // filtered through a broadcast Bloom sketch of the benchmark's
+    // shingles BEFORE the shuffle — at 100 TB only ~fpp of corpus
+    // shingles travel. 6-grams, >=2 shared, vs p32's 8-grams/>=3.
+    Q.df(
+      "p40_decontam_bloom",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |    < ${graft.ops.Sampling.thresholdFor(0.05)}),
+         |${shingleCteN(6, "documents", "csh")},
+         |${shingleCteN(6, "bench", "bsh")}
+         |SELECT bench_doc_id, corpus_doc_id, shared FROM (
+         |  SELECT b.doc_id AS bench_doc_id, c.doc_id AS corpus_doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM bsh b JOIN csh c ON b.shingle = c.shingle AND b.doc_id <> c.doc_id
+         |  GROUP BY 1, 2) p
+         |WHERE shared >= 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontamination.ngramOverlapBloom(
+        docs, graft.ops.Sampling.hashSample(docs, 0.05, col("doc_id")), 6, 2)
+    },
   )
 }

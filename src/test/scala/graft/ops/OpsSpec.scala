@@ -257,6 +257,52 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ccDist.exceptAll(cc).isEmpty && cc.exceptAll(ccDist).isEmpty)
   }
 
+  test("bloom-prefiltered decontam equals the plain join, even with a saturated sketch") {
+    val bench = Sampling.hashSample(docs, 0.1, col("doc_id"))
+    val plain = Decontamination.ngramOverlap(docs, bench, 5, 2)
+    val bloomed = Decontamination.ngramOverlapBloom(docs, bench, 5, 2)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // An undersized sketch (expectedItems=1 => near-100% false positives)
+    // must still give the exact answer: the join re-verifies candidates.
+    val saturated = Decontamination.ngramOverlapBloom(docs, bench, 5, 2,
+      expectedItems = 1L, fpp = 0.5)
+    assert(saturated.exceptAll(plain).isEmpty && plain.exceptAll(saturated).isEmpty)
+  }
+
+  test("chunking covers every token exactly once per window position") {
+    val chunks = CorpusSignals.chunk(docs, 64, 48)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == toks.keySet) // every doc chunked, even short ones
+    byDoc.foreach { case (id, rows) =>
+      val n = toks(id)
+      val expected = (math.max(n - 64, 0) + 47) / 48 + 1
+      assert(rows.length == expected, s"doc $id: ${rows.length} chunks, want $expected")
+      val idx = rows.map(_.getLong(1)).sorted
+      assert(idx.sameElements(0L until expected)) // contiguous chunk indices
+      rows.foreach { r => // every chunk is the real slice length
+        val len = math.min(64, n - r.getLong(1) * 48)
+        assert(r.getLong(2) == len)
+      }
+    }
+  }
+
+  test("repetition signals: constructed repeats produce the expected counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),        // top word 3x, 2-grams: [a a, a a, a b] -> 1 dup
+      (2L, "x y"),            // no repetition
+      (3L, "w")               // single token: zero 2-grams
+    ).toDF("doc_id", "text")
+    val got = CorpusSignals.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((4L, 3L, 3L, 1L)))
+    assert(got(2L) == ((2L, 1L, 1L, 0L)))
+    assert(got(3L) == ((1L, 1L, 0L, 0L)))
+  }
+
   test("distributed global ntile/rowNumber match the single-reducer window forms") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.t(spark, sf0001, "orders")
