@@ -93,6 +93,32 @@ object IcebergLiteWriter {
       partitionBy: Seq[String] = Nil): Unit =
     commit(spark, df, tableDir, SaveMode.Append, withDeleteManifest = false, partitionBy)
 
+  /** Stamp each column with its declared Iceberg field id (ordinal, the
+    * same assignment as schemaFieldsJson) so the parquet files carry
+    * `parquet.field.id` like real Iceberg writers — the reader's
+    * field-id-based projection of evolved (renamed) tables depends on it.
+    * The session conf flip is restored afterwards: this writer must not
+    * change how the caller's OTHER parquet writes behave.
+    */
+  private def writeStampedParquet(spark: SparkSession, df: DataFrame,
+      dir: String, mode: SaveMode, partCols: Seq[String]): Unit = {
+    val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
+    }.toIndexedSeq: _*)
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      val writer = withIds.write.mode(mode)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    } finally priorFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
+  }
+
   /** File-footer statistics for one parquet data file. */
   private final case class FileStats(
       recordCount: Long,
@@ -214,27 +240,7 @@ object IcebergLiteWriter {
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(m => IcebergLite.partitionColumns(m)).getOrElse(Nil)
 
-    // Stamp each column with its declared Iceberg field id (ordinal, the
-    // same assignment as schemaFieldsJson) so the parquet files carry
-    // `parquet.field.id` like real Iceberg writers — the reader's
-    // field-id-based projection of evolved (renamed) tables depends on it.
-    // The session conf flip is restored afterwards: this writer must not
-    // change how the caller's OTHER parquet writes behave.
-    val withIds = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      org.apache.spark.sql.functions.col(f.name).as(f.name,
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
-    }.toIndexedSeq: _*)
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val priorFieldId = spark.conf.getOption(fieldIdKey)
-    spark.conf.set(fieldIdKey, "true")
-    try {
-      val writer = withIds.write.mode(mode)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
-    } finally priorFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
-    }
+    writeStampedParquet(spark, df, dataDir, mode, partCols)
 
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)
@@ -243,22 +249,9 @@ object IcebergLiteWriter {
 
     val entries = dataFiles.map { s =>
       val stats = footerStats(conf, s.getPath)
-      val dataFile = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
-      dataFile.put("content", 0)
-      dataFile.put("file_path", s.getPath.toString)
-      dataFile.put("file_format", "PARQUET")
-      dataFile.put("record_count", stats.recordCount)
-      dataFile.put("file_size_in_bytes", s.getLen)
-      dataFile.put("partition", toJavaMap(partitionValuesOf(dataPath, s.getPath)))
-      dataFile.put("lower_bounds", toJavaMap(stats.lower))
-      dataFile.put("upper_bounds", toJavaMap(stats.upper))
-      dataFile.put("null_value_counts", toJavaLongMap(stats.nullCounts))
-      val entry = new GenericData.Record(ManifestEntrySchema)
-      entry.put("status", 1) // ADDED
-      entry.put("snapshot_id", null)
-      entry.put("data_file", dataFile)
-      entry: GenericRecord
+      entryRecord(1, s.getPath.toString, stats.recordCount, s.getLen,
+        partitionValuesOf(dataPath, s.getPath),
+        stats.lower, stats.upper, stats.nullCounts)
     }
 
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -279,6 +272,108 @@ object IcebergLiteWriter {
 
     commitSnapshot(conf, tableDir, prior, snapshotId, newManifests,
       schemaJson = Some(schemaFieldsJson(df.schema)), partCols = partCols)
+  }
+
+  /** One manifest entry (status 0=EXISTING / 1=ADDED) for a data file. */
+  private def entryRecord(status: Int, path: String, recordCount: Long,
+      fileSize: Long, partition: Map[String, String],
+      lower: Map[String, String], upper: Map[String, String],
+      nullCounts: Map[String, Long]): GenericRecord = {
+    val dataFile = new GenericData.Record(
+      ManifestEntrySchema.getField("data_file").schema())
+    dataFile.put("content", 0)
+    dataFile.put("file_path", path)
+    dataFile.put("file_format", "PARQUET")
+    dataFile.put("record_count", recordCount)
+    dataFile.put("file_size_in_bytes", fileSize)
+    dataFile.put("partition", toJavaMap(partition))
+    dataFile.put("lower_bounds", toJavaMap(lower))
+    dataFile.put("upper_bounds", toJavaMap(upper))
+    dataFile.put("null_value_counts", toJavaLongMap(nullCounts))
+    val entry = new GenericData.Record(ManifestEntrySchema)
+    entry.put("status", status)
+    entry.put("snapshot_id", null)
+    entry.put("data_file", dataFile)
+    entry
+  }
+
+  /** Result of one [[compact]] call: how many small files were rewritten
+    * into how many consolidated ones (0/0 = nothing to do, no commit).
+    */
+  final case class CompactionResult(rewritten: Int, written: Int)
+
+  /** Small-file compaction: rewrite every partition's sub-target-size data
+    * files into ~targetBytes consolidated files and commit the result as a
+    * REPLACE snapshot (new manifest lists surviving + compacted files; the
+    * prior snapshot keeps its own manifests, so time travel to it still
+    * reads the pre-compaction layout). The operational answer to the
+    * many-small-files degradation the reference documents
+    * (/root/reference/README.md:232, ~10k-file threshold): scan planning
+    * and footer overhead are proportional to FILE COUNT, not data size,
+    * so at 100 TB an uncompacted ingest pattern dominates query latency.
+    *
+    * Refuses tables with row-level deletes: a rewrite invalidates the
+    * (file, position) coordinates position-deletes point at.
+    */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20): CompactionResult = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = IcebergLite.latestMetadataPath(conf, tableDir).getOrElse(
+      throw IcebergLite.ProbeError(s"No Iceberg metadata at $tableDir"))
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val entries = IcebergLite.fileEntries(conf, tableDir)
+    if (entries.exists(e => e.fileContent != 0 || e.manifestContent != 0))
+      throw IcebergLite.ProbeError(
+        s"Compaction refused: $tableDir has row-level delete files, and " +
+          "rewriting data files would invalidate their (file, position) " +
+          "coordinates. Apply or drop the deletes first.")
+
+    val dataPath = new Path(s"$tableDir/data")
+    val fs = dataPath.getFileSystem(conf)
+    val survivors = mutable.Buffer.empty[IcebergLite.FileEntry]
+    val newFiles = mutable.Buffer.empty[Path]
+    var rewritten = 0
+    entries.groupBy(_.partitionValues).foreach { case (_, group) =>
+      val small = group.filter(_.fileSize < targetBytes)
+      if (small.size < 2) survivors ++= group
+      else {
+        survivors ++= group.filterNot(small.contains)
+        // The partition's directory is where its files already live; the
+        // compacted replacements land beside them (partitionValuesOf
+        // re-derives the same partition tuple from the path).
+        val destDir = new Path(small.head.path).getParent
+        val before = listParquet(fs, destDir).map(_.getPath.toString).toSet
+        val nOut = math.max(1,
+          math.ceil(small.map(_.fileSize).sum.toDouble / targetBytes).toInt)
+        val df = spark.read.parquet(small.map(_.path): _*).coalesce(nOut)
+        writeStampedParquet(spark, df, destDir.toString, SaveMode.Append, Nil)
+        newFiles ++= listParquet(fs, destDir)
+          .map(_.getPath).filterNot(p => before.contains(p.toString))
+        rewritten += small.size
+      }
+    }
+    if (rewritten == 0) return CompactionResult(0, 0)
+
+    val newEntries = newFiles.toSeq.map { p =>
+      val stats = footerStats(conf, p)
+      entryRecord(1, p.toString, stats.recordCount,
+        fs.getFileStatus(p).getLen, partitionValuesOf(dataPath, p),
+        stats.lower, stats.upper, stats.nullCounts)
+    }
+    val carried = survivors.toSeq.map(e =>
+      entryRecord(0, e.path, e.recordCount, e.fileSize, e.partitionValues,
+        e.lowerBounds, e.upperBounds, e.nullCounts))
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val manifestPath = new Path(s"$tableDir/metadata/manifest-$snapshotId-m0.avro")
+    val manifestLen = writeAvro(conf, manifestPath, ManifestEntrySchema,
+      carried ++ newEntries)
+    commitSnapshot(conf, tableDir, Some(meta), snapshotId,
+      Seq((manifestPath.toString, manifestLen, 0)), schemaJson = None,
+      partCols = IcebergLite.partitionColumns(meta),
+      carryPriorManifests = false, operation = "replace")
+    CompactionResult(rewritten, newFiles.size)
   }
 
   /** Commit a position-delete snapshot: writes the (file_path, pos) rows as
@@ -377,10 +472,15 @@ object IcebergLiteWriter {
   private def commitSnapshot(conf: Configuration, tableDir: String,
       prior: Option[graft.gateway.JValue.JObj], snapshotId: Long,
       newManifests: Seq[(String, Long, Int)], schemaJson: Option[String],
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String], carryPriorManifests: Boolean = true,
+      operation: String = "append"): Unit = {
     val metaDir = s"$tableDir/metadata"
-    val priorManifests = prior.toSeq.flatMap(m =>
-      IcebergLite.currentManifests(conf, tableDir, m))
+    // REPLACE commits (compaction) write a complete manifest themselves;
+    // carrying the prior ones would resurrect the rewritten files.
+    val priorManifests =
+      if (carryPriorManifests)
+        prior.toSeq.flatMap(m => IcebergLite.currentManifests(conf, tableDir, m))
+      else Nil
     val carried = priorManifests.map { m =>
       val p = new Path(m.path)
       manifestFileRecord(m.path, p.getFileSystem(conf).getFileStatus(p).getLen,
@@ -398,7 +498,7 @@ object IcebergLiteWriter {
          |      "snapshot-id": $snapshotId,
          |      "timestamp-ms": $nowMs,
          |      "manifest-list": "$manifestListPath",
-         |      "summary": {"operation": "append"}
+         |      "summary": {"operation": "$operation"}
          |    }""".stripMargin
     val priorSnapshots = prior.toSeq.flatMap(_.get("snapshots")).flatMap {
       case graft.gateway.JValue.JArr(items) => items.map(graft.gateway.Json.render)

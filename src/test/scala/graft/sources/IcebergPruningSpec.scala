@@ -217,4 +217,62 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(entries == IcebergLite.fileEntries(conf, dir), "deterministic order")
     assert(IcebergLite.scan(spark, dir).count() == 1500)
   }
+
+  test("compaction consolidates small files; old snapshot still time-travels") {
+    val dir = tmpDir("iceberg_compact") + "/warehouse/orders_compact"
+    val orders = Tables.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // 6 append commits -> 6 tiny files, the small-file ingest pattern.
+    IcebergLiteWriter.write(spark, orders.filter(col("o_orderkey") % 6 === 0), dir)
+    (1 until 6).foreach(i =>
+      IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 6 === i), dir))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val beforeFiles = IcebergLite.fileEntries(conf, dir)
+    assert(beforeFiles.length >= 6)
+    val beforeSnapshot = IcebergLite.readMetadataJson(conf,
+      IcebergLite.latestMetadataPath(conf, dir).get)
+    val beforeId = beforeSnapshot.get("current-snapshot-id").collect {
+      case graft.gateway.JValue.JNum(n) => n.toLong
+    }
+    assert(beforeId.nonEmpty)
+
+    val res = IcebergLiteWriter.compact(spark, dir)
+    assert(res.rewritten == beforeFiles.length && res.written == 1,
+      s"expected all ${beforeFiles.length} tiny files -> 1, got $res")
+    val after = IcebergLite.fileEntries(conf, dir)
+    assert(after.length == 1)
+    // Same rows, exactly once, through the compacted layout.
+    val scanned = IcebergLite.scan(spark, dir)
+    assert(scanned.count() == 1500)
+    assert(scanned.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0)
+      == orders.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0))
+    // The pre-compaction snapshot still reads the old 6-file layout.
+    beforeId.foreach { id =>
+      assert(IcebergLite.scan(spark, dir, snapshotId = Some(id)).count() == 1500)
+      assert(IcebergLite.fileEntries(conf, dir, snapshotId = Some(id)).length
+        == beforeFiles.length)
+    }
+    // Idempotent: a second pass finds one target-size file and commits nothing.
+    val again = IcebergLiteWriter.compact(spark, dir)
+    assert(again == IcebergLiteWriter.CompactionResult(0, 0))
+    // Partitioned tables compact within partitions, never across.
+    val pdir = tmpDir("iceberg_compact_p") + "/warehouse/orders_compact_p"
+    val withStatus = Tables.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IcebergLiteWriter.write(spark, withStatus.filter(col("o_orderkey") % 2 === 0),
+      pdir, partitionBy = Seq("o_orderstatus"))
+    IcebergLiteWriter.append(spark, withStatus.filter(col("o_orderkey") % 2 === 1), pdir)
+    val pres = IcebergLiteWriter.compact(spark, pdir)
+    assert(pres.written == 3, s"one compacted file per partition, got $pres")
+    val pafter = IcebergLite.fileEntries(conf, pdir)
+    assert(pafter.groupBy(_.partitionValues).forall(_._2.length == 1))
+    assert(IcebergLite.scan(spark, pdir).count() == 1500)
+    // Merge-on-read tables are refused, not silently rewritten.
+    val ddir = tmpDir("iceberg_compact_d") + "/warehouse/orders_compact_d"
+    IcebergLiteWriter.write(spark, orders, ddir)
+    IcebergLiteWriter.addPositionDeletes(spark, ddir,
+      Seq((IcebergLite.fileEntries(conf, ddir).head.path, 0L)))
+    val err = intercept[IcebergLite.ProbeError](IcebergLiteWriter.compact(spark, ddir))
+    assert(err.getMessage.contains("Compaction refused"))
+  }
 }
