@@ -160,7 +160,7 @@ object Similarity {
     * for ANN indexes at corpus scale. Row-local and fully deterministic
     * (max, division, and floor are exact-rounded the same way in any
     * IEEE engine), so quantized indexes are reproducible across runs and
-    * engines. Returns (vec_id, scale, q) with q an int array.
+    * engines. Returns (vec_id, amax, scale, q) with q an int array.
     */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
@@ -171,7 +171,29 @@ object Similarity {
         when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(1.0)))
       .withColumn("q",
         expr("transform(v, x -> CAST(FLOOR(x * scale + 0.5D) AS INT))"))
-      .select(col("vec_id"), col("scale"), col("q"))
+      .select(col("vec_id"), col("amax"), col("scale"), col("q"))
+
+  /** Brute-force top-k over int8-QUANTIZED vectors: the memory-bound scale
+    * path (a quantized 100 TB index is 25 TB — often the difference
+    * between spilling and staying resident). Scoring is the integer dot
+    * product dequantized by the two amax factors: every product/sum is an
+    * exact small integer in doubles (<= 127^2 * dims << 2^53), so ranking
+    * is deterministic and any engine reproduces the scores bit-exactly.
+    * Same broadcast + bounded-heap shape as [[bruteForceTopK]].
+    */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    def qd(df: DataFrame) = quantizeInt8(df)
+      .select(col("vec_id"), col("amax"),
+        expr("transform(q, x -> CAST(x AS DOUBLE))").as("qv"))
+    val d = qd(emb)
+    val q = qd(queries)
+      .select(col("vec_id").as("q_id"), col("amax").as("q_amax"), col("qv").as("qqv"))
+    val scored = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(qqv, qv)") * col("q_amax") * col("amax") / lit(16129.0))
+    rankTopK(scored, k).withColumnRenamed("cos", "adot")
+  }
 
   /** One k-means refinement step (the M-step) over the IVF assignment:
     * per (cell, dimension) centroid means. The mean is computed as a

@@ -728,5 +728,31 @@ object PipelineOps {
       graft.ops.Decontamination.ngramOverlapBloom(
         docs, graft.ops.Sampling.hashSample(docs, 0.05, col("doc_id")), 6, 2)
     },
+
+    // ANN over the int8-quantized index (p35's quantizer feeding p09's
+    // broadcast + bounded-heap search): integer dot products dequantized
+    // by the amax factors — exact small-integer arithmetic in doubles, so
+    // the ranking is reproducible bit-for-bit in any engine.
+    Q.df(
+      "p41_ann_quantized_topk",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |s AS (SELECT vec_id, v, amax, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale FROM a),
+        |qz AS (SELECT vec_id, amax,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * scale + 0.5) AS INT) AS DOUBLE)) AS qv FROM s),
+        |qq AS (SELECT vec_id AS q_id, amax AS q_amax, qv AS qqv FROM qz WHERE vec_id < 8),
+        |scored AS (SELECT qq.q_id, d.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(qqv)), k -> qqv[k] * qv[k]))
+        |    * q_amax * amax / 16129.0 AS adot
+        |  FROM qz d JOIN qq ON d.vec_id <> qq.q_id)
+        |SELECT q_id, n_id, rnk, adot FROM (
+        |  SELECT q_id, n_id, adot,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, n_id) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    },
   )
 }

@@ -257,6 +257,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ccDist.exceptAll(cc).isEmpty && cc.exceptAll(ccDist).isEmpty)
   }
 
+  test("quantized ANN recovers most of the exact top-k") {
+    val q = emb.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, 10))
+    val quant = pairs(Similarity.quantizedTopK(emb, q, 10))
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"int8 recall vs exact top-10 too low: $overlap")
+  }
+
   test("bloom-prefiltered decontam equals the plain join, even with a saturated sketch") {
     val bench = Sampling.hashSample(docs, 0.1, col("doc_id"))
     val plain = Decontamination.ngramOverlap(docs, bench, 5, 2)
