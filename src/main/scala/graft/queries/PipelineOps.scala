@@ -754,5 +754,20 @@ object PipelineOps {
       Similarity.quantizedTopK(emb,
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
     },
+
+    // Skew-safe fact-to-dim join: same rows as the plain equi-join (the
+    // oracle), but a hot user_id's events land on 16 reducers, not one.
+    Q.df(
+      "p42_salted_join",
+      """SELECT e.event_id, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.Skew.saltedJoin(
+          t(s, dir, "events"),
+          t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          "user_id", "c_custkey", col("event_id"))
+          .select(col("event_id"), col("c_nationkey"))
+    },
   )
 }

@@ -400,7 +400,8 @@ object IcebergLite {
       snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None,
       applyDeletes: Boolean = false,
-      metadataLocation: Option[String] = None): DataFrame = {
+      metadataLocation: Option[String] = None,
+      excludeDataFiles: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -409,9 +410,14 @@ object IcebergLite {
     val snapId = snapshotId.orElse(asOfMillis.map(ts =>
       snapshotIdAsOfMeta(meta, ts, tablePath)))
     val entries = fileEntries(conf, tablePath, snapId, metadataLocation)
-    val dataEntries = entries.filter(e => e.manifestContent == 0 && e.fileContent == 0)
-    if (dataEntries.isEmpty)
+    // allData drives schema/partition-type derivation; dataEntries (the
+    // possibly-excluded subset, used by incrementalScan) drives the file
+    // index — an empty INCREMENT over a non-empty table is a valid empty
+    // scan with the table's real schema.
+    val allData = entries.filter(e => e.manifestContent == 0 && e.fileContent == 0)
+    if (allData.isEmpty)
       throw ProbeError(s"No data files in Iceberg table at $tablePath")
+    val dataEntries = allData.filterNot(e => excludeDataFiles.contains(e.path))
 
     val partCols = partitionColumns(meta)
     val declared = currentSchemaFields(meta)
@@ -421,7 +427,7 @@ object IcebergLite {
     // per head-file path — a path names immutable content in Iceberg, and
     // re-reading a footer per scan() call is planning overhead at scale.
     val fileSchema = footerSchemaCache.computeIfAbsent(
-      dataEntries.head.path, p => spark.read.parquet(p).schema)
+      allData.head.path, p => spark.read.parquet(p).schema)
 
     // Schema-evolution guard: if the metadata declares a schema and the
     // file columns disagree by name, try field-id projection (renamed
@@ -437,7 +443,7 @@ object IcebergLite {
       if (missing.nonEmpty || extra.nonEmpty) {
         val declaredFieldIds = currentSchemaFieldIds(meta)
         val byId = declaredFieldIds.flatMap(ids =>
-          fieldIdRenames(conf, dataEntries.head.path, fileSchema, ids, partCols))
+          fieldIdRenames(conf, allData.head.path, fileSchema, ids, partCols))
         byId match {
           case Some(rs) => renames = rs.filter { case (p, d) => p != d }
           case None =>
@@ -463,7 +469,7 @@ object IcebergLite {
     // Partition column types: declared schema first, else inferred from the
     // partition value strings (all-long -> long, all-double -> double).
     val partitionSchema = StructType(partCols.map { c =>
-      val dt = declaredTypes.getOrElse(c, inferPartitionType(dataEntries.flatMap(_.partitionValues.get(c))))
+      val dt = declaredTypes.getOrElse(c, inferPartitionType(allData.flatMap(_.partitionValues.get(c))))
       StructField(c, dt, nullable = true)
     })
 
@@ -518,6 +524,56 @@ object IcebergLite {
       merged.select(merged.columns.toIndexedSeq
         .map(c => col(c).as(renameMap.getOrElse(c, c))): _*)
     }
+  }
+
+  /** Incremental (snapshot-diff) read: rows in data files added strictly
+    * AFTER `fromSnapshotId`, up to `toSnapshotId` (default: current) — the
+    * batch complement of streaming: a scheduled pipeline processes only
+    * what arrived since its last run, at any table size, because the
+    * increment is a metadata diff (two file listings), never a data scan
+    * of the history. An empty increment is a valid empty DataFrame with
+    * the table's schema.
+    *
+    * Refuses ranges containing non-append snapshots: a REPLACE commit
+    * (compaction) rewrites old rows into new files, and consuming those
+    * as an increment would re-process data the consumer already saw.
+    */
+  def incrementalScan(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = readMetadataJson(conf, resolveMetadataPath(conf, tablePath))
+    val snaps = meta.get("snapshots") match {
+      case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
+      case _ => Vector.empty
+    }
+    val ids = snaps.flatMap(jLong(_, "snapshot-id"))
+    val fromIdx = ids.indexOf(fromSnapshotId)
+    if (fromIdx < 0)
+      throw ProbeError(s"snapshot $fromSnapshotId not found in the log at $tablePath")
+    val toId = toSnapshotId.orElse(jLong(meta, "current-snapshot-id"))
+      .getOrElse(throw ProbeError("metadata has no current-snapshot-id"))
+    val toIdx = ids.indexOf(toId)
+    if (toIdx < 0)
+      throw ProbeError(s"snapshot $toId not found in the log at $tablePath")
+    if (toIdx < fromIdx)
+      throw ProbeError(s"snapshot $toId precedes $fromSnapshotId; an " +
+        "incremental range must move forward in the snapshot log")
+    val nonAppend = snaps.slice(fromIdx + 1, toIdx + 1).filter { s =>
+      // Missing summary/operation is treated as non-append: foreign
+      // writers must prove appends, or the consumer re-reads safely.
+      !s.get("summary").collect { case o: JObj => o }
+        .flatMap(_.str("operation")).contains("append")
+    }
+    if (nonAppend.nonEmpty)
+      throw ProbeError(
+        s"Incremental range ($fromSnapshotId, $toId] at $tablePath contains " +
+          s"${nonAppend.size} non-append snapshot(s) (replace/overwrite — e.g. " +
+          "compaction): their files rewrite history, not extend it. Re-read " +
+          "from the table instead, or start after the rewrite.")
+    val baseline = fileEntries(conf, tablePath, Some(fromSnapshotId))
+      .filter(e => e.manifestContent == 0 && e.fileContent == 0)
+      .map(_.path).toSet
+    scan(spark, tablePath, snapshotId = Some(toId), excludeDataFiles = baseline)
   }
 
   private def inferPartitionType(values: Seq[String]): org.apache.spark.sql.types.DataType = {

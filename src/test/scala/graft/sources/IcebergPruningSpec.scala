@@ -218,6 +218,49 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergLite.scan(spark, dir).count() == 1500)
   }
 
+  test("incremental scan reads exactly the appended rows; refuses rewrite ranges") {
+    val dir = tmpDir("iceberg_incr") + "/warehouse/orders_incr"
+    val orders = Tables.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    IcebergLiteWriter.write(spark, orders.filter(col("o_orderkey") % 3 === 0), dir)
+    IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 3 === 1), dir)
+    IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 3 === 2), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def snapIds: Seq[Long] = IcebergLite.readMetadataJson(conf,
+      IcebergLite.latestMetadataPath(conf, dir).get)
+      .get("snapshots").toSeq.flatMap {
+        case graft.gateway.JValue.JArr(items) => items.collect {
+          case o: graft.gateway.JValue.JObj =>
+            o.get("snapshot-id").collect { case graft.gateway.JValue.JNum(n) => n.toLong }.get
+        }
+        case _ => Nil
+      }
+    val Seq(s0, s1, s2) = snapIds
+    // Diff (s0, current]: exactly the rows of appends 2 and 3.
+    val incr = IcebergLite.incrementalScan(spark, dir, s0)
+    assert(incr.count() == orders.filter(col("o_orderkey") % 3 =!= 0).count())
+    assert(incr.filter(col("o_orderkey") % 3 === 0).count() == 0)
+    // Bounded diff (s0, s1]: only the second batch.
+    val bounded = IcebergLite.incrementalScan(spark, dir, s0, Some(s1))
+    assert(bounded.count() == orders.filter(col("o_orderkey") % 3 === 1).count())
+    // Empty increment (s2, s2]: valid empty frame with the table schema.
+    val empty = IcebergLite.incrementalScan(spark, dir, s2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("o_orderkey", "o_totalprice"))
+    // Backwards range refused.
+    val back = intercept[IcebergLite.ProbeError](
+      IcebergLite.incrementalScan(spark, dir, s1, Some(s0)))
+    assert(back.getMessage.contains("precedes"))
+    // A compaction inside the range poisons the increment, loudly.
+    assert(IcebergLiteWriter.compact(spark, dir).rewritten > 0)
+    val err = intercept[IcebergLite.ProbeError](
+      IcebergLite.incrementalScan(spark, dir, s0))
+    assert(err.getMessage.contains("non-append"))
+    // But an increment ending before the rewrite still works.
+    assert(IcebergLite.incrementalScan(spark, dir, s0, Some(s2)).count()
+      == orders.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
   test("compaction consolidates small files; old snapshot still time-travels") {
     val dir = tmpDir("iceberg_compact") + "/warehouse/orders_compact"
     val orders = Tables.t(spark, sf0001, "orders")
