@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the embedding column — the memory-side
+  * ANN scale path, complementing IVF (routing) and int8 (per-vector
+  * scaling): each vector is split into `m` subvectors and every subvector
+  * is replaced by the id of its nearest subspace centroid, compressing a
+  * 64-dim float vector to `m` byte-sized codes (16x smaller at the
+  * defaults; a trained codebook and wider subspaces push this to 64x), which is what lets the
+  * candidate-scoring side of a search stay memory-resident; search uses
+  * asymmetric distance computation (ADC): per query, a tiny
+  * (m x ks) lookup table of exact subspace distances is broadcast and
+  * corpus vectors are scored by summing m table entries — no per-row
+  * float vector math at all.
+  *
+  * Determinism: subspace distances are SEQUENTIAL folds over the
+  * subvector dimensions (`aggregate(zip_with(...))`), so any engine
+  * evaluating the same fold reproduces every distance bit-exactly; code
+  * assignment breaks ties on the centroid id, and ADC sums the m partial
+  * distances in fixed subspace order (sorted collect + fold, not SUM).
+  * The codebook is the first `ks` corpus vectors' subvectors — the same
+  * deterministic stand-in for a trained codebook as
+  * [[Similarity.ivfAssign]]; training would only change the broadcast
+  * constants, not the plan shape.
+  */
+object ProductQuant {
+
+  /** Exact squared L2 distance as a sequential left-fold (bit-reproducible
+    * in any engine that folds left-to-right, e.g. DuckDB list_sum).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+
+  private def doubled(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** (vec_id, sub, sv): each vector split into m contiguous subvectors.
+    * Row-local (map-only) — the explode happens before any exchange.
+    */
+  private def subvectors(d: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    d.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "sv")))
+  }
+
+  /** Subspace codebook: centroid j of subspace s is the s-th subvector of
+    * corpus vector j (j < ks). m*ks rows — always broadcast.
+    */
+  private def codebook(emb: DataFrame, m: Int, ks: Int, dim: Int): DataFrame =
+    subvectors(doubled(emb).filter(col("vec_id") < ks), m, dim)
+      .select(col("sub").as("cs"), col("vec_id").as("j"), col("sv").as("cv"))
+
+  /** PQ encoding: (vec_id, sub, code) — for each of the m subspaces, the
+    * id of the nearest codebook centroid (squared-L2, centroid-id
+    * tiebreak). Long format (one row per code) so results stay scalar.
+    *
+    * Plan shape at scale: broadcast of the m*ks codebook, a map-side ks-way
+    * fanout per subvector, and ONE hash aggregate (min_by with map-side
+    * combine) — no window, no corpus shuffle beyond the aggregate's.
+    */
+  def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = subvectors(doubled(emb), m, dim)
+    sub.join(broadcast(codebook(emb, m, ks, dim)), col("sub") === col("cs"))
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+      .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
+  }
+
+  /** ADC top-k: per query, exact distances from each query subvector to
+    * every subspace centroid form an (m x ks) lookup table; a corpus
+    * vector's approximate distance is the sum of its m looked-up entries.
+    *
+    * Plan shape at scale: the LUT (queries x m x ks rows) is broadcast, the
+    * corpus side is the CODES table (m small ints per vector — the point
+    * of PQ), scoring is a broadcast-hash join + one hash aggregate, and
+    * ranking goes through the bounded-heap [[graft.functions.TopKByScore]]
+    * — no window over the scored set, no shuffle of raw vectors.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val codes = pqAssign(emb, m, ks, dim)
+    val lut = subvectors(doubled(queries), m, dim)
+      .select(col("vec_id").as("q_id"), col("sub").as("qs"), col("sv").as("qsv"))
+      .join(broadcast(codebook(emb, m, ks, dim)), col("qs") === col("cs"))
+      .withColumn("d2", sqDist(col("qsv"), col("cv")))
+      .select(col("q_id"), col("qs"), col("j"), col("d2"))
+    val scored = codes
+      .join(broadcast(lut),
+        col("sub") === col("qs") && col("code") === col("j") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // Fixed-order fold over the m partials: double addition is
+      // order-dependent, and a hash-aggregate SUM would not be
+      // reproducible across partitionings.
+      .agg(sort_array(collect_list(struct(col("sub"), col("d2")))).as("arr"))
+      .withColumn("adist",
+        expr("aggregate(transform(arr, s -> s.d2), 0D, (a, b) -> a + b)"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(-col("adist"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col._2").as("n_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        (-col("col._1")).as("adist"))
+  }
+}

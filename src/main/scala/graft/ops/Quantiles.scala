@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global quantile cutoffs and outlier filtering — the two-pass
+  * shape of corpus length filtering ("drop the shortest 5% and longest
+  * 5%"): pass 1 derives the cutoff values, pass 2 is a map-only filter.
+  *
+  * The cutoff is the RANK-based quantile — the smallest value whose
+  * running count reaches ceil(p * n) — not an interpolated one:
+  * interpolation formulas differ in floating-point shape across engines
+  * (a*(1-f)+b*f vs a+(b-a)*f), while rank arithmetic is integer-exact
+  * everywhere, so the cutoffs (and therefore the filtered set) are
+  * engine-reproducible bit-for-bit.
+  *
+  * Scale shape: the quantile pass aggregates to DISTINCT VALUE counts
+  * first (hash aggregate, map-side combined), so the running-count window
+  * ranges over value cardinality, not row count — for document lengths
+  * that is bounded by the max length, millions at most, independent of
+  * corpus row count. The data pass never shuffles. The sketch alternative
+  * (`approx_percentile`) trades exactness for a mergeable fixed-size
+  * state; prefer it when cutoffs feed heuristics rather than contracts.
+  */
+object Quantiles {
+
+  /** One row (lo, hi): rank-quantile cutoffs at pLow/pHigh over `c`. */
+  def rankCutoffs(df: DataFrame, c: Column, pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh, "need 0 <= pLow <= pHigh <= 1")
+    val byValue = df.groupBy(c.as("v")).agg(count(lit(1)).as("cnt"))
+    // Running count over distinct values — cardinality-bounded, not
+    // corpus-bounded (see scaladoc).
+    val cum = byValue
+      .withColumn("cle", sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(byValue.agg(sum(col("cnt")).as("n"))))
+    val lo = cum.filter(col("cle") >= ceil(lit(pLow) * col("n")).cast("long"))
+      .agg(min(col("v")).as("lo"))
+    val hi = cum.filter(col("cle") >= ceil(lit(pHigh) * col("n")).cast("long"))
+      .agg(min(col("v")).as("hi"))
+    lo.crossJoin(hi)
+  }
+
+  /** Rows of `df` whose `c` lies inside the [pLow, pHigh] rank-quantile
+    * band — e.g. length-outlier removal for a training corpus.
+    */
+  def outlierFilter(df: DataFrame, c: Column, pLow: Double, pHigh: Double): DataFrame =
+    df.crossJoin(broadcast(rankCutoffs(df, c, pLow, pHigh)))
+      .filter(c >= col("lo") && c <= col("hi"))
+      .drop("lo", "hi")
+}

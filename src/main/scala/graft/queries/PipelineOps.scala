@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Boilerplate, Dedup, Multimodal, ProductQuant, Quantiles, Similarity, TextOps}
+import org.apache.spark.sql.functions.col
 
 /** Corpus entries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) with DuckDB oracle SQL
@@ -58,6 +59,16 @@ object PipelineOps {
        |    i -> $concat)) AS shingle
        |  FROM ${cte}_ws WHERE len(w) >= $n) x)""".stripMargin
   }
+
+  /** PQ subvector + codebook CTEs (over an `e(vec_id, v)` CTE): 16 subspaces
+    * of 4 dims; centroids = the first 64 vectors' subvectors — mirrors
+    * [[graft.ops.ProductQuant]]'s deterministic stand-in codebook.
+    */
+  private val pqSubCtes =
+    """sub AS (SELECT vec_id, u.s.sub AS sub, u.s.sv AS sv FROM (
+      |  SELECT vec_id, unnest(list_transform(generate_series(0, 15),
+      |    s -> struct_pack(sub := s, sv := v[(s*4+1):(s*4+4)]))) AS s FROM e) u(vec_id, s)),
+      |cb AS (SELECT sub AS cs, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 64)""".stripMargin
 
   private val embCtes =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -768,6 +779,92 @@ object PipelineOps {
           t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           "user_id", "c_custkey", col("event_id"))
           .select(col("event_id"), col("c_nationkey"))
+    },
+
+    // Product quantization, encode step: each 64-dim vector -> 16 centroid
+    // codes (4-dim subspaces, 64 centroids each = the first 64 corpus
+    // vectors' subvectors). Squared-L2 per subspace is a sequential fold;
+    // ties break on centroid id — bit-reproducible in any engine.
+    Q.df(
+      "p43_pq_assign",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |$pqSubCtes,
+         |d AS (SELECT sub.vec_id, sub.sub, cb.j,
+         |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
+         |  FROM sub JOIN cb ON sub.sub = cb.cs),
+         |r AS (SELECT vec_id, sub, j, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn FROM d)
+         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(j AS INT) AS code FROM r WHERE rn = 1""".stripMargin) {
+      (s, dir) => ProductQuant.pqAssign(t(s, dir, "embeddings"))
+    },
+
+    // Product quantization, ADC search: per-query (16 x 64) exact subspace
+    // distance table, corpus vectors scored by summing their 16 looked-up
+    // entries in fixed subspace order. The corpus side of the join is the
+    // codes table (16 small ints per vector), not the raw vectors — the
+    // memory shape that keeps a 100 TB index resident.
+    Q.df(
+      "p44_pq_adc_topk",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |$pqSubCtes,
+         |d AS (SELECT sub.vec_id, sub.sub, cb.j,
+         |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
+         |  FROM sub JOIN cb ON sub.sub = cb.cs),
+         |codes AS (SELECT vec_id, sub, j AS code FROM (
+         |  SELECT vec_id, sub, j, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn FROM d) x
+         |  WHERE rn = 1),
+         |lut AS (SELECT sub.vec_id AS q_id, sub.sub AS qs, cb.j,
+         |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
+         |  FROM sub JOIN cb ON sub.sub = cb.cs WHERE sub.vec_id < 8),
+         |scored AS (SELECT q_id, c.vec_id AS n_id, list_sum(list(d2 ORDER BY c.sub)) AS adist
+         |  FROM codes c JOIN lut ON c.sub = lut.qs AND c.code = lut.j AND c.vec_id <> lut.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk, adist FROM (
+         |  SELECT q_id, n_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rnk
+         |  FROM scored) r
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      ProductQuant.pqTopK(emb,
+        emb.filter(col("vec_id") < 8), 5)
+    },
+
+    // Passage-level dedup: 3-word chunks appearing in more than 3 distinct
+    // documents are boilerplate; each document keeps its unique chunks in
+    // original order. The frequency pass is one hash aggregate on chunk
+    // text; reconstruction state is bounded by document length.
+    Q.df(
+      "p45_passage_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, u.s.cid AS cid, u.s.chunk AS chunk FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/3.0) AS INT)-1),
+        |    i -> struct_pack(cid := i, chunk := array_to_string(ws[(i*3+1):(i*3+3)], ' ')))) AS s
+        |  FROM w) u(doc_id, s)),
+        |f AS (SELECT chunk, COUNT(DISTINCT doc_id) AS cdf FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(COUNT(*) FILTER (WHERE cdf <= 3) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (WHERE cdf > 3) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE cdf <= 3), '') AS clean_text
+        |FROM c JOIN f USING (chunk)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Boilerplate.removeSharedPassages(t(s, dir, "documents"), 3, 3)
+    },
+
+    // Exact rank-quantile length band (drop shortest/longest 5%): the
+    // cutoff is the smallest value whose running count reaches
+    // ceil(p * n) — integer arithmetic end to end, so both engines derive
+    // the identical band. Data pass is a map-only filter against the two
+    // broadcast cutoffs.
+    Q.df(
+      "p46_quantile_band",
+      """WITH v AS (SELECT n_chars AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+        |cum AS (SELECT val, SUM(cnt) OVER (ORDER BY val) AS cle,
+        |  (SELECT SUM(cnt) FROM v) AS n FROM v),
+        |lo AS (SELECT MIN(val) AS lo FROM cum WHERE cle >= CAST(ceil(0.05 * n) AS BIGINT)),
+        |hi AS (SELECT MIN(val) AS hi FROM cum WHERE cle >= CAST(ceil(0.95 * n) AS BIGINT))
+        |SELECT doc_id, n_chars FROM documents, lo, hi
+        |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin) { (s, dir) =>
+      Quantiles.outlierFilter(t(s, dir, "documents"), col("n_chars"), 0.05, 0.95)
+        .select(col("doc_id"), col("n_chars"))
     },
   )
 }

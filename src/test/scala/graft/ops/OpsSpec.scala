@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -344,5 +345,64 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       sum(col("v")).over(Window.orderBy(col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("c"))
     assert(distCum.exceptAll(winCum).isEmpty && winCum.exceptAll(distCum).isEmpty)
+  }
+
+  test("pq: m codes per vector in [0, ks); codebook vectors encode themselves") {
+    val codes = ProductQuant.pqAssign(emb).collect()
+    val perVec = codes.groupBy(_.getLong(0))
+    assert(perVec.values.forall(_.length == 16))
+    assert(codes.forall { r => val c = r.getInt(2); c >= 0 && c < 64 })
+    // A codebook vector's subvector is its own nearest centroid (d2 = 0,
+    // id tiebreak), so vectors 0..63 must encode as themselves.
+    assert(codes.filter(_.getLong(0) < 64).forall(r => r.getInt(2) == r.getLong(0)))
+  }
+
+  test("pq ADC top-k recovers a usable share of the exact L2 top-k") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 8)
+    val pq = ProductQuant.pqTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // Exact squared-L2 top-5 per query (same metric ADC approximates).
+    val d = emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = d.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = d.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 5).select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val overlaps = exact.keys.toSeq.map { qid =>
+      val e = exact(qid).map(_._2).toSet
+      val p = pq.getOrElse(qid, Array.empty).map(_._2).toSet
+      (e intersect p).size.toDouble / 5
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.4, s"mean ADC recall@5 vs exact L2 = $mean (untrained codebook baseline)")
+  }
+
+  test("boilerplate passage dedup removes shared chunks, keeps unique ones in order") {
+    import spark.implicits._
+    // 5 docs share the chunk "aa bb cc" (> maxDocs=3); tails are unique.
+    val shared = (0 until 5).map(i => (i.toLong, s"aa bb cc u$i v$i w$i"))
+    val solo = Seq((90L, "zz yy xx pp qq rr"), (91L, "aa bb cc aa bb cc"))
+    val docs = (shared ++ solo).toDF("doc_id", "text")
+    val out = Boilerplate.removeSharedPassages(docs, 3, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    shared.foreach { case (id, _) =>
+      assert(out(id) == ((1L, 1L, s"u$id v$id w$id")), s"doc $id: ${out(id)}")
+    }
+    assert(out(90L) == ((2L, 0L, "zz yy xx pp qq rr")))
+    // Doc 91 is pure boilerplate (the shared chunk twice): everything goes.
+    assert(out(91L) == ((0L, 2L, "")))
+  }
+
+  test("rank-quantile band: integer cutoffs at ceil(p*n) and band filter") {
+    import spark.implicits._
+    val vals = (1 to 100).map(_.toLong).toDF("x")
+    val cuts = Quantiles.rankCutoffs(vals, col("x"), 0.05, 0.95).head
+    assert(cuts.getLong(0) == 5L && cuts.getLong(1) == 95L)
+    val kept = Quantiles.outlierFilter(vals, col("x"), 0.05, 0.95)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.head == 5L && kept.last == 95L && kept.length == 91)
   }
 }
