@@ -211,6 +211,18 @@ object IcebergLite {
     }
   }
 
+  /** All data-file paths referenced by one manifest, regardless of entry
+    * status — snapshot expiration must treat history-only (status 2)
+    * references from retained snapshots as still reachable.
+    */
+  private[sources] def manifestFilePaths(conf: Configuration,
+      manifestPath: String): Seq[String] =
+    readAvro(conf, new Path(manifestPath)).flatMap { entry =>
+      Option(entry.get("data_file")).collect { case df: GenericRecord =>
+        fieldStr(df, "file_path")
+      }.flatten
+    }
+
   /** Identity-transform partition column names of the default spec. */
   def partitionColumns(meta: JObj): Seq[String] =
     meta.get("partition-specs") match {

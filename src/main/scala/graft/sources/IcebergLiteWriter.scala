@@ -542,6 +542,129 @@ object IcebergLiteWriter {
     out.close()
   }
 
+  // ---- table maintenance: rollback + snapshot expiration -----------------
+
+  private def longOf(o: graft.gateway.JValue.JObj, key: String): Option[Long] =
+    o.get(key).collect { case graft.gateway.JValue.JNum(v) => v.toLong }
+
+  private def snapshotObjs(meta: graft.gateway.JValue.JObj): Vector[graft.gateway.JValue.JObj] =
+    meta.get("snapshots") match {
+      case Some(graft.gateway.JValue.JArr(items)) =>
+        items.collect { case o: graft.gateway.JValue.JObj => o }
+      case _ => Vector.empty
+    }
+
+  /** Metadata-only commit: re-render the table metadata with the given
+    * snapshot list and current pointer, carrying schema and partition spec
+    * forward. No manifests or data files are touched.
+    */
+  private def writeMetadataOnly(conf: Configuration, tableDir: String,
+      prior: graft.gateway.JValue.JObj,
+      snapshots: Seq[graft.gateway.JValue.JObj], currentId: Long): Unit = {
+    val metaDir = s"$tableDir/metadata"
+    val snapshotsJson = snapshots.map(graft.gateway.Json.render).mkString(",\n    ")
+    val partCols = IcebergLite.partitionColumns(prior)
+    val specFields = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name": "$c", "transform": "identity", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+    val schemaSection = IcebergLite.currentSchemaFieldsJson(prior).map(fs =>
+      s"""
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": $fs}],""".stripMargin)
+      .getOrElse("")
+    val metadataJson =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "${UUID.randomUUID()}",
+         |  "location": "$tableDir",
+         |  "last-updated-ms": ${System.currentTimeMillis()},$schemaSection
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": $specFields}],
+         |  "current-snapshot-id": $currentId,
+         |  "snapshots": [
+         |    $snapshotsJson
+         |  ]
+         |}""".stripMargin
+    val metaDirPath = new Path(metaDir)
+    val metaFs = metaDirPath.getFileSystem(conf)
+    val version = metaFs.listStatus(metaDirPath)
+      .count(_.getPath.getName.endsWith(".metadata.json"))
+    val metaJsonPath = new Path(f"$metaDir/$version%05d-${UUID.randomUUID()}.metadata.json")
+    val out = metaJsonPath.getFileSystem(conf).create(metaJsonPath, true)
+    out.write(metadataJson.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Roll the table's current pointer back (or forward) to an existing
+    * snapshot — Iceberg's `rollback_to_snapshot` semantics: a metadata-only
+    * commit, every snapshot stays addressable, so the rollback itself can
+    * be undone by rolling "back" to the newer snapshot id.
+    */
+  def rollback(spark: SparkSession, tableDir: String, toSnapshotId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val snaps = snapshotObjs(meta)
+    require(snaps.exists(s => longOf(s, "snapshot-id").contains(toSnapshotId)),
+      s"snapshot $toSnapshotId not found at $tableDir")
+    writeMetadataOnly(conf, tableDir, meta, snaps, toSnapshotId)
+  }
+
+  /** Result of one [[expireSnapshots]] call. */
+  final case class ExpireResult(expiredSnapshots: Int, deletedManifests: Int,
+      deletedDataFiles: Int)
+
+  /** Expire all but the most recent `keepLast` snapshots (the current
+    * snapshot is always retained), deleting every manifest list, manifest,
+    * and data file reachable ONLY from expired snapshots. Reachability is
+    * computed over ALL entry statuses, so a file that a retained snapshot
+    * merely tombstoned (status 2) — still needed to reconstruct that
+    * snapshot's history — is never deleted.
+    *
+    * Scale note: the planning walk is proportional to manifest count, not
+    * data size (same as scan planning), and deletes are issued per file —
+    * at object-store scale these would batch through a bulk-delete API,
+    * which changes the I/O call, not the reachability computation.
+    */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+      keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val snaps = snapshotObjs(meta)
+    val currentId = longOf(meta, "current-snapshot-id")
+      .getOrElse(throw IcebergLite.ProbeError("metadata has no current-snapshot-id"))
+    val retained = {
+      val tail = snaps.takeRight(keepLast)
+      if (tail.exists(s => longOf(s, "snapshot-id").contains(currentId))) tail
+      else snaps.filter(s => longOf(s, "snapshot-id").contains(currentId)) ++ tail
+    }
+    val retainedIds = retained.flatMap(longOf(_, "snapshot-id")).toSet
+    val expired = snaps.filterNot(s => longOf(s, "snapshot-id").exists(retainedIds))
+    if (expired.isEmpty) return ExpireResult(0, 0, 0)
+
+    def manifestPathsOf(snapIds: Seq[Long]): Set[String] =
+      snapIds.flatMap(id =>
+        IcebergLite.currentManifests(conf, tableDir, meta, Some(id)).map(_.path)).toSet
+    val liveManifests = manifestPathsOf(retainedIds.toSeq)
+    val expiredIds = expired.flatMap(longOf(_, "snapshot-id"))
+    val deadManifests = manifestPathsOf(expiredIds) -- liveManifests
+    val liveFiles = liveManifests.flatMap(IcebergLite.manifestFilePaths(conf, _))
+    val deadFiles =
+      deadManifests.flatMap(IcebergLite.manifestFilePaths(conf, _)) -- liveFiles
+
+    def delete(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(conf).delete(path, false)
+    }
+    deadFiles.foreach(delete)
+    deadManifests.foreach(delete)
+    expired.flatMap(_.str("manifest-list")).foreach(delete)
+    writeMetadataOnly(conf, tableDir, meta, retained, currentId)
+    ExpireResult(expired.size, deadManifests.size, deadFiles.size)
+  }
+
   private def manifestFileRecord(path: String, len: Long, content: Int,
       snapshotId: Long): GenericRecord = {
     val r = new GenericData.Record(ManifestFileSchema)

@@ -318,4 +318,55 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     val err = intercept[IcebergLite.ProbeError](IcebergLiteWriter.compact(spark, ddir))
     assert(err.getMessage.contains("Compaction refused"))
   }
+
+  test("rollback repoints current; expiration deletes only unreachable files") {
+    val dir = tmpDir("iceberg_maint") + "/warehouse/orders_maint"
+    val orders = Tables.t(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def currentId: Long = IcebergLite.readMetadataJson(conf,
+      IcebergLite.latestMetadataPath(conf, dir).get)
+      .get("current-snapshot-id").collect {
+        case graft.gateway.JValue.JNum(n) => n.toLong
+      }.get
+    val a = orders.filter(col("o_orderkey") % 3 === 0)
+    IcebergLiteWriter.write(spark, a, dir)
+    val idA = currentId
+    IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 3 === 1), dir)
+    IcebergLiteWriter.append(spark, orders.filter(col("o_orderkey") % 3 === 2), dir)
+    val idC = currentId
+
+    // Rollback: current pointer moves, data reads as of A, nothing deleted.
+    IcebergLiteWriter.rollback(spark, dir, idA)
+    assert(currentId == idA)
+    assert(IcebergLite.scan(spark, dir).count() == a.count())
+    // Every snapshot stays addressable — so the rollback can be undone...
+    assert(IcebergLite.scan(spark, dir, snapshotId = Some(idC)).count() == orders.count())
+    IcebergLiteWriter.rollback(spark, dir, idC)
+    assert(IcebergLite.scan(spark, dir).count() == orders.count())
+    intercept[IllegalArgumentException](IcebergLiteWriter.rollback(spark, dir, 424242L))
+
+    // Appends carry prior manifests forward, so expiring A..C behind the
+    // current snapshot must delete NO data files (all still reachable).
+    val keepData = IcebergLiteWriter.expireSnapshots(spark, dir, keepLast = 1)
+    assert(keepData.expiredSnapshots == 2 && keepData.deletedDataFiles == 0,
+      s"carried-forward files must survive: $keepData")
+    assert(IcebergLite.scan(spark, dir).count() == orders.count())
+
+    // After compaction rewrites everything, the pre-compaction files are
+    // reachable only from the old snapshots: expiration reclaims them.
+    val preCompactFiles = IcebergLite.fileEntries(conf, dir).map(_.path).toSet
+    assert(IcebergLiteWriter.compact(spark, dir).written == 1)
+    val res = IcebergLiteWriter.expireSnapshots(spark, dir, keepLast = 1)
+    assert(res.expiredSnapshots == 1 && res.deletedDataFiles == preCompactFiles.size,
+      s"expected ${preCompactFiles.size} reclaimed files: $res")
+    preCompactFiles.foreach { p =>
+      val path = new Path(p)
+      assert(!path.getFileSystem(conf).exists(path), s"not reclaimed: $p")
+    }
+    // The table still reads fully through the compacted layout...
+    assert(IcebergLite.scan(spark, dir).count() == orders.count())
+    // ...and expired snapshots are gone from the metadata.
+    intercept[IcebergLite.ProbeError](
+      IcebergLite.scan(spark, dir, snapshotId = Some(idC)).count())
+  }
 }
