@@ -866,5 +866,24 @@ object PipelineOps {
       Quantiles.outlierFilter(t(s, dir, "documents"), col("n_chars"), 0.05, 0.95)
         .select(col("doc_id"), col("n_chars"))
     },
+
+    // Real container-header parsing round-trip: per doc, ACTUAL png/gif/
+    // jpeg header bytes are synthesized with dimensions derived from
+    // (n_chars, doc_id), then parsed back by the byte-level header walker
+    // (graft.ops.MediaHeaders) — the oracle states the parsed result
+    // arithmetically. Row-local both ways; no shuffle.
+    Q.df(
+      "p47_media_headers",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.ops.MediaHeaders.parseHeaders(s,
+        graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")))
+    },
   )
 }

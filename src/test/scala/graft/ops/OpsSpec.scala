@@ -396,6 +396,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(91L) == ((0L, 2L, "")))
   }
 
+  test("media headers: real byte-level parse of png/gif/jpeg/wav containers") {
+    assert(MediaHeaders.parse(1L, MediaHeaders.synthPng(640, 480))
+      == ContainerMeta(1L, "png", 640, 480, 3))
+    assert(MediaHeaders.parse(2L, MediaHeaders.synthGif(320, 240))
+      == ContainerMeta(2L, "gif", 320, 240, 3))
+    assert(MediaHeaders.parse(3L, MediaHeaders.synthJpeg(1024, 768))
+      == ContainerMeta(3L, "jpeg", 1024, 768, 3))
+    assert(MediaHeaders.parse(4L, MediaHeaders.synthWav(44100, 16, 2))
+      == ContainerMeta(4L, "wav", 44100, 16, 2))
+    // The JPEG walk must skip leading non-frame segments (APP0 etc.).
+    val jfif = {
+      val sof = MediaHeaders.synthJpeg(99, 77).drop(2) // strip SOI
+      val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte)
+      Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof
+    }
+    assert(MediaHeaders.parse(5L, jfif) == ContainerMeta(5L, "jpeg", 99, 77, 3))
+    // Arbitrary text bytes sniff as unknown, not as a false positive.
+    assert(MediaHeaders.parse(6L, "the quick brown fox jumps over it".getBytes("UTF-8")).fmt
+      == "unknown")
+    // Truncated signatures don't crash the parser.
+    assert(MediaHeaders.parse(7L, Array[Byte](0x89.toByte, 'P')).fmt == "unknown")
+  }
+
   test("rank-quantile band: integer cutoffs at ceil(p*n) and band filter") {
     import spark.implicits._
     val vals = (1 to 100).map(_.toLong).toDF("x")
