@@ -143,6 +143,36 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Directional containment near-dup pairs: c(i→j) = |S_i ∩ S_j| / |S_i|
+    * over n-gram shingle sets. Catches SUBSET duplication that symmetric
+    * Jaccard misses — a short doc fully quoted inside a long one scores
+    * c≈1 while its Jaccard is tiny. Emits (i, j, contain) for ordered
+    * pairs i≠j with c(i→j) >= threshold.
+    *
+    * Execution shape: per-doc distinct shingle sets in one hash
+    * aggregate, intersection counts via an equi-join on the shingle
+    * (hash-partitioned, linear in total shingle volume), then a row-local
+    * division. Exact baseline — worst case quadratic in docs sharing a
+    * shingle, like [[ngramJaccardPairs]]' verification stage; at corpus
+    * scale, block first with [[minhashLshCandidates]] and verify
+    * containment only on candidates. No prefix filter applies here: the
+    * contained side gives no length bound (c(i→j) ignores |S_j|).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(docs, n, distinct = true)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("i"), col("n_sh")), "i")
+      .withColumn("contain", col("inter").cast("double") / col("n_sh").cast("double"))
+      .filter(col("contain") >= threshold)
+      .select(col("i"), col("j"), col("contain"))
+  }
+
   /** MinHash signature via the two-hash (Kirsch-Mitzenmacher) family:
     * one md5 per shingle yields h1/h2 (two 56-bit ints from the hex
     * digest); hash s is `h1 + s * h2`, and the signature is the per-seed

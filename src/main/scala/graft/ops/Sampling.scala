@@ -59,4 +59,34 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Distribution rebalancing (the data-mixing step of multilingual /
+    * multi-source corpus prep): downsample each stratum toward the
+    * smallest one with a square-root temperature — stratum s of size n_s
+    * keeps fraction sqrt(min_n / n_s), so over-represented strata shrink
+    * but keep more than proportional share (T=2 temperature sampling).
+    *
+    * Shape for 100 TB: the per-stratum counts are one tiny aggregate
+    * (broadcast back), and membership is the same row-local `h56 < thr`
+    * test as [[hashSample]] — no shuffle of the corpus itself, and a
+    * row's fate is a pure function of (key, stratum counts), so the
+    * rebalanced corpus is auditable and stable across re-runs.
+    *
+    * sqrt and one double division are IEEE-exact, and the threshold is
+    * `floor(frac * 2^56)` (2^56 is an exact double), so any engine
+    * reproduces the exact kept set — no RNG, no ordering dependence.
+    */
+  def rebalanceStrata(df: DataFrame, stratum: Column, key: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val thr = counts.crossJoin(broadcast(minN))
+      .withColumn("__thr",
+        floor(sqrt(col("__mn").cast("double") / col("__n").cast("double"))
+          * lit((1L << 56).toDouble)).cast("long"))
+      .select(col("__stratum"), col("__thr"))
+    df.join(broadcast(thr), stratum === col("__stratum"))
+      .filter(h56(key) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
 }

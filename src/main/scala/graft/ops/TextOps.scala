@@ -142,6 +142,79 @@ object TextOps {
       size(expr(s"regexp_extract_all(text, '$LongDigitsRe', 0)"))
         .cast("long").as("n_numbers"))
 
+  /** Token-diversity (Gini impurity) per doc: 1 - Σ_w (c_w / n)².
+    * A repetition signal like Shannon entropy but with NO transcendental
+    * functions: Σ c_w² and n are exact integers, so the score is a single
+    * IEEE division of two exact values — bit-reproducible on any engine
+    * (ln differs in the last ulp across libm implementations, which is
+    * why the entropy form can't be oracle-gated). Near 1 = diverse
+    * vocabulary; near 0 = one token repeated. Two shuffles, both hash
+    * aggregates: (doc, word) then doc — map-side combinable, no windows.
+    */
+  def giniDiversity(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        (lit(1.0) - col("sumsq").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * (the retrieval / quality-filter scoring primitive). Corpus stats
+    * (N, avgdl, per-term df) are ONE tiny aggregate collected to the
+    * driver and folded into the row-local scoring plan as literals — the
+    * corpus itself is never shuffled; scoring is map-only at scan speed.
+    *
+    * `rationalIdf = true` (default) replaces the standard
+    * ln((N-df+0.5)/(df+0.5)) with the same rational argument un-logged.
+    * It is order-equivalent (ln is monotone) and, unlike ln, involves
+    * only +,-,/ — IEEE-exact on every engine, so scores can be
+    * hash-compared across engines. Set false for textbook BM25 scores
+    * when cross-engine bit-exactness doesn't matter.
+    *
+    * The per-term contributions are summed in query order as one fixed
+    * scalar expression (t0 + t1 + ...), not an aggregate, so the double
+    * additions happen in a defined order.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      rationalIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = withToks(docs)
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks")).cast("long")).as("sum_dl"),
+        dfAggs: _*)
+      .collect()(0)
+    val nDocs = stats.getAs[Long]("n_docs")
+    require(nDocs > 0, "empty corpus")
+    val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val idfs = queryTerms.indices.map { i =>
+      val dfT = stats.getAs[Long](s"df$i").toDouble
+      val arg = (nDocs.toDouble - dfT + 0.5) / (dfT + 0.5)
+      if (rationalIdf) arg else math.log(arg)
+    }
+    val dl = size(col("toks")).cast("double")
+    val termScores = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), w => w === t)).cast("double")
+      lit(idfs(i)) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }
+    base.select(col("doc_id"), termScores.reduce(_ + _).as("bm25"))
+      .filter(col("bm25") > 0.0)
+  }
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */
