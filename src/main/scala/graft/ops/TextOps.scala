@@ -193,9 +193,13 @@ object TextOps {
     val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
     }
+    // Scala 2.13 rejects mixing fixed args with a `: _*` expansion in one
+    // call, so the aggregate columns are hoisted into a single Seq.
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl")) ++ dfAggs
     val stats = base
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks")).cast("long")).as("sum_dl"),
-        dfAggs: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()(0)
     val nDocs = stats.getAs[Long]("n_docs")
     require(nDocs > 0, "empty corpus")
