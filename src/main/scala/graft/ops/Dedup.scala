@@ -231,24 +231,60 @@ object Dedup {
     sums.select(col("doc_id"), sim.cast("long").as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance <= maxDist.
-    * All-pairs form — the EXACT baseline; simhashBandedCandidates is the
-    * corpus-scale path. A pigeonhole-exact variant (maxDist+1 bands, join
-    * on exact band match) was measured and REJECTED here: simhash bits
-    * are corpus-biased (docs sharing a vocabulary push every bit the same
-    * way), so the 4-5-bit buckets a 32-bit/7-band split allows collapse
-    * into near-corpus-sized groups and the per-bucket quadratic join
-    * exceeds the plain cross join it replaces (8.3 s vs 1.8 s at sf0.1).
-    * Banding only wins with >= 8-bit bands, which caps the guaranteed-
-    * exact distance at 3 (see simhashBandedCandidates).
+  /** Near-duplicate pairs by SimHash hamming distance <= maxDist (exact,
+    * maxDist <= 7) — candidate->verify, NO cross join.
+    *
+    * Candidate generation is pigeonhole-exact on 8-bit chunks: with 4
+    * chunks, a pair within total distance 7 must have SOME chunk pair
+    * within distance 1 (all four >= 2 would sum to >= 8). So one join
+    * side expands each chunk value to itself plus its 8 single-bit
+    * flips; an equi-join on (chunk index, value) then finds every
+    * qualifying pair, and `bit_count` on the joined signatures verifies
+    * the exact distance. Output is identical to the all-pairs
+    * formulation (the oracle states that form directly).
+    *
+    * Why not narrower bands: a plain (maxDist+1)-band pigeonhole needs
+    * 4-5-bit bands for maxDist=6, and simhash bits are corpus-biased
+    * (docs sharing a vocabulary push every bit the same way), so those
+    * buckets collapse into near-corpus-sized groups — measured at 8.3 s
+    * vs 1.8 s for the cross join at sf0.1. 8-bit chunks keep 256-way
+    * spread per chunk index; the 9x variant fan-out lives on one side
+    * only and the join stays a hash-partitioned equi-join, linear-ish in
+    * corpus size instead of quadratic.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, s"pigeonhole d<=1-per-chunk coverage needs maxDist <= 7, got $maxDist")
     val sig = simhash(docs)
-    sig.as("a")
-      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", expr("bit_count(a.simhash ^ b.simhash)"))
+    // Exact side: 4 rows per doc — (chunk index, chunk value).
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("c"), expr(s"(simhash div ${1L << (8 * c)}) % 256").as("v")))
+    val exact = sig
+      .select(col("doc_id"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    // Expanded side: 36 rows per doc — each chunk value plus its 8
+    // single-bit flips (distance <= 1 neighborhood of the 8-bit value).
+    val variantCols = (0 until 4).flatMap { c =>
+      val base = expr(s"(simhash div ${1L << (8 * c)}) % 256")
+      struct(lit(c).as("c"), base.as("v")) +:
+        (0 until 8).map(bit =>
+          struct(lit(c).as("c"),
+            expr(s"(simhash div ${1L << (8 * c)}) % 256 ^ ${1 << bit}").as("v")))
+    }
+    val expanded = sig
+      .select(col("doc_id"), explode(array(variantCols: _*)).as("ch"))
+      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val candidates = expanded.as("a")
+      .join(exact.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    candidates
+      .join(sig.select(col("doc_id").as("i"), col("simhash").as("sa")), "i")
+      .join(sig.select(col("doc_id").as("j"), col("simhash").as("sb")), "j")
+      .withColumn("dist", expr("bit_count(sa ^ sb)"))
       .filter(col("dist") <= maxDist)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
+      .select(col("i"), col("j"), col("dist"))
   }
 
   /** Scale path for SimHash: split the 32-bit signature into 4 x 8-bit
