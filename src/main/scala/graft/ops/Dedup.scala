@@ -231,8 +231,12 @@ object Dedup {
     sums.select(col("doc_id"), sim.cast("long").as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance <= maxDist (exact,
-    * maxDist <= 7) — candidate->verify, NO cross join.
+  /** Near-duplicate pairs by SimHash hamming distance <= maxDist — exact
+    * for ANY maxDist. For maxDist <= 7 it runs candidate->verify with NO
+    * cross join; wider radii (where no 8-bit pigeonhole bound exists)
+    * fall back to the all-pairs verification form, which is exact but
+    * quadratic — at those radii nearly every pair matches anyway, so
+    * candidate generation cannot help.
     *
     * Candidate generation is pigeonhole-exact on 8-bit chunks: with 4
     * chunks, a pair within total distance 7 must have SOME chunk pair
@@ -253,14 +257,29 @@ object Dedup {
     * corpus size instead of quadratic.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
-    require(maxDist <= 7, s"pigeonhole d<=1-per-chunk coverage needs maxDist <= 7, got $maxDist")
+    if (maxDist > 7) {
+      // Pigeonhole d<=1-per-chunk coverage holds only for maxDist <= 7
+      // (four chunks all at distance >= 2 sum to >= 8). Beyond it, keep
+      // the exact contract via the all-pairs baseline.
+      val sig = simhash(docs)
+      return sig.as("a")
+        .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
+        .filter(col("dist") <= maxDist)
+    }
     val sig = simhash(docs)
-    // Exact side: 4 rows per doc — (chunk index, chunk value).
+    // Exact side: 4 rows per doc — (chunk index, chunk value). Both sides
+    // carry the full signature so verification happens IN the join row
+    // (one bit_count + filter) before the distinct — no candidate
+    // materialization, no signature-lookup joins, and the dedup shuffle
+    // sees only qualified pairs (each at most 36x duplicated) instead of
+    // the raw candidate fan-out.
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), expr(s"(simhash div ${1L << (8 * c)}) % 256").as("v")))
     val exact = sig
-      .select(col("doc_id"), explode(array(chunkCols: _*)).as("ch"))
-      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     // Expanded side: 36 rows per doc — each chunk value plus its 8
     // single-bit flips (distance <= 1 neighborhood of the 8-bit value).
     val variantCols = (0 until 4).flatMap { c =>
@@ -271,20 +290,16 @@ object Dedup {
             expr(s"(simhash div ${1L << (8 * c)}) % 256 ^ ${1 << bit}").as("v")))
     }
     val expanded = sig
-      .select(col("doc_id"), explode(array(variantCols: _*)).as("ch"))
-      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
-    val candidates = expanded.as("a")
+      .select(col("doc_id"), col("simhash"), explode(array(variantCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    expanded.as("a")
       .join(exact.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    candidates
-      .join(sig.select(col("doc_id").as("i"), col("simhash").as("sa")), "i")
-      .join(sig.select(col("doc_id").as("j"), col("simhash").as("sb")), "j")
-      .withColumn("dist", expr("bit_count(sa ^ sb)"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("i"), col("j"), col("dist"))
+      .distinct()
   }
 
   /** Scale path for SimHash: split the 32-bit signature into 4 x 8-bit

@@ -3,9 +3,13 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Extracted metadata for one media payload. */
+/** Extracted metadata for one media payload: container format, real
+  * header-parsed dimensions/channels, byte length, and a content
+  * fingerprint.
+  */
 final case class MediaMeta(
     doc_id: Long,
+    fmt: String,
     byte_len: Long,
     width: Int,
     height: Int,
@@ -15,36 +19,28 @@ final case class MediaMeta(
 /** Multimodal-column plumbing: media (image/audio/video) carried as opaque
   * `binary` columns with typed metadata extracted per partition.
   *
-  * The decode step is a STUB — image/audio codec libraries are not in this
-  * container — replaced by a deterministic fake that derives "decoded"
-  * dimensions from the payload bytes. The Spark-side plumbing is real:
-  * binary column in, `mapPartitions` over a typed Dataset (one decoder
-  * instance per partition, streaming iterator — the same batch shape a JNI
+  * Metadata extraction is REAL byte-level container-header parsing
+  * ([[MediaHeaders]]: PNG IHDR, JPEG SOF walk, GIF screen descriptor, WAV
+  * fmt chunk) — no codec library needed. Only pixel/sample DECODE (and
+  * hence true video frame demux) is out of reach in this container; where
+  * a frame count is needed, [[sampleFrames]] derives it deterministically
+  * from the parsed header and says so.
+  *
+  * Plan shape: `mapPartitions` over a typed Dataset — one parser/decoder
+  * context per partition, streaming iterator (the same batch shape a JNI
   * or subprocess decoder needs), typed case-class schema out, no shuffle.
   */
 object Multimodal {
-
-  /** STUB decoder: a real implementation would parse the image header and
-    * pixel data here. Deterministic so tests and oracles can reproduce it.
-    */
-  def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
-    val len = payload.length
-    MediaMeta(
-      doc_id = id,
-      byte_len = len.toLong,
-      width = len % 640 + 1,
-      height = len % 480 + 1,
-      channels = 3,
-      fingerprint = md5Hex(payload))
-  }
 
   def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
-  /** (id binary) -> MediaMeta rows. Per-partition iteration keeps decoder
-    * setup cost amortized across a partition's rows and memory bounded to
-    * one payload at a time.
+  /** (doc_id, payload binary) -> MediaMeta rows. Per-partition iteration
+    * keeps parser setup cost amortized across a partition's rows and
+    * memory bounded to one payload at a time. Dimensions/channels come
+    * from the actual container bytes; unknown containers report
+    * fmt "unknown" with -1 dimensions rather than fabricated ones.
     */
   def extractMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -52,8 +48,11 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // One decoder context per partition would be initialized here.
-        it.map { case (id, payload) => decodeStub(id, payload) }
+        it.map { case (id, payload) =>
+          val cm = MediaHeaders.parse(id, payload)
+          MediaMeta(id, cm.fmt, payload.length.toLong,
+            cm.width, cm.height, cm.channels, md5Hex(payload))
+        }
       }
       .toDF()
   }
@@ -65,27 +64,32 @@ object Multimodal {
   final case class FrameMeta(
       doc_id: Long, frame_idx: Int, frame_w: Int, frame_h: Int, frame_fp: String)
 
-  /** Frame sampling: every `step`-th frame of each "video" payload, with a
-    * per-frame fingerprint and resized dimensions. The frame count/decode
-    * is the deterministic stub (a real decoder would demux here); the
-    * plumbing is the real shape — per-partition decode, one output row per
-    * sampled frame, no shuffle (map-side explode).
+  /** Frame sampling: every `step`-th frame of each media payload, with a
+    * per-frame fingerprint and half-resolution "resize" dimensions taken
+    * from the REAL parsed header. The frame COUNT is the one honest stub
+    * left (no demuxer in this container): it is a deterministic function
+    * of the parsed dimensions, (width*height) % 30 + 1, documented here
+    * so the oracle can state it. Plumbing is the real shape —
+    * per-partition parse, one output row per sampled frame, no shuffle
+    * (map-side explode).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, step: Int = 5): DataFrame = {
     import spark.implicits._
+    require(step > 0, "step must be positive")
     media
       .select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        val meta = decodeStub(id, payload)
-        val nFrames = (payload.length % 30) + 1
-        (0 until nFrames by step).map { i =>
+        val cm = MediaHeaders.parse(id, payload)
+        val nFrames = (cm.width.toLong * cm.height.toLong) % 30 + 1
+        (0L until nFrames by step.toLong).map { i =>
           FrameMeta(
             doc_id = id,
-            frame_idx = i,
-            frame_w = meta.width / 2 + 1, // stub "resize"
-            frame_h = meta.height / 2 + 1,
-            frame_fp = md5Hex((new String(payload, "UTF-8") + "#" + i).getBytes("UTF-8")))
+            frame_idx = i.toInt,
+            frame_w = cm.width / 2 + 1,
+            frame_h = cm.height / 2 + 1,
+            frame_fp = md5Hex(
+              s"${cm.fmt}:${cm.width}x${cm.height}#$i".getBytes("UTF-8")))
         }
       }
       .toDF()

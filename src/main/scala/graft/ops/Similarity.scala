@@ -30,10 +30,27 @@ object Similarity {
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
   }
 
-  /** All pairs with cosine >= threshold (exact; quadratic — use LSH buckets
-    * to pre-filter at scale).
+  /** All pairs with cosine >= threshold — the exact VERIFICATION-ONLY
+    * baseline, quadratic by construction. Dense embeddings admit no exact
+    * equi-join candidate scheme at low thresholds (unlike simhash's
+    * pigeonhole: a 0.4-cosine ball spans ~one pivot-distance band, so
+    * triangle-inequality banding prunes nothing), so the scale paths are
+    * the approximate ones: [[lshCandidates]] / [[ivfTopK]] with
+    * recall pinned against this baseline in OpsSpec.
+    *
+    * To keep the quadratic form from being run at corpus scale by
+    * accident, the input is guarded: corpora above `maxRows` (default
+    * 100k rows = ~5e9 pair evaluations, the single-machine verification
+    * ceiling) are refused with a pointer at the scale paths. The guard is
+    * one count aggregate — noise next to the pair join it gates.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val cnt = emb.count()
+    require(cnt <= maxRows,
+      s"nearDupPairs is the exact quadratic verification baseline ($cnt rows > " +
+        s"$maxRows cap = ${cnt * cnt / 2} pair evaluations); at corpus scale " +
+        "use lshCandidates/ivfTopK and verify candidates only.")
     val n = normalized(emb)
     val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))

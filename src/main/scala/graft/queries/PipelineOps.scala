@@ -364,16 +364,28 @@ object PipelineOps {
           element_at(col("q"), 3).as("price_p99"))
     },
 
+    // Multimodal metadata over REAL container bytes: per doc, an actual
+    // png/gif/jpeg header is synthesized with dimensions derived from
+    // (n_chars, doc_id), then extractMeta parses it back byte-level
+    // (MediaHeaders) — the oracle states the parsed fields arithmetically,
+    // including the container's exact byte length (fixed per format by its
+    // header layout: png 33, gif 13, jpeg 21). The md5 payload fingerprint
+    // is real too but binary-derived, so OpsSpec (not the SQL oracle) pins
+    // it; the corpus entry projects the oracle-stateable columns.
     Q.df(
       "p16_multimodal_meta",
       """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  CAST(length(text) % 640 + 1 AS INT) AS width,
-        |  CAST(length(text) % 480 + 1 AS INT) AS height,
-        |  CAST(3 AS INT) AS channels,
-        |  md5(text) AS fingerprint
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 21 END AS BIGINT) AS byte_len,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height,
+        |  3 AS channels
         |FROM documents""".stripMargin) { (s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.fromDocuments(t(s, dir, "documents")))
+      Multimodal.extractMeta(s,
+        graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")))
+        .drop("fingerprint")
     },
 
     // Cluster resolution over the VERIFIED near-duplicate pairs (the p03
@@ -653,17 +665,30 @@ object PipelineOps {
         t(s, dir, "events"), col("user_id"), col("event_id"), col("value"))
     },
 
+    // Frame sampling over REAL parsed headers: resize dims and the frame
+    // fingerprint derive from the byte-parsed container fields; only the
+    // frame COUNT is the documented demux stub ((width*height) % 30 + 1 —
+    // no video demuxer in this container), which the oracle states.
     Q.df(
       "p22_frame_sample",
-      """SELECT doc_id,
+      """WITH m AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(frame_idx AS INT) AS frame_idx,
-        |  CAST((length(text) % 640 + 1) // 2 + 1 AS INT) AS frame_w,
-        |  CAST((length(text) % 480 + 1) // 2 + 1 AS INT) AS frame_h,
-        |  md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_fp
-        |FROM (
-        |  SELECT doc_id, text, unnest(range(0, length(text) % 30 + 1, 5)) AS frame_idx
-        |  FROM documents) f""".stripMargin) { (s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.fromDocuments(t(s, dir, "documents")), 5)
+        |  CAST(width // 2 + 1 AS INT) AS frame_w,
+        |  CAST(height // 2 + 1 AS INT) AS frame_h,
+        |  md5(fmt || ':' || CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
+        |    || '#' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+        |FROM (SELECT doc_id, fmt, width, height,
+        |  unnest(range(0, (width * height) % 30 + 1, 5)) AS frame_idx FROM m) f""".stripMargin) {
+      (s, dir) =>
+        Multimodal.sampleFrames(s,
+          graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")), 5)
     },
 
     // Gopher-style repetition signals: integer counts only, so any engine
@@ -885,5 +910,86 @@ object PipelineOps {
       graft.ops.MediaHeaders.parseHeaders(s,
         graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")))
     },
+
+    // Directional containment near-dup pairs: catches subset duplication
+    // (a short doc quoted inside a long one) that symmetric Jaccard
+    // misses. Intersections come from the hash-partitioned shingle
+    // equi-join — linear in total shingle volume; worst case (a shingle
+    // shared corpus-wide) is the same hot-key caveat as p03's
+    // verification stage, with minhashLshCandidates as the pre-block at
+    // corpus scale (see Dedup.containmentPairs docs).
+    Q.df(
+      "p48_containment",
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ip AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, contain FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / CAST(cnt.n_sh AS DOUBLE) AS contain
+         |  FROM ip JOIN cnt ON cnt.doc_id = i) p
+         |WHERE contain >= 0.9""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), 3, 0.9)
+    },
+
+    // BM25 scoring against a fixed query bag (rational idf — the un-logged
+    // rational argument is order-equivalent to ln and IEEE-exact, which is
+    // what lets two engines hash-match ranking scores). Corpus stats are
+    // one tiny driver-collected aggregate folded in as literals; scoring
+    // itself is map-only at scan speed. The oracle replays the identical
+    // double arithmetic: same operand order, constants written as the same
+    // IEEE expressions ((1.2 + 1.0), not 2.2 — decimal renderings of
+    // computed doubles need not round-trip).
+    Q.df(
+      "p49_bm25",
+      PipelineOps.bm25OracleSql(Seq("query", "join", "scan"))) { (s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), Seq("query", "join", "scan"))
+    },
+
+    // Distribution rebalancing (data mixing): downsample each language
+    // stratum toward the smallest with sqrt temperature (lang is the
+    // skewed stratum in the testdata — en dominates — so the shrink path
+    // actually runs). Membership stays the row-local
+    // h56 < floor(sqrt(min_n/n_s) * 2^56) test — one tiny broadcast of
+    // per-stratum thresholds, no corpus shuffle, and sqrt / floor / the
+    // 2^56 scale are all IEEE-exact, so the oracle derives the identical
+    // kept set.
+    Q.df(
+      "p50_rebalance_strata",
+      """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n) AS mn FROM c),
+        |thr AS (SELECT s, CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE))
+        |  * 72057594037927936.0) AS BIGINT) AS thr FROM c, mn)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.s
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT) < thr.thr""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Sampling.rebalanceStrata(
+          t(s, dir, "documents"), col("lang"), col("doc_id"))
+          .select(col("doc_id"), col("lang"))
+    },
   )
+
+  /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double
+    * arithmetic (rational idf, k1=1.2, b=0.75): same operand order, term
+    * sum in query order.
+    */
+  def bm25OracleSql(terms: Seq[String]): String = {
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '${terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n  ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val termSum = terms.indices.map { i =>
+      val tf = s"CAST(len(list_filter(toks, w -> w = '${terms(i)}')) AS DOUBLE)"
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      s"$idf * $tf * (1.2 + 1.0) / ($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(len(toks) AS DOUBLE) / $avgdl))"
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(toks)) AS BIGINT) AS sum_dl,
+       |  $dfCols
+       |  FROM tok)
+       |SELECT doc_id, bm25 FROM (
+       |  SELECT doc_id, $termSum AS bm25 FROM tok, st) x
+       |WHERE bm25 > 0""".stripMargin
+  }
 }

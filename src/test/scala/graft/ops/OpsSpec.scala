@@ -122,14 +122,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sketched - exactMedian) / exactMedian < 0.05)
   }
 
-  test("multimodal stub extracts typed metadata per payload") {
-    val meta = Multimodal.extractMeta(spark, Multimodal.fromDocuments(docs))
+  test("multimodal metadata comes from real header bytes; md5 fingerprint is real") {
+    val meta = Multimodal.extractMeta(spark,
+      MediaHeaders.synthesizeContainers(spark, docs))
     assert(meta.columns.toSeq ==
-      Seq("doc_id", "byte_len", "width", "height", "channels", "fingerprint"))
+      Seq("doc_id", "fmt", "byte_len", "width", "height", "channels", "fingerprint"))
     val rows = meta.collect()
     assert(rows.length == docs.count())
-    assert(rows.forall(_.getInt(2) >= 1))
-    assert(rows.forall(_.getString(5).length == 32))
+    // Parsed from actual container bytes: format cycles on doc_id, and the
+    // byte length is the format's exact header size.
+    rows.foreach { r =>
+      val expectFmt = (r.getLong(0) % 3) match {
+        case 0 => "png"; case 1 => "gif"; case _ => "jpeg"
+      }
+      assert(r.getString(1) == expectFmt)
+      assert(r.getLong(2) == (expectFmt match {
+        case "png" => 33L; case "gif" => 13L; case _ => 21L
+      }))
+      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1 && r.getInt(5) == 3)
+    }
+    // Fingerprint is the true md5 of the payload bytes.
+    val png = MediaHeaders.synthPng(17, 9)
+    val one = Multimodal.extractMeta(spark,
+      spark.createDataFrame(Seq((1L, png))).toDF("doc_id", "payload")).head
+    assert(one.getString(6) == Multimodal.md5Hex(png))
+    assert(one.getInt(3) == 17 && one.getInt(4) == 9)
+    // Non-container bytes report unknown, never fabricated dimensions.
+    val unk = Multimodal.extractMeta(spark, Multimodal.fromDocuments(docs)).head
+    assert(unk.getString(1) == "unknown" && unk.getInt(3) == -1)
   }
 
   test("hash sampling is deterministic, near-fraction, and stable under growth") {
@@ -427,5 +447,104 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val kept = Quantiles.outlierFilter(vals, col("x"), 0.05, 0.95)
       .collect().map(_.getLong(0)).sorted
     assert(kept.head == 5L && kept.last == 95L && kept.length == 91)
+  }
+
+  test("simhash pair plan is candidate->verify: no cartesian / nested-loop join") {
+    val plan = Dedup.simhashPairs(docs, 6).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // The >7 fallback keeps the exact contract instead of throwing: at the
+    // max distance every pair qualifies, giving exactly C(n,2) rows.
+    import spark.implicits._
+    val tiny = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(tiny, 32).count() == 3L)
+  }
+
+  test("quadratic cosine baseline refuses corpus-scale inputs") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(emb, 0.4, maxRows = 3L))
+    assert(e.getMessage.contains("lshCandidates"))
+  }
+
+  test("containment pairs: subset duplication scores ~1 even when jaccard is low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon" // 3 shingles, all inside long
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // c(1->2) = 1.0 (every shingle of the short doc is in the long one);
+    // c(2->1) = 3/15 < 0.9 so only the directional pair survives.
+    assert(pairs == Set((1L, 2L, 1.0)))
+    // Jaccard at the same threshold misses it entirely.
+    assert(Dedup.ngramJaccardPairs(d, 3, 0.9).count() == 0L)
+  }
+
+  test("bm25 matches an independent reference computation, both idf modes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a c"), (2L, "b c d"), (3L, "a a a"), (4L, "d e f g"))
+    val d = corpus.toDF("doc_id", "text")
+    val terms = Seq("a", "d")
+    val (k1, b) = (1.2, 0.75)
+    // Independent reference: plain Scala over the token lists.
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def expected(rational: Boolean): Map[Long, Double] =
+      toks.flatMap { case (id, ws) =>
+        val score = terms.map { t =>
+          val df = toks.values.count(_.contains(t)).toDouble
+          val arg = (n - df + 0.5) / (df + 0.5)
+          val idf = if (rational) arg else math.log(arg)
+          val tf = ws.count(_ == t).toDouble
+          idf * tf * (k1 + 1.0) /
+            (tf + k1 * ((1.0 - b) + b * ws.size.toDouble / avgdl))
+        }.sum
+        if (score > 0) Some(id -> score) else None
+      }
+    for (rational <- Seq(true, false)) {
+      val got = TextOps.bm25(d, terms, k1, b, rationalIdf = rational)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = expected(rational)
+      assert(got.keySet == want.keySet, s"rational=$rational")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - want(id)) < 1e-12, s"doc $id rational=$rational: $s vs ${want(id)}")
+      }
+    }
+    // Spot-check one hand-derived value (rational idf): doc 3 = "a a a",
+    // df(a)=2 -> idf=(4-2+0.5)/(2+0.5)=1.0, tf=3, dl=3, avgdl=3.5:
+    // 1.0*3*2.2 / (3 + 1.2*(0.25 + 0.75*3/3.5)) = 6.6 / (3 + 1.071428...)
+    val doc3 = TextOps.bm25(d, terms).filter(col("doc_id") === 3L)
+      .head.getDouble(1)
+    assert(math.abs(doc3 - 6.6 / (3.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.5))) < 1e-12)
+  }
+
+  test("strata rebalancing keeps the smallest stratum whole and shrinks large ones") {
+    // lang is the skewed stratum in the testdata (en dominates).
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.max > before.values.min, "testdata lost its lang skew")
+    val after = Sampling.rebalanceStrata(docs, col("lang"), col("doc_id"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = before.values.min.toDouble
+    // The smallest stratum's threshold is sqrt(1) = keep-all: exact.
+    val smallest = before.minBy(_._2)._1
+    assert(after(smallest) == before(smallest))
+    before.foreach { case (s, nB) =>
+      val nA = after.getOrElse(s, 0L).toDouble
+      val want = math.sqrt(minN / nB) * nB
+      // Bernoulli membership: allow generous slack around the expectation.
+      assert(math.abs(nA - want) <= math.max(8.0, 4.0 * math.sqrt(want)),
+        s"stratum $s: kept $nA, expected ~$want of $nB")
+    }
+    // Determinism: the kept set is a pure function of (key, counts).
+    val a = Sampling.rebalanceStrata(docs, col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.rebalanceStrata(docs, col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
   }
 }
