@@ -92,20 +92,26 @@ object Engine {
       truncated = rows.length >= rowLimit)
   }
 
-  /** Apply the request's storage settings as per-bucket S3A overrides
-    * (`fs.s3a.bucket.<bucket>.*`), SURVEY.md §7.3 strategy (c): concurrent
-    * requests whose table paths live in different buckets keep distinct
-    * credentials on the shared Hadoop configuration. Same-bucket
-    * different-credential concurrency is the remaining documented
-    * limitation (solved with per-catalog Iceberg S3FileIO properties when
-    * the Iceberg runtime is on the classpath).
+  /** Apply the request's storage settings as PER-SESSION per-bucket S3A
+    * overrides: `spark.hadoop.fs.s3a.bucket.<bucket>.*` entries on the
+    * request session's own conf (each request is a `newSession()` with an
+    * isolated SQLConf). Spark's file sources merge `spark.hadoop.*`
+    * session entries over the shared Hadoop configuration on every data
+    * read, and the Iceberg-lite metadata chain reads through the same
+    * merge (IcebergLite.sessionHadoopConf) — so two CONCURRENT requests
+    * carrying different credentials for the SAME bucket each resolve
+    * their own, and the process-global `sparkContext.hadoopConfiguration`
+    * is never mutated (SURVEY.md §7.3's "genuinely hard part"; the
+    * reference fixed the analogous shared-connection race with a
+    * per-request lock, main.py:262-272 — per-session conf is the
+    * shared-nothing version of that fix).
     */
   def applyStorageSettings(spark: SparkSession, cfg: ConnectionConfig): Unit =
     cfg.tablePath.filter(_.startsWith("s3://")).foreach { p =>
       val bucket = p.stripPrefix("s3://").takeWhile(_ != '/')
-      val conf = spark.sparkContext.hadoopConfiguration
       ConnectionConfig.s3aSettings(cfg).foreach { case (k, v) =>
-        conf.set(k.replace("fs.s3a.", s"fs.s3a.bucket.$bucket."), v)
+        spark.conf.set(
+          "spark.hadoop." + k.replace("fs.s3a.", s"fs.s3a.bucket.$bucket."), v)
       }
     }
 

@@ -57,6 +57,23 @@ object IcebergLite {
 
   final case class ProbeError(message: String) extends RuntimeException(message)
 
+  /** The SESSION's Hadoop view: the shared SparkContext configuration
+    * overlaid with this session's `spark.hadoop.*` conf entries — the
+    * same merge Spark's own file sources apply on the executor data
+    * path. Reading metadata through this (instead of the process-global
+    * `sparkContext.hadoopConfiguration`) is what makes per-request
+    * credentials (Engine.applyStorageSettings) actually isolate: two
+    * concurrent sessions with different credentials for the SAME bucket
+    * each resolve their own, and neither mutates global state.
+    */
+  def sessionHadoopConf(spark: SparkSession): Configuration = {
+    val merged = new Configuration(spark.sparkContext.hadoopConfiguration)
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop.")) merged.set(k.stripPrefix("spark.hadoop."), v)
+    }
+    merged
+  }
+
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
   /** Latest metadata JSON by filename order — correct for both pyiceberg's
@@ -404,9 +421,11 @@ object IcebergLite {
     * [[assertNoDeletes]] first (the engine rejects tables with row-level
     * deletes rather than silently returning removed rows, matching the
     * reference's guard, main.py:391-423). With `applyDeletes = true`,
-    * position deletes are merged on read instead: data rows are
-    * anti-joined against the delete files on (file_path, row position)
-    * via the parquet `_metadata` columns.
+    * both kinds merge on read: position deletes as an anti-join on
+    * (file_path, row position) via the parquet `_metadata` columns, and
+    * equality deletes as broadcast anti-joins on each delete file's
+    * column set, scoped to data files committed before the delete's
+    * snapshot (Iceberg's sequence-number rule, resolved metadata-only).
     */
   def scan(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
@@ -416,7 +435,7 @@ object IcebergLite {
       excludeDataFiles: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = sessionHadoopConf(spark)
     val metaPath = resolveMetadataPath(conf, tablePath, metadataLocation)
     val meta = readMetadataJson(conf, metaPath)
     val snapId = snapshotId.orElse(asOfMillis.map(ts =>
@@ -498,35 +517,77 @@ object IcebergLite {
     val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
 
-    // Merge-on-read covers POSITION deletes only. Equality-delete files
-    // (content=2) would need per-row predicate matching against the delete
-    // rows' equality columns; silently skipping them resurrects deleted
-    // rows, so an opted-in scan of such a table is refused instead
-    // (reference behavior is to reject ALL delete types, main.py:398-414 —
-    // the opt-in relaxation must not be weaker than the guard it relaxes).
-    if (applyDeletes && entries.exists(e => e.fileContent == 2 && e.status != 2))
-      throw ProbeError(
-        s"Iceberg table at $tablePath carries equality-delete files; " +
-          "merge-on-read supports position deletes only, and skipping " +
-          "equality deletes would return rows the table has deleted. " +
-          "Compact the table, then retry.")
-    val deleteFiles = entries.filter(e => e.fileContent == 1 && e.status != 2).map(_.path)
-    val merged =
-      if (!applyDeletes || deleteFiles.isEmpty) base
+    // Merge-on-read applies BOTH delete kinds (the default path still
+    // refuses all deletes via assertNoDeletes, matching the reference's
+    // guard, main.py:398-414 — opting in must not silently weaken it).
+    val posDeleteFiles = entries.filter(e => e.fileContent == 1 && e.status != 2).map(_.path)
+    val eqDeleteEntries = entries.filter(e => e.fileContent == 2 && e.status != 2)
+    val needDeletes = applyDeletes && (posDeleteFiles.nonEmpty || eqDeleteEntries.nonEmpty)
+    val withFp = if (needDeletes) base.withColumn("__fp", col("_metadata.file_path")) else base
+    // Position deletes: anti-join on (file path, row position). The delete
+    // side is normally tiny next to the data side, so Spark broadcasts
+    // it; at worst it is a shuffled anti-join keyed by file — no skew
+    // (positions within a file are unique).
+    val posApplied =
+      if (!applyDeletes || posDeleteFiles.isEmpty) withFp
       else {
-        // Merge-on-read: anti-join on (file path, row position). The delete
-        // side is normally tiny next to the data side, so Spark broadcasts
-        // it; at worst it is a shuffled anti-join keyed by file — no skew
-        // (positions within a file are unique).
-        val dels = spark.read.parquet(deleteFiles: _*)
+        val dels = spark.read.parquet(posDeleteFiles: _*)
           .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
-        base
-          .withColumn("__fp", col("_metadata.file_path"))
+        withFp
           .withColumn("__pos", col("_metadata.row_index"))
           .join(dels, col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
             "left_anti")
-          .drop("__fp", "__pos")
+          .drop("__pos")
       }
+    // Equality deletes: per the Iceberg spec, the delete parquet's schema
+    // IS the equality column set, and the delete applies only to data
+    // files committed in snapshots strictly BEFORE its own. The lite
+    // format has no per-entry sequence numbers, so scope is resolved the
+    // metadata-only way: the delete file's commit snapshot (in its name)
+    // is re-listed, and only data files present THEN are eligible — rows
+    // appended after the delete survive, exactly as sequence numbers
+    // would arrange. Each delete becomes one broadcast anti-join with the
+    // scope as a residual predicate on the scanned file path; unknown
+    // equality columns or an unresolvable commit snapshot refuse the scan
+    // rather than resurrect deleted rows.
+    val eqApplied =
+      if (!applyDeletes || eqDeleteEntries.isEmpty) posApplied
+      else {
+        val declaredToPhysical = renames.map { case (p, d) => d -> p }.toMap
+        val snapRe = "delete-([0-9]+)\\.parquet$".r
+        eqDeleteEntries.foldLeft(posApplied) { (acc, e) =>
+          val delSnap = snapRe.findFirstMatchIn(e.path).map(_.group(1).toLong)
+            .getOrElse(throw ProbeError(
+              s"Iceberg table at $tablePath has an equality-delete file whose " +
+                s"commit snapshot cannot be resolved (${e.path}); refusing to " +
+                "scan rather than mis-apply it."))
+          // Scheme renderings differ between manifest paths ("file:/x") and
+          // the scan's `_metadata.file_path` ("file:///x"): compare both
+          // sides scheme-stripped.
+          def normPath(p: String): String = p.replaceFirst("^[A-Za-z0-9]+:/+", "/")
+          val scope = fileEntries(conf, tablePath, Some(delSnap), metadataLocation)
+            .filter(x => x.manifestContent == 0 && x.fileContent == 0)
+            .map(x => normPath(x.path))
+          val delRows = spark.read.parquet(e.path)
+          val eqCols = delRows.columns.toSeq.map(c => c -> declaredToPhysical.getOrElse(c, c))
+          val missing = eqCols.collect { case (d, p) if !acc.columns.contains(p) => d }
+          if (missing.nonEmpty)
+            throw ProbeError(
+              s"Iceberg table at $tablePath carries an equality-delete file on " +
+                s"columns (${delRows.columns.mkString(",")}) that are not all in " +
+                "the data schema; skipping it would resurrect deleted rows, so " +
+                "the scan is refused. Compact the table, then retry.")
+          val delSel = delRows.select(eqCols.map { case (d, _) => col(d).as(s"__eq_$d") }: _*)
+          // Null-safe equality on every delete-file column (Iceberg
+          // equality deletes match nulls to nulls).
+          val cond = eqCols.map { case (d, p) => col(p) <=> col(s"__eq_$d") }.reduce(_ && _)
+          acc.join(org.apache.spark.sql.functions.broadcast(delSel),
+            cond && org.apache.spark.sql.functions
+              .regexp_replace(col("__fp"), "^[A-Za-z0-9]+:/+", "/")
+              .isin(scope: _*), "left_anti")
+        }
+      }
+    val merged = if (needDeletes) eqApplied.drop("__fp") else eqApplied
     // Field-id projection: physical file columns -> declared names. A
     // filter on a declared name pushes through this projection to the
     // physical attribute, so file pruning and parquet pushdown still apply.
@@ -552,7 +613,7 @@ object IcebergLite {
     */
   def incrementalScan(spark: SparkSession, tablePath: String,
       fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = sessionHadoopConf(spark)
     val meta = readMetadataJson(conf, resolveMetadataPath(conf, tablePath))
     val snaps = meta.get("snapshots") match {
       case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
@@ -603,7 +664,7 @@ object IcebergLite {
     */
   def metadataRelation(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = sessionHadoopConf(spark)
     fileEntries(conf, tablePath)
       .map(e => (
         e.path,
@@ -621,7 +682,7 @@ object IcebergLite {
     */
   def snapshotsRelation(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = sessionHadoopConf(spark)
     val metaPath = latestMetadataPath(conf, tablePath)
       .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
     val meta = readMetadataJson(conf, metaPath)
@@ -654,7 +715,7 @@ object IcebergLite {
     * rather than blocking (main.py:421-423).
     */
   def assertNoDeletes(spark: SparkSession, tablePath: String): Unit =
-    Try(hasDeletes(spark.sparkContext.hadoopConfiguration, tablePath)) match {
+    Try(hasDeletes(sessionHadoopConf(spark), tablePath)) match {
       case Success(true) =>
         throw DeleteGuardError(
           "Table has row-level deletes (position or equality). Reads would " +
@@ -670,7 +731,7 @@ object IcebergLite {
     * aggregate sub-probe degrade independently; both failing is an error.
     */
   def probe(spark: SparkSession, tablePath: String): TableInfo = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = sessionHadoopConf(spark)
     var info = TableInfo(
       path = tablePath,
       suggestedQuery = s"SELECT * FROM iceberg_scan('$tablePath') LIMIT 10")

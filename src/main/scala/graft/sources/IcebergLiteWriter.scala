@@ -244,8 +244,12 @@ object IcebergLiteWriter {
 
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)
+    // Delete files live under data/ too (delete-*.parquet): never manifest
+    // them as data, even if a prior manifest recorded their path in a
+    // different scheme rendering than the listing's.
     val dataFiles = listParquet(fs, dataPath)
-      .filter(s => !priorFiles.contains(s.getPath.toString))
+      .filter(s => !priorFiles.contains(s.getPath.toString) &&
+        !s.getPath.getName.startsWith("delete-"))
 
     val entries = dataFiles.map { s =>
       val stats = footerStats(conf, s.getPath)
@@ -405,16 +409,56 @@ object IcebergLiteWriter {
     val metaDir = s"$tableDir/metadata"
     val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
     val len = fs.getFileStatus(delFile).getLen
+    // Manifest the filesystem-qualified path so later appends' prior-file
+    // exclusion (which compares against qualified listing paths) sees it.
     val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
-      deleteEntry(delFile.toString, deletes.length.toLong, len, fileContent)))
+      deleteEntry(fs.makeQualified(delFile).toString,
+        deletes.length.toLong, len, fileContent)))
     commitSnapshot(conf, tableDir, Some(prior), snapshotId,
       Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
       partCols = IcebergLite.partitionColumns(prior))
   }
 
-  // fileContent 1 = position deletes; 2 = equality deletes (fixture
-  // support for the scan-side refusal — this writer never produces
-  // equality deletes in its own commit paths).
+  /** Commit an equality-delete snapshot. As in Iceberg proper (spec §
+    * "Equality Delete Files"), the delete parquet's SCHEMA is the equality
+    * column set — a data row matches when it equals some delete row on
+    * every delete-file column (null-safe). Sequence semantics follow the
+    * spec: the delete applies only to data files committed in snapshots
+    * strictly before its own, which `IcebergLite.scan(..., applyDeletes =
+    * true)` enforces by resolving the delete's snapshot file listing.
+    */
+  def addEqualityDeletes(spark: SparkSession, tableDir: String,
+      deleteRows: org.apache.spark.sql.DataFrame): Unit = {
+    require(deleteRows.columns.nonEmpty, "equality delete needs at least one column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = IcebergLite.latestMetadataPath(conf, tableDir)
+      .map(p => IcebergLite.readMetadataJson(conf, p))
+      .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val nRows = deleteRows.count()
+    require(nRows > 0, "equality delete needs at least one row")
+    val tmp = s"$tableDir/tmp-delete-$snapshotId"
+    deleteRows.coalesce(1).write.parquet(tmp)
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = listParquet(fs, tmpPath).head.getPath
+    val delFile = new Path(s"$tableDir/data/delete-$snapshotId.parquet")
+    fs.rename(part, delFile)
+    fs.delete(tmpPath, true)
+
+    val metaDir = s"$tableDir/metadata"
+    val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
+    val len = fs.getFileStatus(delFile).getLen
+    val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
+      deleteEntry(fs.makeQualified(delFile).toString, nRows, len, fileContent = 2)))
+    commitSnapshot(conf, tableDir, Some(prior), snapshotId,
+      Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
+      partCols = IcebergLite.partitionColumns(prior))
+  }
+
+  // fileContent 1 = position deletes; 2 = equality deletes (also settable
+  // through addPositionDeletes' fileContent for malformed-fixture tests).
   private def deleteEntry(path: String, rows: Long, size: Long,
       fileContent: Int = 1): GenericRecord = {
     val delFile = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())

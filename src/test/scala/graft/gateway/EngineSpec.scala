@@ -84,16 +84,24 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .forall(t => !t.name.startsWith("graft_iceberg_scan_")))
   }
 
-  test("storage settings land as per-bucket S3A overrides") {
+  test("storage settings land as per-session per-bucket S3A overrides") {
     val c = cfg.copy(
       storageType = "s3", endpoint = "s3.amazonaws.com", region = "eu-west-1",
       tablePath = Some("s3://acme-lake/wh/tbl"))
-    Engine.applyStorageSettings(spark, ConnectionConfig.validated(c))
-    val hc = spark.sparkContext.hadoopConfiguration
+    val sess = spark.newSession()
+    Engine.applyStorageSettings(sess, ConnectionConfig.validated(c))
+    // The applying session's merged Hadoop view carries the override...
+    val hc = graft.sources.IcebergLite.sessionHadoopConf(sess)
     assert(hc.get("fs.s3a.bucket.acme-lake.access.key") == "k")
     assert(hc.get("fs.s3a.bucket.acme-lake.endpoint.region") == "eu-west-1")
-    // Global keys stay untouched — another bucket's request can't be clobbered.
+    // ...bucket-scoped, not global-keyed.
     assert(hc.get("fs.s3a.access.key") == null)
+    // And NOTHING lands on process-global state or on other sessions —
+    // that's what keeps same-bucket different-credential requests safe.
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("fs.s3a.bucket.acme-lake.access.key") == null)
+    assert(graft.sources.IcebergLite.sessionHadoopConf(spark.newSession())
+      .get("fs.s3a.bucket.acme-lake.access.key") == null)
   }
 
   test("connection test: demo path probes; garbage returns None") {

@@ -180,12 +180,58 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergLite.scan(spark, dir).count() == 5)
   }
 
-  test("equality deletes refuse merge-on-read instead of resurrecting rows") {
+  test("equality deletes: applied on the MoR path, scoped by commit order") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_eq_apply") + "/warehouse/region_eq_apply"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    val preDeleteSnap = IcebergLite.probe(spark, dir).snapshotId.get.toLong
+
+    // Delete regionkeys 1 and 3 by value.
+    IcebergLiteWriter.addEqualityDeletes(spark, dir,
+      Seq(1L, 3L).toDF("r_regionkey"))
+
+    // Default path still guarded, exactly as for position deletes.
+    assertThrows[IcebergLite.DeleteGuardError](
+      IcebergLite.assertNoDeletes(spark, dir))
+    assert(IcebergLite.scan(spark, dir).count() == 5)
+
+    // Opt-in merge removes exactly the matching rows — no refusal.
+    val merged = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(merged.count() == 3)
+    val keys = merged.select("r_regionkey").collect()
+      .map(_.getAs[Number](0).longValue()).toSet
+    assert(keys == Set(0L, 2L, 4L))
+
+    // Sequence semantics: a row with a deleted key APPENDED AFTER the
+    // delete commit survives (the delete applies only to earlier files).
+    val resurrect = Tables.t(spark, sf0001, "region").filter(col("r_regionkey") === 1)
+    IcebergLiteWriter.append(spark, resurrect, dir)
+    val after = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(after.count() == 4)
+    assert(after.filter(col("r_regionkey") === 1).count() == 1)
+
+    // Time travel to the pre-delete snapshot is still exact: no deletes
+    // existed then, so all 5 original rows come back.
+    assert(IcebergLite.scan(spark, dir,
+      snapshotId = Some(preDeleteSnap), applyDeletes = true).count() == 5)
+
+    // Both kinds compose: position-delete one surviving row on top.
+    val victim = IcebergLite.scan(spark, dir)
+      .select(col("_metadata.file_path"), col("_metadata.row_index"), col("r_regionkey"))
+      .filter(col("r_regionkey") === 2).limit(1).collect()(0)
+    IcebergLiteWriter.addPositionDeletes(spark, dir,
+      Seq((victim.getString(0), victim.getLong(1))))
+    val both = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(both.count() == 3)
+    assert(both.filter(col("r_regionkey") === 2).count() == 0)
+  }
+
+  test("malformed equality deletes refuse merge-on-read instead of resurrecting rows") {
     val dir = tmpDir("iceberg_eq") + "/warehouse/region_eq"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
-    // A content=2 (equality) delete file: the lite reader cannot apply it,
-    // so the opt-in merge path must throw — an applyDeletes=true scan that
-    // silently skipped it would return rows the table has deleted.
+    // A content=2 delete file whose columns are NOT data columns: applying
+    // it is impossible, and skipping it would return rows the table has
+    // deleted — so the opt-in merge path must throw.
     IcebergLiteWriter.addPositionDeletes(spark, dir,
       Seq(("unused", 0L)), fileContent = 2)
     assertThrows[IcebergLite.DeleteGuardError](
