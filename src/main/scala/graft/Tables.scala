@@ -14,17 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
-    case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-      // as a timestamp. Read it as raw nanos and truncate to micros — the
-      // same conversion DuckDB applies when scanning nanos into its
-      // microsecond TIMESTAMP, so oracle results line up.
+  /** Parquet footer schema per (dir, table): schema inference is a
+    * footer read per `spark.read.parquet` call, which a 96-query corpus
+    * run pays ~per query per table. Schemas are plain values (no session
+    * references), so a global memo is safe across sessions and threads.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    // as a timestamp. Read it as raw nanos and truncate to micros — the
+    // same conversion DuckDB applies when scanning nanos into its
+    // microsecond TIMESTAMP, so oracle results line up.
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case _ =>
-      spark.read.parquet(s"$dir/$name.parquet")
+    val schema = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(path).schema)
+    val base = spark.read.schema(schema).parquet(path)
+    if (name == "events") base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else base
   }
 
   /** Register every table as a temp view so spark.sql corpus queries and
