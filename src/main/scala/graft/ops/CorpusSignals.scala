@@ -60,6 +60,35 @@ object CorpusSignals {
       .select(col("doc_id"), col("m.w").as("rare_term"), col("m.df").as("df"))
   }
 
+  /** Cross-document n-gram NOVELTY: per doc, how many of its distinct
+    * word n-grams appear in no other document (df == 1), against its
+    * total distinct n-grams. The complement of near-dup detection as a
+    * per-document score — boilerplate-heavy or duplicated docs score low,
+    * original text scores high — and a standard curation signal for
+    * data-mixing decisions. Integer counts plus one IEEE division, so
+    * any engine reproduces it exactly.
+    *
+    * Scale shape: distinct (doc, gram) in one hash aggregate, gram df in
+    * a second, join back on the gram, per-doc count — the same
+    * vocabulary-sized shuffles as [[rarestTerm]], nothing quadratic.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val docGrams = docs
+      .select(col("doc_id"),
+        explode(expr(s"ngram_shingles(lower(text), $n)")).as("g"))
+      .distinct()
+    val dfreq = docGrams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    docGrams.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique_grams"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_unique_grams"),
+        (col("n_unique_grams").cast("double") / col("n_distinct_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Overlapping token-window chunks — the retrieval/context-window prep
     * step. Chunk k covers tokens [k*stride, k*stride + window); the last
     * chunk starts at the smallest multiple of stride reaching the tail.

@@ -93,4 +93,28 @@ object Decontamination {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** SEMANTIC decontamination: corpus items whose embedding is within
+    * `threshold` cosine of some benchmark item — catches paraphrased
+    * contamination that no n-gram check can (the text shares no
+    * shingles, the meaning leaks anyway). Emits
+    * (bench_id, corpus_id, cos) for every qualifying pair.
+    *
+    * Scale shape: the benchmark is small by definition, so its vectors
+    * BROADCAST and the corpus side streams through the codegen'd
+    * `vec_dot` at scan speed — linear in corpus size, no shuffle of the
+    * corpus, unlike the quadratic all-pairs form
+    * (Similarity.nearDupPairs). Cost is corpus x |benchmark| dot
+    * products, the same shape as brute-force ANN scoring.
+    */
+  def embeddingOverlap(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = Similarity.normalized(corpus)
+    val b = Similarity.normalized(benchmark).select(
+      col("vec_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bn"))
+    n.join(broadcast(b), col("vec_id") =!= col("bench_id"))
+      .withColumn("cos", expr("vec_dot(bv, v)") / (col("bn") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("bench_id"), col("vec_id").as("corpus_id"), col("cos"))
+  }
 }

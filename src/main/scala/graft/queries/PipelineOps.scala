@@ -954,6 +954,48 @@ object PipelineOps {
     // per-stratum thresholds, no corpus shuffle, and sqrt / floor / the
     // 2^56 scale are all IEEE-exact, so the oracle derives the identical
     // kept set.
+    // Semantic decontamination: corpus embeddings within cosine 0.4 of a
+    // benchmark embedding (the deterministic 5% hash sample) — catches
+    // paraphrased leakage no n-gram check sees. The benchmark side
+    // broadcasts; the corpus streams through the codegen'd vec_dot at
+    // scan speed — linear, unlike the all-pairs cosine baseline.
+    Q.df(
+      "p51_decontam_semantic",
+      s"""WITH $embCtes,
+         |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM n
+         |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14) AS BIGINT)
+         |    < ${graft.ops.Sampling.thresholdFor(0.05)})
+         |SELECT bench_id, corpus_id, cos FROM (
+         |  SELECT b.bench_id, n.vec_id AS corpus_id,
+         |    list_sum(list_transform(generate_series(1, len(n.v)), k -> b.bv[k] * n.v[k])) / (b.bn * n.nrm) AS cos
+         |  FROM n JOIN b ON n.vec_id <> b.bench_id) p
+         |WHERE cos >= 0.4""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Decontamination.embeddingOverlap(
+        emb, graft.ops.Sampling.hashSample(emb, 0.05, col("vec_id")), 0.4)
+    },
+
+    // Cross-document 2-gram novelty: the share of a doc's distinct
+    // 2-grams that appear in NO other document — duplicated/boilerplate
+    // docs score low, original text high. Integer counts + one division;
+    // two vocabulary-sized hash shuffles, nothing quadratic.
+    Q.df(
+      "p52_ngram_novelty",
+      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM ws WHERE len(w) >= 2) x),
+        |dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gdf FROM g GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_grams,
+        |  CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM g JOIN dfq USING (gram)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.ngramNovelty(t(s, dir, "documents"), 2)
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

@@ -223,7 +223,8 @@ object IcebergLiteWriter {
   }
 
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
-      mode: SaveMode, withDeleteManifest: Boolean, partitionBy: Seq[String]): Unit = {
+      mode: SaveMode, withDeleteManifest: Boolean, partitionBy: Seq[String],
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = s"$tableDir/data"
 
@@ -275,7 +276,52 @@ object IcebergLiteWriter {
     }
 
     commitSnapshot(conf, tableDir, prior, snapshotId, newManifests,
-      schemaJson = Some(schemaFieldsJson(df.schema)), partCols = partCols)
+      schemaJson = Some(schemaFieldsJson(df.schema)), partCols = partCols,
+      extraSummary = extraSummary)
+  }
+
+  /** The summary key an idempotent streaming sink stamps on each commit. */
+  val StreamingBatchIdKey = "streaming-batch-id"
+
+  /** Append one streaming micro-batch as a snapshot tagged with its batch
+    * id. Paired with [[committedStreamingBatchIds]], this gives an
+    * exactly-once table from Structured Streaming's at-least-once
+    * foreachBatch replay: a restarted query re-offers the last batch, the
+    * sink sees its id already in the snapshot log, and skips the commit
+    * (the same summary-tag protocol real Iceberg sinks use for
+    * idempotence). Returns true when the batch committed, false when it
+    * was already present.
+    */
+  def appendStreamingBatch(spark: SparkSession, df: DataFrame, tableDir: String,
+      batchId: Long, partitionBy: Seq[String] = Nil): Boolean = {
+    if (committedStreamingBatchIds(spark, tableDir).contains(batchId)) false
+    else {
+      val mode =
+        if (IcebergLite.latestMetadataPath(
+          spark.sparkContext.hadoopConfiguration, tableDir).isEmpty) SaveMode.Overwrite
+        else SaveMode.Append
+      commit(spark, df, tableDir, mode, withDeleteManifest = false, partitionBy,
+        extraSummary = Map(StreamingBatchIdKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Batch ids already committed to the table's snapshot log. Metadata-only
+    * (one JSON read) — restart recovery costs no data IO.
+    */
+  def committedStreamingBatchIds(spark: SparkSession, tableDir: String): Set[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergLite.latestMetadataPath(conf, tableDir).toSeq.flatMap { p =>
+      val meta = IcebergLite.readMetadataJson(conf, p)
+      meta.get("snapshots") match {
+        case Some(graft.gateway.JValue.JArr(items)) =>
+          items.collect { case o: graft.gateway.JValue.JObj => o }
+            .flatMap(_.get("summary").collect { case s: graft.gateway.JValue.JObj => s })
+            .flatMap(_.str(StreamingBatchIdKey))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+        case _ => Nil
+      }
+    }.toSet
   }
 
   /** One manifest entry (status 0=EXISTING / 1=ADDED) for a data file. */
@@ -517,7 +563,8 @@ object IcebergLiteWriter {
       prior: Option[graft.gateway.JValue.JObj], snapshotId: Long,
       newManifests: Seq[(String, Long, Int)], schemaJson: Option[String],
       partCols: Seq[String], carryPriorManifests: Boolean = true,
-      operation: String = "append"): Unit = {
+      operation: String = "append",
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val metaDir = s"$tableDir/metadata"
     // REPLACE commits (compaction) write a complete manifest themselves;
     // carrying the prior ones would resurrect the rewritten files.
@@ -537,12 +584,15 @@ object IcebergLiteWriter {
     writeAvro(conf, manifestListPath, ManifestFileSchema, manifestRecords)
 
     val nowMs = System.currentTimeMillis()
+    val summaryJson = (Seq(s""""operation": "$operation"""") ++
+      extraSummary.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": "$v"""" })
+      .mkString("{", ", ", "}")
     val newSnapshot =
       s"""{
          |      "snapshot-id": $snapshotId,
          |      "timestamp-ms": $nowMs,
          |      "manifest-list": "$manifestListPath",
-         |      "summary": {"operation": "$operation"}
+         |      "summary": $summaryJson
          |    }""".stripMargin
     val priorSnapshots = prior.toSeq.flatMap(_.get("snapshots")).flatMap {
       case graft.gateway.JValue.JArr(items) => items.map(graft.gateway.Json.render)

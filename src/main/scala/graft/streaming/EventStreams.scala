@@ -130,6 +130,29 @@ object EventStreams {
     // whenever both sides name the key identically.
     events.join(dim, events(streamKey) === dim(dimKey), "left")
 
+  /** Exactly-once streaming sink into an Iceberg-lite table: each
+    * micro-batch commits as one snapshot tagged with its batch id
+    * (foreachBatch is at-least-once — a restarted query re-offers the
+    * last batch, and the tag makes the duplicate commit a no-op, see
+    * IcebergLiteWriter.appendStreamingBatch). Readers see atomic
+    * snapshot-level progress and can follow the stream incrementally via
+    * IcebergLite.incrementalScan — the batch/streaming handoff at scale.
+    * Pass the returned query to `awaitTermination`/`processAllAvailable`.
+    */
+  def writeToIcebergLite(
+      df: DataFrame,
+      tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.IcebergLiteWriter.appendStreamingBatch(
+          batch.sparkSession, batch.toDF(), tableDir, batchId)
+        ()
+      }
+      .start()
+
   /** Run a streaming frame to completion against a memory sink and return
     * the collected result table (test/demo harness for finite sources).
     */

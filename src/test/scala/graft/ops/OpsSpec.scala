@@ -521,6 +521,38 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(doc3 - 6.6 / (3.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.5))) < 1e-12)
   }
 
+  test("semantic decontamination flags the planted duplicate at cosine 1.0") {
+    import spark.implicits._
+    // Corpus vector 10 IS benchmark vector 1 (same embedding, other id):
+    // the broadcast threshold join must flag it at cosine exactly 1.0.
+    val v1 = Seq.tabulate(8)(i => 0.5f + i)
+    val v2 = Seq.tabulate(8)(i => (i * i).toFloat - 3f)
+    val corpus = Seq((10L, v1), (11L, v2)).toDF("vec_id", "embedding")
+    val bench = Seq((1L, v1)).toDF("vec_id", "embedding")
+    val hits = Decontamination.embeddingOverlap(corpus, bench, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 1)
+    assert(hits(0)._1 == 1L && hits(0)._2 == 10L)
+    // sqrt(dot)^2 rounding keeps the self-cosine within one ulp of 1.
+    assert(math.abs(hits(0)._3 - 1.0) < 1e-12)
+  }
+
+  test("ngram novelty: duplicated docs score 0, unique docs score 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1: zero unique grams
+      (3L, "epsilon zeta eta theta"), // fully original
+      (4L, "solo")) // < 2 words: no grams, absent from output
+      .toDF("doc_id", "text")
+    val out = CorpusSignals.ngramNovelty(d, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+  }
+
   test("strata rebalancing keeps the smallest stratum whole and shrinks large ones") {
     // lang is the skewed stratum in the testdata (en dominates).
     val before = docs.groupBy("lang").count()

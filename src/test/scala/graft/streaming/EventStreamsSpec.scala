@@ -98,4 +98,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       .select(col("event_id"), col("user_id"), col("c_nationkey"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming sink into Iceberg-lite is exactly-once under batch replay") {
+    import graft.sources.{IcebergLite, IcebergLiteWriter}
+    val tableDir = Files.createTempDirectory("stream_sink").toString + "/warehouse/events_sink"
+    val ckpt = Files.createTempDirectory("stream_sink_ckpt").toString
+
+    // Drive the finite stream into the table.
+    val q = EventStreams.writeToIcebergLite(
+      EventStreams.readEvents(spark, eventsDir)
+        .select(col("event_id"), col("user_id"), col("value")),
+      tableDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val expected = batchEvents.count()
+    assert(IcebergLite.scan(spark, tableDir).count() == expected)
+    val committed = IcebergLiteWriter.committedStreamingBatchIds(spark, tableDir)
+    assert(committed.nonEmpty)
+
+    // At-least-once replay: re-offering an already-committed batch id is a
+    // no-op (returns false, table unchanged) — this is what makes the
+    // table exactly-once when a restarted query replays its last batch.
+    val replayed = IcebergLiteWriter.appendStreamingBatch(
+      spark, batchEvents.select(col("event_id"), col("user_id"), col("value")),
+      tableDir, committed.max)
+    assert(!replayed)
+    assert(IcebergLite.scan(spark, tableDir).count() == expected)
+
+    // A genuinely new batch id commits and is tagged in the snapshot log.
+    val fresh = IcebergLiteWriter.appendStreamingBatch(
+      spark, batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(7),
+      tableDir, committed.max + 1)
+    assert(fresh)
+    assert(IcebergLite.scan(spark, tableDir).count() == expected + 7)
+    assert(IcebergLiteWriter.committedStreamingBatchIds(spark, tableDir)
+      .contains(committed.max + 1))
+
+    // The increment since the stream's last snapshot is exactly the fresh
+    // batch — the streaming/batch handoff readers rely on.
+    val snaps = IcebergLite.snapshotsRelation(spark, tableDir)
+      .orderBy(col("committed_at"))
+      .select("snapshot_id").collect().map(_.getLong(0))
+    val inc = IcebergLite.incrementalScan(spark, tableDir, snaps(snaps.length - 2))
+    assert(inc.count() == 7)
+  }
 }
