@@ -130,6 +130,33 @@ object EventStreams {
     // whenever both sides name the key identically.
     events.join(dim, events(streamKey) === dim(dimKey), "left")
 
+  /** STREAM-STREAM attribution join: every event within one hour after a
+    * purchase by the same user (the streaming face of the batch bucketed
+    * range join, queries p34). Both sides carry watermarks and the join
+    * condition bounds event time relative to purchase time, so the state
+    * store retains each side only for `watermarkDelay` + the window —
+    * Spark evicts older state, and the join runs indefinitely on
+    * unbounded streams. State shards by user_id at cluster scale.
+    */
+  def attributionJoin(
+      events: DataFrame,
+      purchases: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    clicks.join(p,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("purchase_id"))
+  }
+
   /** Exactly-once streaming sink into an Iceberg-lite table: each
     * micro-batch commits as one snapshot tagged with its batch id
     * (foreachBatch is at-least-once — a restarted query re-offers the

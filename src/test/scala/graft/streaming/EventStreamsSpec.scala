@@ -99,6 +99,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.attributionJoin(
+        EventStreams.readEvents(spark, eventsDir),
+        EventStreams.readEvents(spark, eventsDir)),
+      "attr_join", OutputMode.Append())
+    val batch = batchEvents.select(col("event_id"), col("user_id"), col("ts"))
+      .join(
+        batchEvents.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts")),
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("p_ts") &&
+          col("ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("purchase_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming sink into Iceberg-lite is exactly-once under batch replay") {
     import graft.sources.{IcebergLite, IcebergLiteWriter}
     val tableDir = Files.createTempDirectory("stream_sink").toString + "/warehouse/events_sink"
