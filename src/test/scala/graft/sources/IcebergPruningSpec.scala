@@ -226,6 +226,38 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(both.filter(col("r_regionkey") === 2).count() == 0)
   }
 
+  test("equality deletes on a RENAMED column resolve through field-id projection") {
+    import spark.implicits._
+    // Rename r_name -> region_name in metadata only (field-id projection
+    // finds the physical column), then delete BY THE DECLARED NAME: the
+    // reader must map the delete file's declared column back to the
+    // physical one before the anti-join.
+    val dir = tmpDir("iceberg_eq_renamed") + "/warehouse/region_eqr"
+    IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = IcebergLite.latestMetadataPath(conf, dir).get
+    val fs = metaPath.getFileSystem(conf)
+    val in = fs.open(metaPath)
+    val text = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    // Sorts after the original 00001-* but before the delete commit's
+    // 00002-* metadata, so the commit chain stays visible.
+    val next = new Path(metaPath.getParent, "00001z-evolved.metadata.json")
+    val out = fs.create(next, true)
+    out.write(text.replace("\"name\": \"r_name\"", "\"name\": \"region_name\"")
+      .getBytes("UTF-8"))
+    out.close()
+
+    IcebergLiteWriter.addEqualityDeletes(spark, dir,
+      Seq("AFRICA", "EUROPE").toDF("region_name"))
+    val merged = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(merged.columns.toSet == Set("r_regionkey", "region_name"))
+    val names = merged.select("region_name").collect().map(_.getString(0)).toSet
+    assert(merged.count() == 3)
+    assert(!names.contains("AFRICA") && !names.contains("EUROPE"))
+  }
+
   test("malformed equality deletes refuse merge-on-read instead of resurrecting rows") {
     val dir = tmpDir("iceberg_eq") + "/warehouse/region_eq"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
