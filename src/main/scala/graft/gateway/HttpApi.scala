@@ -33,18 +33,25 @@ final class HttpApi(spark: SparkSession, port: Int, demoTablePath: Option[String
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def start(): Unit = {
-    server.createContext("/", handler {
-      case ("GET", "/") =>
-        (200, JObj(
-          "message" -> JStr("Graft API"),
-          "version" -> JStr("0.1.0"),
-          "status" -> JStr("running")))
-      case ("GET", "/health") =>
-        (200, JObj(
-          "status" -> JStr("healthy"),
-          "spark_version" -> JStr(spark.version),
-          "timestamp" -> JValue.num(System.currentTimeMillis() / 1000.0)))
-      case _ => (404, JObj("detail" -> JStr("Not Found")))
+    server.createContext("/", (ex: HttpExchange) => {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        // The browser client (the reference ships it as a separate static
+        // frontend; here it is one self-contained HTML route).
+        case ("GET", "/ui") =>
+          respondRaw(ex, 200, WebUi.html.getBytes(StandardCharsets.UTF_8),
+            "text/html; charset=utf-8", None)
+        case ("GET", "/") =>
+          respond(ex, Success((200, JObj(
+            "message" -> JStr("Graft API"),
+            "version" -> JStr("0.1.0"),
+            "status" -> JStr("running")))))
+        case ("GET", "/health") =>
+          respond(ex, Success((200, JObj(
+            "status" -> JStr("healthy"),
+            "spark_version" -> JStr(spark.version),
+            "timestamp" -> JValue.num(System.currentTimeMillis() / 1000.0)))))
+        case _ => respond(ex, Success((404, JObj("detail" -> JStr("Not Found")))))
+      }
     })
     server.createContext("/api/connect/test", handlerWithBody { body =>
       val conn = connectionFrom(body)

@@ -1,0 +1,147 @@
+package graft.gateway
+
+/** Minimal browser UI for the gateway — the server-shipped analog of the
+  * reference's static frontend (reference frontend/index.html:79-128,
+  * frontend/js/app.js: connection form, editor, run/format/export, results
+  * table, stats bar, demo query list). The reference loads CodeMirror from
+  * a CDN; this build is offline, so the editor is a plain textarea and the
+  * whole app is ONE self-contained HTML string with zero external assets —
+  * every fetch targets the same-origin API routes HttpApi already serves.
+  */
+object WebUi {
+
+  val html: String =
+    """<!DOCTYPE html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8">
+      |<title>Graft — SQL over Iceberg</title>
+      |<style>
+      |  :root { color-scheme: light dark; }
+      |  body { font-family: system-ui, sans-serif; margin: 0; display: flex; min-height: 100vh; }
+      |  aside { width: 260px; padding: 16px; border-right: 1px solid #8884; }
+      |  main { flex: 1; padding: 16px; display: flex; flex-direction: column; gap: 8px; }
+      |  h1 { font-size: 16px; margin: 0 0 12px; }
+      |  label { display: block; font-size: 12px; margin-top: 8px; }
+      |  input, select, textarea { width: 100%; box-sizing: border-box; font: inherit; }
+      |  textarea { font-family: ui-monospace, monospace; height: 140px; }
+      |  button { margin-right: 6px; }
+      |  table { border-collapse: collapse; font-size: 13px; }
+      |  th, td { border: 1px solid #8884; padding: 3px 8px; text-align: left; }
+      |  #stats { font-size: 12px; opacity: .8; }
+      |  #error { color: #c00; white-space: pre-wrap; }
+      |  #results { overflow: auto; }
+      |</style>
+      |</head>
+      |<body>
+      |<aside>
+      |  <h1>Connection</h1>
+      |  <label>Storage type
+      |    <select id="storageType"><option>minio</option><option>s3</option><option>r2</option></select>
+      |  </label>
+      |  <label>Endpoint <input id="endpoint" value="http://localhost:9000"></label>
+      |  <label>Access key <input id="accessKey"></label>
+      |  <label>Secret key <input id="secretKey" type="password"></label>
+      |  <label>Region <input id="region" value="us-east-1"></label>
+      |  <label>Table path (s3://...) <input id="tablePath"></label>
+      |  <p>
+      |    <button id="testBtn">Test connection</button>
+      |    <button id="demoBtn">Load demo</button>
+      |  </p>
+      |  <div id="connStatus"></div>
+      |  <h1>Sample queries</h1>
+      |  <div id="samples"></div>
+      |</aside>
+      |<main>
+      |  <textarea id="sql" spellcheck="false">SELECT 1 AS ok</textarea>
+      |  <div>
+      |    <button id="runBtn">Run</button>
+      |    <button id="formatBtn">Format</button>
+      |    <button id="exportBtn">Export CSV</button>
+      |    <label style="display:inline">Row limit <input id="rowLimit" value="1000" size="6" style="width:6em"></label>
+      |  </div>
+      |  <div id="stats"></div>
+      |  <div id="error"></div>
+      |  <div id="results"></div>
+      |</main>
+      |<script>
+      |"use strict";
+      |const $ = id => document.getElementById(id);
+      |function conn() {
+      |  const c = { storageType: $('storageType').value, endpoint: $('endpoint').value,
+      |    accessKey: $('accessKey').value, secretKey: $('secretKey').value,
+      |    region: $('region').value };
+      |  // Only real object-store paths belong in the connection (ingress
+      |  // validation requires s3://); the demo table is addressed directly
+      |  // by iceberg_scan('<local path>') in the SQL instead.
+      |  const tp = $('tablePath').value;
+      |  if (tp && tp.startsWith('s3://')) c.tablePath = tp;
+      |  return c;
+      |}
+      |async function api(path, body) {
+      |  const r = await fetch(path, { method: 'POST',
+      |    headers: { 'Content-Type': 'application/json' }, body: JSON.stringify(body) });
+      |  const j = await r.json();
+      |  if (!r.ok) throw new Error(j.detail || r.statusText);
+      |  return j;
+      |}
+      |function render(res) {
+      |  $('stats').textContent = res.rowCount + ' rows' + (res.truncated ? ' (truncated)' : '')
+      |    + ' · ' + res.stats.executionTimeMs + ' ms · ' + res.stats.bytesScanned + ' bytes scanned';
+      |  const t = document.createElement('table');
+      |  const hr = t.insertRow();
+      |  for (const c of res.columns) { const th = document.createElement('th'); th.textContent = c; hr.appendChild(th); }
+      |  for (const row of res.rows) {
+      |    const tr = t.insertRow();
+      |    for (const v of row) tr.insertCell().textContent = v === null ? 'NULL' : String(v);
+      |  }
+      |  $('results').replaceChildren(t);
+      |}
+      |$('runBtn').onclick = async () => {
+      |  $('error').textContent = '';
+      |  try {
+      |    render(await api('/api/query',
+      |      { sql: $('sql').value, connection: conn(), rowLimit: +$('rowLimit').value }));
+      |  } catch (e) { $('error').textContent = e.message; }
+      |};
+      |$('formatBtn').onclick = async () => {
+      |  try { $('sql').value = (await api('/api/format', { sql: $('sql').value })).formatted; }
+      |  catch (e) { $('error').textContent = e.message; }
+      |};
+      |$('exportBtn').onclick = async () => {
+      |  $('error').textContent = '';
+      |  const r = await fetch('/api/query/export', { method: 'POST',
+      |    headers: { 'Content-Type': 'application/json' },
+      |    body: JSON.stringify({ sql: $('sql').value, connection: conn(), rowLimit: +$('rowLimit').value }) });
+      |  if (!r.ok) { $('error').textContent = (await r.json()).detail; return; }
+      |  const a = document.createElement('a');
+      |  a.href = URL.createObjectURL(await r.blob());
+      |  a.download = 'graft-results.csv';
+      |  a.click();
+      |};
+      |$('testBtn').onclick = async () => {
+      |  $('connStatus').textContent = '...';
+      |  try {
+      |    const j = await api('/api/connect/test', { connection: conn() });
+      |    $('connStatus').textContent = j.message + (j.tableInfo ? ' — ' + j.tableInfo.path : '');
+      |    if (j.tableInfo && j.tableInfo.suggestedQuery) $('sql').value = j.tableInfo.suggestedQuery;
+      |  } catch (e) { $('connStatus').textContent = e.message; }
+      |};
+      |$('demoBtn').onclick = async () => {
+      |  const c = await (await fetch('/api/demo/connection')).json();
+      |  for (const k of ['storageType', 'endpoint', 'accessKey', 'secretKey', 'region', 'tablePath'])
+      |    if (c[k] !== undefined) $(k).value = c[k];
+      |  const qs = await (await fetch('/api/demo/queries')).json();
+      |  $('samples').replaceChildren(...qs.queries.map(q => {
+      |    const b = document.createElement('button');
+      |    b.textContent = q.name; b.title = q.description;
+      |    b.style.cssText = 'display:block;margin:2px 0;width:100%;text-align:left';
+      |    b.onclick = () => { $('sql').value = q.sql; };
+      |    return b;
+      |  }));
+      |};
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
+}

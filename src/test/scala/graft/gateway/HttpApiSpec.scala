@@ -55,6 +55,21 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(obj(r).str("status").contains("running"))
   }
 
+  test("GET /ui serves the self-contained browser client") {
+    val r = get("/ui")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    val html = r.body()
+    // Drives the same API the tests exercise...
+    assert(html.contains("/api/query") && html.contains("/api/format")
+      && html.contains("/api/connect/test"))
+    // ...and is fully self-contained: no CDN scripts, stylesheets, or any
+    // cross-origin fetch (the reference's CodeMirror CDN does not exist in
+    // an offline deployment).
+    assert(!html.contains("https://"))
+    assert(!html.contains("<script src") && !html.contains("<link"))
+  }
+
   test("GET /health returns engine version") {
     val r = get("/health")
     assert(r.statusCode() == 200)
