@@ -14,13 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet footer schema per (dir, table): schema inference is a
-    * footer read per `spark.read.parquet` call, which a 96-query corpus
+  /** Parquet footer schema per (path, mtime): schema inference is a
+    * footer read per `spark.read.parquet` call, which a ~100-query corpus
     * run pays ~per query per table. Schemas are plain values (no session
-    * references), so a global memo is safe across sessions and threads.
+    * references), so a global memo is safe across sessions and threads;
+    * the modification time in the key invalidates the entry when a
+    * fixture is regenerated at the same path within one JVM lifetime.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -30,7 +32,8 @@ object Tables {
     // microsecond TIMESTAMP, so oracle results line up.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.computeIfAbsent((dir, name),
+    val schema = schemaCache.computeIfAbsent(
+      (path, new java.io.File(path).lastModified()),
       _ => spark.read.parquet(path).schema)
     val base = spark.read.schema(schema).parquet(path)
     if (name == "events") base.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -93,12 +93,17 @@ object Engine {
   }
 
   /** Apply the request's storage settings as PER-SESSION per-bucket S3A
-    * overrides: `spark.hadoop.fs.s3a.bucket.<bucket>.*` entries on the
-    * request session's own conf (each request is a `newSession()` with an
-    * isolated SQLConf). Spark's file sources merge `spark.hadoop.*`
-    * session entries over the shared Hadoop configuration on every data
-    * read, and the Iceberg-lite metadata chain reads through the same
-    * merge (IcebergLite.sessionHadoopConf) — so two CONCURRENT requests
+    * overrides: `fs.s3a.bucket.<bucket>.*` entries on the request
+    * session's own conf (each request is a `newSession()` with an
+    * isolated SQLConf). The keys are deliberately UN-prefixed:
+    * `SessionState.newHadoopConf` copies every session conf entry into
+    * the Hadoop configuration VERBATIM (the `spark.hadoop.` stripping
+    * happens only for the static SparkConf at SparkContext startup), so
+    * an un-prefixed key is exactly what reaches S3A on Spark's own
+    * parquet-read path; a `spark.hadoop.`-prefixed session key would be
+    * copied with its prefix intact and never consulted. The Iceberg-lite
+    * metadata chain applies the same verbatim merge
+    * (IcebergLite.sessionHadoopConf) — so two CONCURRENT requests
     * carrying different credentials for the SAME bucket each resolve
     * their own, and the process-global `sparkContext.hadoopConfiguration`
     * is never mutated (SURVEY.md §7.3's "genuinely hard part"; the
@@ -110,8 +115,7 @@ object Engine {
     cfg.tablePath.filter(_.startsWith("s3://")).foreach { p =>
       val bucket = p.stripPrefix("s3://").takeWhile(_ != '/')
       ConnectionConfig.s3aSettings(cfg).foreach { case (k, v) =>
-        spark.conf.set(
-          "spark.hadoop." + k.replace("fs.s3a.", s"fs.s3a.bucket.$bucket."), v)
+        spark.conf.set(k.replace("fs.s3a.", s"fs.s3a.bucket.$bucket."), v)
       }
     }
 

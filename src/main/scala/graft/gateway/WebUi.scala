@@ -110,14 +110,16 @@ object WebUi {
       |};
       |$('exportBtn').onclick = async () => {
       |  $('error').textContent = '';
-      |  const r = await fetch('/api/query/export', { method: 'POST',
-      |    headers: { 'Content-Type': 'application/json' },
-      |    body: JSON.stringify({ sql: $('sql').value, connection: conn(), rowLimit: +$('rowLimit').value }) });
-      |  if (!r.ok) { $('error').textContent = (await r.json()).detail; return; }
-      |  const a = document.createElement('a');
-      |  a.href = URL.createObjectURL(await r.blob());
-      |  a.download = 'graft-results.csv';
-      |  a.click();
+      |  try {
+      |    const r = await fetch('/api/query/export', { method: 'POST',
+      |      headers: { 'Content-Type': 'application/json' },
+      |      body: JSON.stringify({ sql: $('sql').value, connection: conn(), rowLimit: +$('rowLimit').value }) });
+      |    if (!r.ok) { $('error').textContent = (await r.json()).detail; return; }
+      |    const a = document.createElement('a');
+      |    a.href = URL.createObjectURL(await r.blob());
+      |    a.download = 'graft-results.csv';
+      |    a.click();
+      |  } catch (e) { $('error').textContent = e.message; }
       |};
       |$('testBtn').onclick = async () => {
       |  $('connStatus').textContent = '...';
@@ -128,6 +130,7 @@ object WebUi {
       |  } catch (e) { $('connStatus').textContent = e.message; }
       |};
       |$('demoBtn').onclick = async () => {
+      |  try {
       |  const c = await (await fetch('/api/demo/connection')).json();
       |  for (const k of ['storageType', 'endpoint', 'accessKey', 'secretKey', 'region', 'tablePath'])
       |    if (c[k] !== undefined) $(k).value = c[k];
@@ -139,6 +142,7 @@ object WebUi {
       |    b.onclick = () => { $('sql').value = q.sql; };
       |    return b;
       |  }));
+      |  } catch (e) { $('connStatus').textContent = e.message; }
       |};
       |</script>
       |</body>

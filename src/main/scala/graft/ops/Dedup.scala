@@ -260,7 +260,16 @@ object Dedup {
     if (maxDist > 7) {
       // Pigeonhole d<=1-per-chunk coverage holds only for maxDist <= 7
       // (four chunks all at distance >= 2 sum to >= 8). Beyond it, keep
-      // the exact contract via the all-pairs baseline.
+      // the exact contract via the all-pairs baseline — but guard it like
+      // Similarity.nearDupPairs: 32-bit signatures of random docs average
+      // distance ~16, so radii 8..12 are still selective and a quadratic
+      // join at corpus scale would be an accident, not a choice.
+      val probed = docs.limit(100001).count()
+      require(probed <= 100000L,
+        s"simhashPairs(maxDist=$maxDist) falls back to the exact all-pairs " +
+          "join (no pigeonhole band covers radii > 7); corpus exceeds the " +
+          "100k-row verification cap — block with simhashBandedCandidates " +
+          "and verify candidates, accepting banding recall.")
       val sig = simhash(docs)
       return sig.as("a")
         .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))

@@ -15,8 +15,8 @@ final case class ContainerMeta(
   * JPEG SOF marker walk, GIF logical screen descriptor, WAV fmt chunk),
   * no codec library involved. This is the part of multimodal ingest that
   * can be fully honest in this container: dimensions/channels/sample-rate
-  * come from the actual bytes; only pixel/sample DECODE stays a stub
-  * (see [[Multimodal.decodeStub]]).
+  * come from the actual bytes; only the frame-count demux remains a
+  * documented stub (see [[Multimodal.sampleFrames]]).
   *
   * Plan shape: header parsing is row-local (`mapPartitions`, no shuffle)
   * and touches only the payload's first bytes — at 100 TB the scan cost

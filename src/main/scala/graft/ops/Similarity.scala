@@ -41,16 +41,19 @@ object Similarity {
     * To keep the quadratic form from being run at corpus scale by
     * accident, the input is guarded: corpora above `maxRows` (default
     * 100k rows = ~5e9 pair evaluations, the single-machine verification
-    * ceiling) are refused with a pointer at the scale paths. The guard is
-    * one count aggregate — noise next to the pair join it gates.
+    * ceiling) are refused with a pointer at the scale paths. The guard
+    * probes `limit(maxRows + 1).count()` — LocalLimit early-exits each
+    * partition, so the probe's cost is bounded by the cap even when the
+    * input is an expensive computed lineage, not a raw scan.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val cnt = emb.count()
-    require(cnt <= maxRows,
-      s"nearDupPairs is the exact quadratic verification baseline ($cnt rows > " +
-        s"$maxRows cap = ${cnt * cnt / 2} pair evaluations); at corpus scale " +
-        "use lshCandidates/ivfTopK and verify candidates only.")
+    val probed = emb.limit((maxRows + 1).toInt).count()
+    require(probed <= maxRows,
+      s"nearDupPairs is the exact quadratic verification baseline (input " +
+        s"exceeds the $maxRows-row cap = ~${maxRows * maxRows / 2} pair " +
+        "evaluations); at corpus scale use lshCandidates/ivfTopK and verify " +
+        "candidates only.")
     val n = normalized(emb)
     val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))

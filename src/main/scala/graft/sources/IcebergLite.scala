@@ -58,19 +58,21 @@ object IcebergLite {
   final case class ProbeError(message: String) extends RuntimeException(message)
 
   /** The SESSION's Hadoop view: the shared SparkContext configuration
-    * overlaid with this session's `spark.hadoop.*` conf entries — the
-    * same merge Spark's own file sources apply on the executor data
-    * path. Reading metadata through this (instead of the process-global
-    * `sparkContext.hadoopConfiguration`) is what makes per-request
-    * credentials (Engine.applyStorageSettings) actually isolate: two
-    * concurrent sessions with different credentials for the SAME bucket
-    * each resolve their own, and neither mutates global state.
+    * overlaid with this session's conf entries — the same merge Spark's
+    * own `SessionState.newHadoopConf` applies on the file-source data
+    * path: every session entry is copied VERBATIM (`fs.s3a.*` keys land
+    * as themselves; a `spark.hadoop.` prefix is NOT stripped at this
+    * layer — that happens only for the static SparkConf at SparkContext
+    * startup). Reading metadata through this (instead of the
+    * process-global `sparkContext.hadoopConfiguration`) is what makes
+    * per-request credentials (Engine.applyStorageSettings) actually
+    * isolate: two concurrent sessions with different credentials for the
+    * SAME bucket each resolve their own, and neither mutates global
+    * state.
     */
   def sessionHadoopConf(spark: SparkSession): Configuration = {
     val merged = new Configuration(spark.sparkContext.hadoopConfiguration)
-    spark.conf.getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.hadoop.")) merged.set(k.stripPrefix("spark.hadoop."), v)
-    }
+    spark.conf.getAll.foreach { case (k, v) => if (v != null) merged.set(k, v) }
     merged
   }
 
@@ -555,6 +557,13 @@ object IcebergLite {
       else {
         val declaredToPhysical = renames.map { case (p, d) => d -> p }.toMap
         val snapRe = "delete-([0-9]+)\\.parquet$".r
+        // Scope listings are memoized per distinct delete snapshot: D
+        // deletes cost at most D extra metadata listings (driver-side,
+        // manifest-proportional), and deletes committed in one snapshot
+        // share one. The scope itself is the data-file list at that
+        // snapshot — metadata-sized, which is also the bound on the isin
+        // literal below.
+        val scopeCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
         eqDeleteEntries.foldLeft(posApplied) { (acc, e) =>
           val delSnap = snapRe.findFirstMatchIn(e.path).map(_.group(1).toLong)
             .getOrElse(throw ProbeError(
@@ -565,9 +574,10 @@ object IcebergLite {
           // the scan's `_metadata.file_path` ("file:///x"): compare both
           // sides scheme-stripped.
           def normPath(p: String): String = p.replaceFirst("^[A-Za-z0-9]+:/+", "/")
-          val scope = fileEntries(conf, tablePath, Some(delSnap), metadataLocation)
-            .filter(x => x.manifestContent == 0 && x.fileContent == 0)
-            .map(x => normPath(x.path))
+          val scope = scopeCache.getOrElseUpdate(delSnap,
+            fileEntries(conf, tablePath, Some(delSnap), metadataLocation)
+              .filter(x => x.manifestContent == 0 && x.fileContent == 0)
+              .map(x => normPath(x.path)))
           val delRows = spark.read.parquet(e.path)
           val eqCols = delRows.columns.toSeq.map(c => c -> declaredToPhysical.getOrElse(c, c))
           val missing = eqCols.collect { case (d, p) if !acc.columns.contains(p) => d }

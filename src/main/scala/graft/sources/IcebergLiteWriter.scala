@@ -283,26 +283,40 @@ object IcebergLiteWriter {
   /** The summary key an idempotent streaming sink stamps on each commit. */
   val StreamingBatchIdKey = "streaming-batch-id"
 
+  // Per-table commit locks: the check-then-commit below must be atomic
+  // against OTHER WRITERS IN THIS PROCESS (a stopped-and-restarted query
+  // whose old instance has one last foreachBatch in flight). Cross-process
+  // atomicity needs a catalog with compare-and-swap (what real Iceberg
+  // commits use); the lite file format has no CAS, so the documented
+  // deployment boundary is one writer process per table — Structured
+  // Streaming's one-driver model already matches it.
+  private val tableCommitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Append one streaming micro-batch as a snapshot tagged with its batch
     * id. Paired with [[committedStreamingBatchIds]], this gives an
     * exactly-once table from Structured Streaming's at-least-once
     * foreachBatch replay: a restarted query re-offers the last batch, the
     * sink sees its id already in the snapshot log, and skips the commit
     * (the same summary-tag protocol real Iceberg sinks use for
-    * idempotence). Returns true when the batch committed, false when it
-    * was already present.
+    * idempotence; their tag rides a catalog CAS — see the lock note
+    * above for this format's single-process boundary). Returns true when
+    * the batch committed, false when it was already present.
     */
   def appendStreamingBatch(spark: SparkSession, df: DataFrame, tableDir: String,
       batchId: Long, partitionBy: Seq[String] = Nil): Boolean = {
-    if (committedStreamingBatchIds(spark, tableDir).contains(batchId)) false
-    else {
-      val mode =
-        if (IcebergLite.latestMetadataPath(
-          spark.sparkContext.hadoopConfiguration, tableDir).isEmpty) SaveMode.Overwrite
-        else SaveMode.Append
-      commit(spark, df, tableDir, mode, withDeleteManifest = false, partitionBy,
-        extraSummary = Map(StreamingBatchIdKey -> batchId.toString))
-      true
+    val lock = tableCommitLocks.computeIfAbsent(tableDir, _ => new Object)
+    lock.synchronized {
+      if (committedStreamingBatchIds(spark, tableDir).contains(batchId)) false
+      else {
+        val mode =
+          if (IcebergLite.latestMetadataPath(
+            spark.sparkContext.hadoopConfiguration, tableDir).isEmpty) SaveMode.Overwrite
+          else SaveMode.Append
+        commit(spark, df, tableDir, mode, withDeleteManifest = false, partitionBy,
+          extraSummary = Map(StreamingBatchIdKey -> batchId.toString))
+        true
+      }
     }
   }
 

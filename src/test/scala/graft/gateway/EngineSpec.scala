@@ -96,6 +96,16 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(hc.get("fs.s3a.bucket.acme-lake.endpoint.region") == "eu-west-1")
     // ...bucket-scoped, not global-keyed.
     assert(hc.get("fs.s3a.access.key") == null)
+    // And it reaches SPARK'S OWN file-source Hadoop conf, not just our
+    // metadata-path merge: SessionState.newHadoopConf copies session conf
+    // entries verbatim (no `spark.hadoop.` stripping at this layer —
+    // prefixed keys would be copied with the prefix and never consulted),
+    // which is why applyStorageSettings sets un-prefixed keys.
+    // sessionState is private[sql] (public in bytecode) -> reflection.
+    val sessionState = sess.getClass.getMethod("sessionState").invoke(sess)
+    val sparkOwn = sessionState.getClass.getMethod("newHadoopConf")
+      .invoke(sessionState).asInstanceOf[org.apache.hadoop.conf.Configuration]
+    assert(sparkOwn.get("fs.s3a.bucket.acme-lake.access.key") == "k")
     // And NOTHING lands on process-global state or on other sessions —
     // that's what keeps same-bucket different-credential requests safe.
     assert(spark.sparkContext.hadoopConfiguration
