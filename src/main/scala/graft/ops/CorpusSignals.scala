@@ -89,6 +89,35 @@ object CorpusSignals {
           .as("novelty"))
   }
 
+  /** Out-of-vocabulary rate against a frequency-truncated vocabulary: the
+    * top `vocabSize` corpus tokens by total frequency (deterministic
+    * tiebreak on the token) are "in vocabulary"; each document reports
+    * its token count, OOV count, and OOV ratio — the signal that decides
+    * whether a tokenizer's vocab covers a corpus slice, and a standard
+    * mixing/curation input.
+    *
+    * Scale shape: vocabulary truncation is ORDER BY + LIMIT
+    * (TakeOrderedAndProject — distributed partial top-k, no global
+    * sort), the truncated vocab broadcasts, and the per-doc counts are
+    * one hash aggregate. Integer counts + one division: exact on any
+    * engine.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Overlapping token-window chunks — the retrieval/context-window prep
     * step. Chunk k covers tokens [k*stride, k*stride + window); the last
     * chunk starts at the smallest multiple of stride reaching the tail.

@@ -219,6 +219,31 @@ object TextOps {
       .filter(col("bm25") > 0.0)
   }
 
+  /** One BPE-style merge-candidate pass: corpus-wide counts of adjacent
+    * CHARACTER pairs inside words, top `k` by count — the inner loop of
+    * byte-pair-encoding tokenizer training (each training iteration merges
+    * the top pair and recounts; this op is that counting step, exact).
+    *
+    * Scale shape: map-only pair explosion into ONE hash aggregate keyed
+    * on the pair; the ranking window runs over the aggregated pair
+    * relation, which is alphabet²-bounded (hundreds of rows at any corpus
+    * size), so the single-partition window sort is metadata-sized.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = withToks(docs)
+      .select(explode(col("toks")).as("word"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

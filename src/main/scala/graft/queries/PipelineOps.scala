@@ -996,6 +996,43 @@ object PipelineOps {
       graft.ops.CorpusSignals.ngramNovelty(t(s, dir, "documents"), 2)
     },
 
+    // One BPE merge-candidate pass (tokenizer-training inner loop):
+    // corpus-wide adjacent character-pair counts inside words, top 20.
+    // Pure integer counts; the rank window runs over the alphabet²-
+    // bounded pair relation, not the corpus.
+    Q.df(
+      "p53_bpe_pairs",
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |pr AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |  i -> substr(word, i, 2))) AS pair
+        |  FROM w WHERE length(word) >= 2),
+        |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY 1)
+        |SELECT pair, cnt, rk FROM (
+        |  SELECT pair, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+        |  FROM c) x
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      TextOps.bpePairCounts(t(s, dir, "documents"), 20)
+    },
+
+    // OOV rate against the top-100-by-frequency vocabulary: the
+    // does-this-tokenizer-cover-this-slice signal. Vocab truncation is a
+    // distributed top-k (no global sort), then a broadcast join.
+    Q.df(
+      "p54_oov_rate",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS tf FROM tok GROUP BY 1
+        |  ORDER BY tf DESC, w LIMIT 100) x)
+        |SELECT tok.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.oovRate(t(s, dir, "documents"), 100)
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

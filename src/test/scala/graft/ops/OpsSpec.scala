@@ -553,6 +553,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((3L, 3L, 1.0)))
   }
 
+  test("bpe pair counts: hand-checked counts, rank order, short words excluded") {
+    import spark.implicits._
+    val d = Seq((1L, "abab ab x"), (2L, "abc")).toDF("doc_id", "text")
+    // Pairs: abab -> ab, ba, ab; ab -> ab; abc -> ab, bc; "x" too short.
+    val out = TextOps.bpePairCounts(d, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("ab", 4L, 1), ("ba", 1L, 2), ("bc", 1L, 3)))
+  }
+
+  test("oov rate: tokens outside the truncated vocabulary are counted per doc") {
+    import spark.implicits._
+    // tf: aa x4, bb x2, cc x1, dd x1 -> vocabSize=2 keeps {aa, bb}.
+    val d = Seq((1L, "aa bb aa"), (2L, "aa cc dd aa bb")).toDF("doc_id", "text")
+    val out = CorpusSignals.oovRate(d, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((5L, 2L, 0.4)))
+  }
+
   test("strata rebalancing keeps the smallest stratum whole and shrinks large ones") {
     // lang is the skewed stratum in the testdata (en dominates).
     val before = docs.groupBy("lang").count()
