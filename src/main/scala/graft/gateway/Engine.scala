@@ -148,6 +148,10 @@ object Engine {
     Try {
       val cfg = ConnectionConfig.validated(config)
       val spark = root.newSession()
+      // The probe needs the request's credentials exactly like a query
+      // does — with strictly per-session settings there is no global
+      // fallback that could accidentally make it work.
+      applyStorageSettings(spark, cfg)
       if (cfg.catalogType == "rest") {
         // List the namespace's tables over the REST catalog API — the
         // analog of the reference's `SHOW TABLES FROM iceberg_catalog.ns`

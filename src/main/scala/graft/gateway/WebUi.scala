@@ -86,7 +86,7 @@ object WebUi {
       |  return j;
       |}
       |function render(res) {
-      |  $('stats').textContent = res.rowCount + ' rows' + (res.truncated ? ' (truncated)' : '')
+      |  $('stats').textContent = res.stats.rowsReturned + ' rows' + (res.truncated ? ' (truncated)' : '')
       |    + ' · ' + res.stats.executionTimeMs + ' ms · ' + res.stats.bytesScanned + ' bytes scanned';
       |  const t = document.createElement('table');
       |  const hr = t.insertRow();

@@ -106,13 +106,21 @@ object Decontamination {
     * corpus, unlike the quadratic all-pairs form
     * (Similarity.nearDupPairs). Cost is corpus x |benchmark| dot
     * products, the same shape as brute-force ANN scoring.
+    *
+    * `excludeSameId` is ONLY for benchmarks sampled from the corpus
+    * itself (same id space — a row trivially matches itself). For an
+    * EXTERNAL benchmark, pass false: its ids are unrelated to corpus
+    * ids, and excluding numerically-equal pairs would silently hide
+    * true contamination.
     */
   def embeddingOverlap(corpus: DataFrame, benchmark: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, excludeSameId: Boolean = true): DataFrame = {
     val n = Similarity.normalized(corpus)
     val b = Similarity.normalized(benchmark).select(
       col("vec_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bn"))
-    n.join(broadcast(b), col("vec_id") =!= col("bench_id"))
+    val joinCond =
+      if (excludeSameId) col("vec_id") =!= col("bench_id") else lit(true)
+    n.join(broadcast(b), joinCond)
       .withColumn("cos", expr("vec_dot(bv, v)") / (col("bn") * col("nrm")))
       .filter(col("cos") >= threshold)
       .select(col("bench_id"), col("vec_id").as("corpus_id"), col("cos"))

@@ -282,8 +282,9 @@ object Dedup {
     // carry the full signature so verification happens IN the join row
     // (one bit_count + filter) before the distinct — no candidate
     // materialization, no signature-lookup joins, and the dedup shuffle
-    // sees only qualified pairs (each at most 36x duplicated) instead of
-    // the raw candidate fan-out.
+    // sees only qualified pairs (each at most 4x duplicated — per chunk
+    // index, at most one of a doc's 9 variants can equal the other doc's
+    // exact chunk value) instead of the raw candidate fan-out.
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), expr(s"(simhash div ${1L << (8 * c)}) % 256").as("v")))
     val exact = sig

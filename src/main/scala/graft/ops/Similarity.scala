@@ -48,7 +48,10 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val probed = emb.limit((maxRows + 1).toInt).count()
+    // Caps at or above Int.MaxValue effectively disable the guard (limit
+    // is Int-typed); clamp instead of overflowing to a negative limit.
+    val probeLimit = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val probed = emb.limit(probeLimit).count()
     require(probed <= maxRows,
       s"nearDupPairs is the exact quadratic verification baseline (input " +
         s"exceeds the $maxRows-row cap = ~${maxRows * maxRows / 2} pair " +

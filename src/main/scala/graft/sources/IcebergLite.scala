@@ -70,11 +70,20 @@ object IcebergLite {
     * SAME bucket each resolve their own, and neither mutates global
     * state.
     */
-  def sessionHadoopConf(spark: SparkSession): Configuration = {
-    val merged = new Configuration(spark.sparkContext.hadoopConfiguration)
-    spark.conf.getAll.foreach { case (k, v) => if (v != null) merged.set(k, v) }
-    merged
-  }
+  def sessionHadoopConf(spark: SparkSession): Configuration =
+    // Delegate to Spark's own merge so the metadata path and the parquet
+    // data path can never diverge. sessionState is private[sql] (public
+    // in bytecode) — reflection, with the equivalent manual merge as the
+    // fallback; EngineSpec pins that both see per-session overrides.
+    try {
+      val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+      ss.getClass.getMethod("newHadoopConf").invoke(ss).asInstanceOf[Configuration]
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val merged = new Configuration(spark.sparkContext.hadoopConfiguration)
+        spark.conf.getAll.foreach { case (k, v) => if (v != null) merged.set(k, v) }
+        merged
+    }
 
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 

@@ -241,15 +241,23 @@ object IcebergLiteWriter {
       if (partitionBy.nonEmpty) partitionBy
       else prior.map(m => IcebergLite.partitionColumns(m)).getOrElse(Nil)
 
-    writeStampedParquet(spark, df, dataDir, mode, partCols)
-
+    // Manifest EXACTLY the files this write produces (listing diff around
+    // the write), never "whatever is unmanifested in data/": debris from a
+    // commit that died between its data write and its metadata swap must
+    // not ride along with a later (e.g. replayed streaming) commit — that
+    // would duplicate the dead batch's rows. Orphans stay unreferenced
+    // garbage instead, removable by storage-level orphan cleanup exactly
+    // as in real Iceberg. Delete files (delete-*.parquet) live under
+    // data/ too and are never data.
     val dataPath = new Path(dataDir)
     val fs = dataPath.getFileSystem(conf)
-    // Delete files live under data/ too (delete-*.parquet): never manifest
-    // them as data, even if a prior manifest recorded their path in a
-    // different scheme rendering than the listing's.
+    val before: Set[String] =
+      if (fs.exists(dataPath)) listParquet(fs, dataPath).map(_.getPath.toString).toSet
+      else Set.empty
+    writeStampedParquet(spark, df, dataDir, mode, partCols)
     val dataFiles = listParquet(fs, dataPath)
-      .filter(s => !priorFiles.contains(s.getPath.toString) &&
+      .filter(s => !before.contains(s.getPath.toString) &&
+        !priorFiles.contains(s.getPath.toString) &&
         !s.getPath.getName.startsWith("delete-"))
 
     val entries = dataFiles.map { s =>
@@ -320,22 +328,39 @@ object IcebergLiteWriter {
     }
   }
 
+  // committedStreamingBatchIds memo, keyed by the latest metadata file's
+  // name (unique per commit): the per-micro-batch cost stays one directory
+  // listing instead of re-parsing a snapshot log that grows with stream
+  // lifetime. Pair long-running streams with expireSnapshots maintenance
+  // to bound the log itself, exactly as real Iceberg tables do.
+  private val batchIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[Long])]()
+
   /** Batch ids already committed to the table's snapshot log. Metadata-only
-    * (one JSON read) — restart recovery costs no data IO.
+    * (a listing + at most one JSON read) — restart recovery costs no data IO.
     */
   def committedStreamingBatchIds(spark: SparkSession, tableDir: String): Set[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    IcebergLite.latestMetadataPath(conf, tableDir).toSeq.flatMap { p =>
-      val meta = IcebergLite.readMetadataJson(conf, p)
-      meta.get("snapshots") match {
-        case Some(graft.gateway.JValue.JArr(items)) =>
-          items.collect { case o: graft.gateway.JValue.JObj => o }
-            .flatMap(_.get("summary").collect { case s: graft.gateway.JValue.JObj => s })
-            .flatMap(_.str(StreamingBatchIdKey))
-            .flatMap(s => scala.util.Try(s.toLong).toOption)
-        case _ => Nil
-      }
-    }.toSet
+    IcebergLite.latestMetadataPath(conf, tableDir) match {
+      case None => Set.empty
+      case Some(p) =>
+        val key = p.toString
+        val cached = batchIdCache.get(tableDir)
+        if (cached != null && cached._1 == key) cached._2
+        else {
+          val meta = IcebergLite.readMetadataJson(conf, p)
+          val ids = (meta.get("snapshots") match {
+            case Some(graft.gateway.JValue.JArr(items)) =>
+              items.collect { case o: graft.gateway.JValue.JObj => o }
+                .flatMap(_.get("summary").collect { case s: graft.gateway.JValue.JObj => s })
+                .flatMap(_.str(StreamingBatchIdKey))
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+            case _ => Vector.empty
+          }).toSet
+          batchIdCache.put(tableDir, (key, ids))
+          ids
+        }
+    }
   }
 
   /** One manifest entry (status 0=EXISTING / 1=ADDED) for a data file. */

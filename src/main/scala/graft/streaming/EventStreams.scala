@@ -165,6 +165,9 @@ object EventStreams {
     * snapshot-level progress and can follow the stream incrementally via
     * IcebergLite.incrementalScan — the batch/streaming handoff at scale.
     * Pass the returned query to `awaitTermination`/`processAllAvailable`.
+    * Long-running streams should pair with periodic
+    * IcebergLiteWriter.expireSnapshots maintenance so the snapshot log
+    * stays bounded, exactly as real Iceberg streaming tables do.
     */
   def writeToIcebergLite(
       df: DataFrame,

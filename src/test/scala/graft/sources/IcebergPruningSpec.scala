@@ -258,6 +258,27 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(!names.contains("AFRICA") && !names.contains("EUROPE"))
   }
 
+  test("a crashed commit's orphan data file never rides a later commit") {
+    // Simulate a commit that died between its data write and its metadata
+    // swap: a stray parquet sits in data/ unmanifested. A later append
+    // must manifest exactly its own files — the orphan's rows must not
+    // appear (they would duplicate a replayed batch's rows).
+    val dir = tmpDir("iceberg_orphan") + "/warehouse/region_orphan"
+    val region = Tables.t(spark, sf0001, "region")
+    IcebergLiteWriter.write(spark, region, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new Path(s"$dir/data")
+    val fs = dataDir.getFileSystem(conf)
+    val existing = fs.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, existing, fs,
+      new Path(dataDir, "part-orphan-from-dead-commit.parquet"), false, conf)
+
+    IcebergLiteWriter.append(spark, region.limit(2), dir)
+    // 5 original + 2 appended; the orphan's 5 duplicate rows excluded.
+    assert(IcebergLite.scan(spark, dir).count() == 7)
+  }
+
   test("malformed equality deletes refuse merge-on-read instead of resurrecting rows") {
     val dir = tmpDir("iceberg_eq") + "/warehouse/region_eq"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
