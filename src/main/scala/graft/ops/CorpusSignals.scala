@@ -143,4 +143,44 @@ object CorpusSignals {
         size(col("ctoks")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
   }
+
+  /** Adjacent-word co-occurrence lift — collocation mining over the
+    * corpus: for the top-k most frequent adjacent pairs, lift =
+    * P(w1,w2) / (P(w1 in left slot) * P(w2 in right slot)), computed as
+    * (n_ab * N) / (n_a * n_b) over positional pair counts. Lift > 1
+    * marks genuine collocations vs frequency coincidence (PMI without
+    * the log, so no transcendental-function drift between engines).
+    *
+    * Scale shape: one map-side-combinable hash aggregate per relation
+    * (pairs, left marginals, right marginals, total); the top-k cut is a
+    * distributed TakeOrdered (never a global sort), and the marginal
+    * joins stream the vocabulary-sized sides against the broadcast
+    * k-row top list. Integer counts; the lift is three fixed-order IEEE
+    * ops, reproducible anywhere.
+    */
+  def cooccurrenceLift(docs: DataFrame, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val la = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val rb = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+    val tot = pairs.agg(count(lit(1)).as("nn"))
+    // Top-k FIRST (TakeOrderedAndProject), then rank the k survivors —
+    // the window sorts k rows, not the pair vocabulary.
+    val top = c.orderBy(col("n_ab").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_ab").desc, col("w1"), col("w2"))).cast("int"))
+    rb.join(broadcast(la.join(broadcast(top), "w1")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab").cast("long").as("n_ab"), col("rk"),
+        ((col("n_ab").cast("double") * col("nn").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
 }

@@ -312,6 +312,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs with EDIT-DISTANCE verification: MinHash LSH proposes
+    * candidates (banded equi-join, linear in corpus size) and
+    * `levenshtein` over a bounded prefix verifies each pair exactly.
+    * Complements set-overlap verification ([[ngramJaccardPairs]]): edit
+    * distance respects token ORDER, so a reshuffled bag of words that
+    * scores Jaccard 1.0 still fails here — the right verifier for
+    * boilerplate whose wording, not vocabulary, repeats.
+    *
+    * Scale shape: the O(prefixLen^2) DP runs once per CANDIDATE (LSH-
+    * bounded), never per cross pair; the prefix cap keeps the per-row
+    * cost constant regardless of document length. Both joins hash-
+    * partition on doc id — candidate count, not corpus size, is the only
+    * quadratic-ish term, and banding controls it.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 40,
+      prefixLen: Int = 200): DataFrame = {
+    val txt = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    minhashLshCandidates(docs)
+      .join(txt.select(col("doc_id").as("i"), col("pfx").as("pa")), "i")
+      .join(txt.select(col("doc_id").as("j"), col("pfx").as("pb")), "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Scale path for SimHash: split the 32-bit signature into 4 x 8-bit
     * chunks; any pair within hamming distance 3 shares at least one exact
     * chunk (pigeonhole), so an equi-join per chunk finds all candidates

@@ -89,4 +89,22 @@ object Sampling {
       .filter(h56(key) < col("__thr"))
       .drop("__stratum", "__thr")
   }
+
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * "shuffle the corpus once, write N-row training shards" step.
+    * Ordering by md5(key) is a reproducible permutation (no RNG state,
+    * stable across runs and cluster sizes), the global position comes
+    * from [[GlobalRank.rowNumber]] (range repartition + partition-count
+    * offsets — no single-reducer sort), and `shard_id` is an integer
+    * division on that rank. Any engine re-derives the same shard layout,
+    * so a 100 TB shuffle is auditable shard by shard.
+    */
+  def shuffleShards(df: DataFrame, shardSize: Int, key: Column): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val keyed = df.withColumn("__shuf", md5(key.cast("string")))
+    GlobalRank.rowNumber(keyed, Seq(col("__shuf"), key), "rn")
+      .withColumn("rn", col("rn").cast("long"))
+      .withColumn("shard_id", expr(s"CAST((rn - 1) DIV $shardSize AS BIGINT)"))
+      .drop("__shuf")
+  }
 }

@@ -244,6 +244,60 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Feature-hashing linear classifier score — the execution shape of a
+    * fastText-style quality filter: each token hashes into one of `dim`
+    * weight buckets (the hashing trick, so the model is a fixed-size
+    * array no matter the vocabulary), bucket weights are summed, and the
+    * mean weight over tokens is the document score. The weights here are
+    * a deterministic stand-in ((bucket % 13) - 6, integers in [-6, 6]) so
+    * an independent engine replays the scores bit-for-bit; a trained
+    * model swaps in a broadcast weight array without changing the plan.
+    *
+    * Scale shape: map-only — one projection over the scan, the token sum
+    * folds row-locally in codegen'd `aggregate`, no shuffle at any
+    * corpus size. The integer weight sum is exact; the single final
+    * division is one IEEE op, so scores are engine-reproducible.
+    */
+  def hashClassifierScore(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val scored = withToks(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      expr(
+        s"""aggregate(toks, 0L, (a, w) ->
+           |  a + ((CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $dim) % 13 - 6))"""
+          .stripMargin).as("wsum"))
+    scored.select(
+      col("doc_id"), col("n_tokens"), col("wsum"),
+      (col("wsum").cast("double") / col("n_tokens").cast("double")).as("score"),
+      (col("wsum").cast("double") / col("n_tokens").cast("double") > 0.0).as("keep"))
+  }
+
+  /** Intra-document repetition trim: split the doc into fixed 3-word
+    * chunks (the same chunking as passage dedup) and keep only the FIRST
+    * occurrence of each repeated chunk — the classic "remove repeated
+    * paragraphs inside a page" curation step, where cross-doc passage
+    * dedup ([[Dedup.passageDedup]]) handles boilerplate shared BETWEEN
+    * docs. Emits per-doc counts plus an md5 of the trimmed text so the
+    * reconstruction itself is oracle-checked, not just the arithmetic.
+    *
+    * Scale shape: entirely row-local — chunking, first-occurrence
+    * filtering (`array_position` = earliest index), and the md5 all run
+    * inside one codegen'd projection; no shuffle, no state beyond one
+    * document's chunk array. Linear at any corpus size.
+    */
+  def selfRepetitionTrim(docs: DataFrame, chunkWords: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("ch", expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / ${chunkWords}.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin))
+      .withColumn("kept", expr("filter(ch, (c, i) -> array_position(ch, c) = i + 1)"))
+      .select(
+        col("doc_id"),
+        size(col("ch")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("trimmed_md5"))
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

@@ -1033,6 +1033,95 @@ object PipelineOps {
       graft.ops.CorpusSignals.oovRate(t(s, dir, "documents"), 100)
     },
 
+    // Edit-distance verification over MinHash-LSH candidates: order-aware
+    // near-dup confirmation (Jaccard-identical word bags still differ
+    // here). The levenshtein DP is capped at 200 chars and runs only on
+    // LSH candidates — per-pair constant cost, linear candidate volume.
+    Q.df(
+      "p55_editdist_pairs",
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+         |SELECT i, j, dist FROM (
+         |  SELECT i, j, CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS INT) AS dist
+         |  FROM cand JOIN documents da ON da.doc_id = i JOIN documents db ON db.doc_id = j) v
+         |WHERE dist <= 40""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), 40, 200)
+    },
+
+    // Feature-hashing linear classifier (fastText-style quality-filter
+    // shape): hashing-trick bucket weights summed per doc, mean weight as
+    // the score. Map-only; deterministic stand-in weights make the score
+    // engine-reproducible.
+    Q.df(
+      "p56_hash_classifier",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, w ->
+        |    (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024) % 13 - 6)) AS BIGINT) AS wsum
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, wsum,
+        |  CAST(wsum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score,
+        |  (CAST(wsum AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 0.0 AS keep
+        |FROM s""".stripMargin) { (s, dir) =>
+      TextOps.hashClassifierScore(t(s, dir, "documents"), 1024)
+    },
+
+    // Deterministic corpus shuffle + fixed-size training shards: global
+    // permutation by md5(doc_id), rank via the distributed GlobalRank
+    // (range repartition + offsets — the oracle's single-reducer window
+    // is exactly what the op avoids), 64-row shards.
+    Q.df(
+      "p57_shuffle_shards",
+      """SELECT doc_id, rn, CAST((rn - 1) // 64 AS BIGINT) AS shard_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) x""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.shuffleShards(t(s, dir, "documents"), 64, col("doc_id"))
+        .select(col("doc_id"), col("rn"), col("shard_id"))
+    },
+
+    // Adjacent-word collocations: top-30 pairs by count with lift =
+    // (n_ab * N) / (n_a * n_b) over positional marginals — PMI without
+    // the log, so no transcendental drift between engines.
+    Q.df(
+      "p58_cooccurrence_lift",
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |p AS (SELECT u.s.w1 AS w1, u.s.w2 AS w2 FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+        |  FROM w WHERE len(w) >= 2) u(s)),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM p GROUP BY 1, 2),
+        |la AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_a FROM p GROUP BY 1),
+        |rb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_b FROM p GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM p),
+        |top AS (SELECT w1, w2, n_ab,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, w1, w2) AS INT) AS rk
+        |  FROM c ORDER BY n_ab DESC, w1, w2 LIMIT 30)
+        |SELECT w1, w2, n_ab, rk,
+        |  (CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+        |FROM top JOIN la USING (w1) JOIN rb USING (w2) CROSS JOIN tt""".stripMargin) {
+      (s, dir) => graft.ops.CorpusSignals.cooccurrenceLift(t(s, dir, "documents"), 30)
+    },
+
+    // Intra-document repetition trim: keep the first occurrence of each
+    // repeated 3-word chunk WITHIN a doc (cross-doc boilerplate is p45's
+    // job). Row-local reconstruction, md5-checked.
+    Q.df(
+      "p59_selfrep_trim",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ck AS (SELECT doc_id, list_transform(generate_series(0, CAST(ceil(len(ws)/3.0) AS INT) - 1),
+        |    i -> array_to_string(ws[(i*3+1):(i*3+3)], ' ')) AS ch
+        |  FROM w),
+        |kp AS (SELECT doc_id, ch, list_filter(ch, (c, i) -> list_position(ch, c) = i) AS kept FROM ck)
+        |SELECT doc_id, CAST(len(ch) AS BIGINT) AS n_chunks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS trimmed_md5
+        |FROM kp""".stripMargin) { (s, dir) =>
+      TextOps.selfRepetitionTrim(t(s, dir, "documents"), 3)
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

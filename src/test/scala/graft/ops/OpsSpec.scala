@@ -598,4 +598,89 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("edit-distance pairs: order-aware — a reshuffled word bag fails, a typo passes") {
+    import spark.implicits._
+    // Identical token SET (jaccard 1.0 on 1-grams) but reversed order: the
+    // edit distance is large. A one-word typo of the same doc: small.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val reversed = (1 to 30).map(i => s"w$i").reverse.mkString(" ")
+    val typo = base.replace("w7 ", "w7x ")
+    val tiny = Seq((0L, base), (1L, reversed), (2L, typo)).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(tiny, maxDist = 10, prefixLen = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 2L)), "typo pair should verify")
+    assert(!got.contains((0L, 1L)), "reversed doc must fail order-aware verification")
+    // Verified distances are exact levenshtein values on the full corpus.
+    val all = Dedup.editDistancePairs(docs, maxDist = 40, prefixLen = 200).collect()
+    assert(all.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 40))
+    assert(all.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("hash classifier: map-only plan, integer weight sum, score = mean weight") {
+    val out = TextOps.hashClassifierScore(docs, 1024)
+    // Hand-check one doc against a row-local recomputation.
+    val row = out.orderBy("doc_id").head()
+    val text = docs.orderBy("doc_id").head().getAs[String]("text")
+    val toks = text.toLowerCase.split(" ", -1)
+    val wsum = toks.map { w =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1024) % 13 - 6
+    }.sum
+    assert(row.getAs[Long]("wsum") == wsum)
+    assert(row.getAs[Long]("n_tokens") == toks.length.toLong)
+    assert(row.getAs[Double]("score") == wsum.toDouble / toks.length)
+    // No shuffle: the plan must contain no Exchange.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier should be map-only:\n$plan")
+  }
+
+  test("shuffle shards: a permutation with exact fixed-size shards, stable across runs") {
+    val out = Sampling.shuffleShards(docs, 64, col("doc_id")).cache()
+    val n = docs.count()
+    assert(out.count() == n)
+    // Ranks are exactly 1..n (a permutation).
+    assert(out.agg(min("rn"), max("rn"), countDistinct("rn")).head() ==
+      org.apache.spark.sql.Row(1L, n, n))
+    // Every shard except the last has exactly 64 rows; shard ids are dense.
+    val sizes = out.groupBy("shard_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.toSet == (0L until (n + 63) / 64).toSet)
+    sizes.foreach { case (sid, cnt) =>
+      if (sid < (n - 1) / 64) assert(cnt == 64L, s"shard $sid has $cnt rows")
+    }
+    // Deterministic: same assignment on a re-run.
+    val again = Sampling.shuffleShards(docs, 64, col("doc_id"))
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again)
+    out.unpersist()
+  }
+
+  test("cooccurrence lift: hand-planted collocation dominates and lift is exact") {
+    import spark.implicits._
+    // "aa bb" occurs in every doc; fillers vary. aa only ever precedes bb.
+    val tiny = (1 to 20).map(i => (i.toLong, s"aa bb f$i g${i % 3}")).toDF("doc_id", "text")
+    val out = CorpusSignals.cooccurrenceLift(tiny, 5).collect()
+    val topRow = out.find(_.getAs[Int]("rk") == 1).get
+    assert(topRow.getAs[String]("w1") == "aa" && topRow.getAs[String]("w2") == "bb")
+    // n_ab = 20, N = 60 pairs (3 per doc), n_a(aa left) = 20, n_b(bb right) = 20.
+    assert(topRow.getAs[Long]("n_ab") == 20L)
+    assert(topRow.getAs[Double]("lift") == (20.0 * 60.0) / (20.0 * 20.0))
+  }
+
+  test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b c a b c d e f a b c"), // chunks: abc, abc, def, abc -> abc def
+      (1L, "x y z q r s")              // no repeats
+    ).toDF("doc_id", "text")
+    val out = TextOps.selfRepetitionTrim(tiny, 3).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_chunks") == 4L && out(0).getAs[Long]("n_kept") == 2L)
+    val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d e f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("trimmed_md5") == wantMd5)
+    assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
+  }
 }
