@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text signals that need aggregation (unlike the row-local
@@ -142,6 +142,29 @@ object CorpusSignals {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("ctoks")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+  }
+
+  /** Top-k terms per group (language, source, domain …) — the corpus
+    * profiling/reporting cut behind "what does each slice look like".
+    *
+    * Scale shape: one map-side-combinable hash aggregate keyed on
+    * (group, term) collapses the corpus to the per-group vocabulary;
+    * the rank window then shuffles ONLY that aggregated relation,
+    * partitioned by group. Parallelism is bounded by the group count —
+    * fine for profiling dimensions (languages, sources); for a
+    * high-cardinality group key the same plan degenerates gracefully
+    * since each partition holds one group's vocabulary, never the corpus.
+    */
+  def topTermsPerGroup(docs: DataFrame, group: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(group.as("grp"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("term")))
+        .cast("int"))
+      .filter(col("rk") <= k)
   }
 
   /** Adjacent-word co-occurrence lift — collocation mining over the

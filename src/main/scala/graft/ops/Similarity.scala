@@ -23,6 +23,53 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Sparse TF-IDF cosine verification over MinHash-LSH candidates — the
+    * term-vector counterpart to the dense-embedding ops: candidate pairs
+    * come from the banded LSH join (linear in corpus size), and each is
+    * verified by an EXACT integer cosine computed row-locally. Weights
+    * are integers (w = tf * min(n_docs div df, idfCap)), so dot products
+    * and squared norms are exact int64 sums — immune to float
+    * summation-order drift — and the cosine is three fixed-order IEEE
+    * ops on those integers. The idf cap bounds w so products fit int64
+    * headroom even when n_docs is planetary (uncapped, a hapax term's
+    * weight IS n_docs and w1*w2 overflows at ~10^5 docs).
+    *
+    * Scale shape: the shared-term equi-join form of the numerator is
+    * quadratic in posting-list length (a corpus-stopword term fans out
+    * df² — on a shared-vocabulary corpus that is all-pairs); instead the
+    * per-doc weight MAP travels to each candidate pair and the dot
+    * product folds over one doc's terms with `try_element_at` lookups in
+    * the other's map — per-pair cost bounded by document vocabulary,
+    * total cost linear in candidates. The oracle states the same values
+    * through the join form (integer sums are order-independent, so both
+    * forms are bit-equal).
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.6,
+      idfCap: Int = 1000): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = tf
+      .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * least(expr("n_docs div df"), lit(idfCap.toLong))).as("w"))
+    val docVecs = w.groupBy(col("doc_id")).agg(
+      map_from_entries(collect_list(struct(col("term"), col("w")))).as("wm"),
+      sum(col("w") * col("w")).as("n2"))
+    graft.ops.Dedup.minhashLshCandidates(docs)
+      .join(docVecs.select(col("doc_id").as("i"), col("wm").as("ma"), col("n2").as("n2a")), "i")
+      .join(docVecs.select(col("doc_id").as("j"), col("wm").as("mb"), col("n2").as("n2b")), "j")
+      .withColumn("num", expr(
+        "aggregate(map_entries(ma), 0L, (acc, e) -> acc + e.value * coalesce(try_element_at(mb, e.key), 0L))"))
+      .select(col("i"), col("j"),
+        (col("num").cast("double")
+          / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** (vec_id, v float[], nrm) with nrm the L2 norm. */
   def normalized(emb: DataFrame): DataFrame = {
     GraftFunctions.register(emb.sparkSession)

@@ -298,6 +298,66 @@ object TextOps {
         size(col("kept")).cast("long").as("n_kept"),
         md5(array_join(col("kept"), " ")).as("trimmed_md5"))
 
+  /** Multi-iteration BPE merge training — the full tokenizer-training
+    * inner loop ([[bpePairCounts]] is one counting pass of it). Returns
+    * the learned merge table: (step, p1, p2, cnt) for `nMerges` greedy
+    * merges, each chosen by (count desc, pair asc) over the CURRENT
+    * segmentation and applied left-to-right non-overlapping, exactly as
+    * reference BPE does.
+    *
+    * Scale shape: the corpus collapses ONCE to the (word, freq) vocabulary
+    * — corpus volume is paid a single time; every iteration then runs on
+    * the vocabulary-sized relation. Per iteration: one hash aggregate for
+    * weighted pair counts, a 1-row top-k to the driver (the chosen pair —
+    * the only driver-side data), and a row-local fold that rewrites each
+    * word's segmentation. `localCheckpoint` truncates the per-iteration
+    * lineage so the job DAG stays flat across merges.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    require(nMerges >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seg = withToks(docs)
+      .select(explode(col("toks")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("pieces"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      // Guard: a fully-merged word (one piece) has no adjacent pairs, and
+      // sequence(1, 0) would DESCEND ([1, 0]) and index out of bounds.
+      val top = seg
+        .filter(size(col("pieces")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(pieces) - 1),
+            |  i -> struct(element_at(pieces, i) AS p1, element_at(pieces, i + 1) AS p2))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (p1, p2, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, p1, p2, cnt))
+        // Left-to-right non-overlapping merge as a row-local fold: append
+        // each piece, collapsing it into the previous one when the two
+        // form the chosen pair (a just-merged token never re-merges —
+        // concat changes it to p1||p2, matching reference BPE's scan).
+        seg = seg.withColumn("pieces",
+          aggregate(col("pieces"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(p1) && x === lit(p2),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("step", "p1", "p2", "cnt")
+  }
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

@@ -1122,6 +1122,59 @@ object PipelineOps {
       TextOps.selfRepetitionTrim(t(s, dir, "documents"), 3)
     },
 
+    // Sparse TF-IDF cosine verification of LSH candidates: integer
+    // weights (idf-capped) make every dot product and norm an exact
+    // int64 sum — no float summation-order drift — and the cosine is
+    // three fixed-order IEEE ops. The oracle derives the same integers
+    // through the shared-term join form; the Spark plan verifies each
+    // candidate row-locally against the per-doc weight map instead
+    // (the join form is df²-quadratic on shared-vocabulary corpora).
+    Q.df(
+      "p60_tfidf_cosine",
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id, term, tf * LEAST(n_docs // df, 1000) AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         |nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+         |num AS (SELECT i, j, SUM(a.w * b.w) AS num
+         |  FROM cand JOIN w a ON a.doc_id = i JOIN w b ON b.doc_id = j AND a.term = b.term
+         |  GROUP BY 1, 2)
+         |SELECT i, j, cos FROM (
+         |  SELECT i, j, CAST(num AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM num JOIN nrm na ON na.doc_id = i JOIN nrm nb ON nb.doc_id = j) x
+         |WHERE cos >= 0.9""".stripMargin) { (s, dir) =>
+      graft.ops.Similarity.tfidfCosinePairs(t(s, dir, "documents"), 0.9, 1000)
+    },
+
+    // Per-group corpus profiling: top-5 terms per language. The window
+    // runs over the (group, term) AGGREGATE, never the corpus.
+    Q.df(
+      "p61_top_terms_per_lang",
+      """WITH tok AS (SELECT lang AS grp, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT grp, term, cnt, CAST(rk AS INT) AS rk FROM (
+        |  SELECT grp, term, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, term) AS rk
+        |  FROM c) x
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.topTermsPerGroup(t(s, dir, "documents"), col("lang"), 5)
+    },
+
+    // Multi-iteration BPE merge training: the learned merge table for 3
+    // greedy merges. No SQL oracle — the iterative argmax + re-segment
+    // loop is beyond one SQL statement (rows-only driver check); exact
+    // behavior is pinned in OpsSpec against an independent single-node
+    // BPE reimplementation.
+    Q.noOracle("p62_bpe_merges") { (s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"), 3)
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

@@ -670,6 +670,79 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topRow.getAs[Double]("lift") == (20.0 * 60.0) / (20.0 * 20.0))
   }
 
+  test("tfidf cosine: exact duplicate scores 1.0; verification is row-local exact") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tiny = Seq(
+      (0L, base), (1L, base),                       // exact duplicate pair
+      (2L, "alpha beta gamma unrelated words here now then always maybe")
+    ).toDF("doc_id", "text")
+    val got = Similarity.tfidfCosinePairs(tiny, 0.0, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Identical docs: num == n2, so cos = n2 / (sqrt(n2) * sqrt(n2)) —
+    // bit-equal to the same fixed-order replay (1.0 up to the sqrt
+    // round-trip, exactly reproducible by any IEEE engine).
+    val n2dup = 10L // 10 terms, tf=1, idf weight = n_docs div df = 3 div {2,3} = 1
+    assert(got((0L, 1L)) ==
+      n2dup.toDouble / (math.sqrt(n2dup.toDouble) * math.sqrt(n2dup.toDouble)),
+      s"identical docs must replay the exact formula, got $got")
+    assert(math.abs(got((0L, 1L)) - 1.0) < 1e-12)
+    assert(got.forall { case ((i, j), c) => i < j && c >= -1e-9 && c <= 1.0 + 1e-9 })
+    // Corpus run: every emitted pair is an LSH candidate and above threshold.
+    val out = Similarity.tfidfCosinePairs(docs, 0.9).collect()
+    val cands = Dedup.minhashLshCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(r => cands.contains((r.getLong(0), r.getLong(1)))))
+    assert(out.forall(_.getDouble(2) >= 0.9))
+  }
+
+  test("top terms per group: hand-planted counts and ranks") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "x x x y z", "en"), (1L, "x y y q r", "en"),
+      (2L, "a a b c d", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusSignals.topTermsPerGroup(tiny, col("lang"), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSet == Set(
+      ("en", "x", 4L, 1), ("en", "y", 3L, 2),
+      ("fr", "a", 2L, 1), ("fr", "b", 1L, 2)))
+  }
+
+  test("bpe merges match an independent single-node BPE implementation") {
+    // Reference BPE on the collected corpus: word-frequency dict, greedy
+    // (count desc, pair asc) merge, left-to-right non-overlapping apply.
+    val words = docs.collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split(" ", -1))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var seg: Map[Seq[String], Long] =
+      words.groupBy { case (w, _) => w.map(_.toString) }
+        .map { case (p, m) => p -> m.values.sum }
+    val expect = (1 to 3).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (pieces, f) =>
+        pieces.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((p1, p2), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      seg = seg.groupBy { case (pieces, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        pieces.foreach { x =>
+          if (out.nonEmpty && out.last == p1 && x == p2) out(out.length - 1) = p1 + p2
+          else out += x
+        }
+        out.toSeq
+      }.map { case (p, m) => p -> m.values.sum }
+      (step, p1, p2, cnt)
+    }
+    val got = TextOps.bpeMerges(docs, 3).orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect, s"got ${got.toSeq}, want $expect")
+  }
+
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
     import spark.implicits._
     val tiny = Seq(
