@@ -85,4 +85,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("bloom_might_contain") || p.contains("BloomMightContain"),
       p.linesIterator.take(12).mkString("\n"))
   }
+
+  test("shuffle shards rank through range repartition, never one reducer") {
+    val p = plan("p57_shuffle_shards")
+    // The permutation rank must come from GlobalRank's range exchange;
+    // any single-partition exchange may only carry the per-partition
+    // count rows (metadata), recognizably fed by a HashAggregate on __pid.
+    assert(p.contains("Exchange rangepartitioning"),
+      p.linesIterator.take(10).mkString("\n"))
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val subtree = lines.slice(i + 1, i + 6).mkString("\n")
+        assert(subtree.contains("HashAggregate") && subtree.contains("__pid"),
+          s"single-partition exchange not fed by per-partition counts:\n$subtree")
+    }
+  }
+
+  test("tfidf cosine and edit-distance verification join candidates, no cartesian") {
+    for (q <- Seq("p60_tfidf_cosine", "p55_editdist_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // A nested-loop join is allowed ONLY as the 1-row n_docs broadcast
+      // (a scalar constant riding a cross join); any data-sized one is the
+      // quadratic shape these ops exist to avoid.
+      val lines = p.linesIterator.toIndexedSeq
+      lines.zipWithIndex.filter(_._1.contains("BroadcastNestedLoopJoin")).foreach {
+        case (_, i) =>
+          val subtree = lines.slice(i + 1, i + 12).mkString("\n")
+          assert(subtree.contains("count(1)") || subtree.contains("n_docs"),
+            s"$q: nested-loop join not fed by the 1-row count:\n$subtree")
+      }
+    }
+  }
+
+  test("grouped top-k ranks over the aggregate, with partial map-side combine") {
+    val p = plan("p61_top_terms_per_lang")
+    // The window's input must be the (group, term) HashAggregate — the
+    // corpus collapses before any sort — and that aggregate must combine
+    // map-side (partial) so shuffle volume is vocabulary-, not corpus-sized.
+    assert(p.contains("partial"), p.linesIterator.take(10).mkString("\n"))
+    assert(p.contains("Window"), "expected the per-group rank window")
+  }
 }
