@@ -358,6 +358,32 @@ object TextOps {
     merges.result().toDF("step", "p1", "p2", "cnt")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * char k-gram, then keep the MINIMUM hash of each w-window of
+    * consecutive positions — the guarantee is that any match of length
+    * >= w + k - 1 between two documents shares at least one selected
+    * fingerprint, at ~1/w the storage of full shingling. The whole-doc
+    * fingerprint ([[fingerprints]]) breaks on a single edit; winnowed
+    * fingerprints localize it. Selection here is value-level (the set
+    * of window minima), which preserves the guarantee.
+    *
+    * Scale shape: entirely row-local (two nested transforms + distinct
+    * inside one projection, O(len * w) per doc), then one explode — no
+    * shuffle; downstream dedup joins on (fp) are hash-partitioned and
+    * linear in fingerprint volume.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("h", expr(
+        s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+           |  i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, greatest(size(h) - ${w - 1}, 1)),
+           |  i -> array_min(slice(h, i, $w))))""".stripMargin)))
+      .select(col("doc_id"), col("fp"))
+
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.
     */

@@ -74,11 +74,26 @@ object PipelineOps {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
-  private val lshBucketExpr: String =
-    Similarity.planes(8, 64).zipWithIndex.map { case (w, p) =>
+  /** Hyperplane-sign bucket as CTEs over an `e(vec_id, v)` relation. The
+    * plane weights live in an 8-row `pl` table joined to the vectors —
+    * inlining each 64-element literal into the per-row lambda (the
+    * previous form) makes DuckDB rebuild the list per element: 19.5 s vs
+    * 0.06 s at sf0.1, identical buckets (the per-plane dot is the same
+    * list_sum fold, and the 2^p bucket sum is integer).
+    */
+  private val lshBucketCtes: String = {
+    val rows = Similarity.planes(8, 64).zipWithIndex.map { case (w, p) =>
       val arr = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), k -> v[k] * ($arr)[k])) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+      s"SELECT $p AS p, CAST($arr AS DOUBLE[]) AS pw"
+    }.mkString(" UNION ALL ")
+    s"""pl AS ($rows),
+       |dotp AS (SELECT vec_id, p,
+       |  list_sum(list_transform(generate_series(1, 64), k -> v[k] * pw[k])) AS d
+       |  FROM e CROSS JOIN pl),
+       |bk AS (SELECT vec_id,
+       |  CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dotp GROUP BY vec_id)""".stripMargin
+  }
 
   // ---- entries -----------------------------------------------------------
 
@@ -179,15 +194,16 @@ object PipelineOps {
 
     Q.df(
       "p10_ann_lsh_buckets",
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-         |SELECT vec_id, CAST($lshBucketExpr AS BIGINT) AS bucket FROM e""".stripMargin) {
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |$lshBucketCtes
+         |SELECT vec_id, bucket FROM bk""".stripMargin) {
       (s, dir) => Similarity.lshBuckets(t(s, dir, "embeddings"))
     },
 
     Q.df(
       "p11_ann_lsh_candidates",
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |bk AS (SELECT vec_id, CAST($lshBucketExpr AS BIGINT) AS bucket FROM e)
+         |$lshBucketCtes
          |SELECT a.vec_id AS i, c.vec_id AS j, a.bucket AS bucket
          |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""".stripMargin) {
       (s, dir) => Similarity.lshCandidates(t(s, dir, "embeddings"))
@@ -1128,7 +1144,10 @@ object PipelineOps {
     // three fixed-order IEEE ops. The oracle derives the same integers
     // through the shared-term join form; the Spark plan verifies each
     // candidate row-locally against the per-doc weight map instead
-    // (the join form is df²-quadratic on shared-vocabulary corpora).
+    // (the join form is df²-quadratic on shared-vocabulary corpora —
+    // the MATERIALIZED pin keeps DuckDB's optimizer from reordering
+    // cand⋈w⋈w into exactly that quadratic term-term join: 0.45 s vs
+    // 113 s at sf0.1, identical rows).
     Q.df(
       "p60_tfidf_cosine",
       s"""WITH $minhashCtes,
@@ -1141,8 +1160,10 @@ object PipelineOps {
          |w AS (SELECT doc_id, term, tf * LEAST(n_docs // df, 1000) AS w
          |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
          |nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
-         |num AS (SELECT i, j, SUM(a.w * b.w) AS num
-         |  FROM cand JOIN w a ON a.doc_id = i JOIN w b ON b.doc_id = j AND a.term = b.term
+         |j1 AS MATERIALIZED (SELECT i, j, a.term AS term, a.w AS aw
+         |  FROM cand JOIN w a ON a.doc_id = i),
+         |num AS (SELECT i, j, SUM(aw * b.w) AS num
+         |  FROM j1 JOIN w b ON b.doc_id = j1.j AND b.term = j1.term
          |  GROUP BY 1, 2)
          |SELECT i, j, cos FROM (
          |  SELECT i, j, CAST(num AS DOUBLE)
@@ -1173,6 +1194,22 @@ object PipelineOps {
     // BPE reimplementation.
     Q.noOracle("p62_bpe_merges") { (s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), 3)
+    },
+
+    // Winnowing fingerprints: per-position char-8-gram hashes, keep each
+    // 4-window's minimum — any >= 11-char match between docs shares a
+    // selected fingerprint at ~1/4 the storage of full shingling.
+    Q.df(
+      "p63_winnow_fingerprints",
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |    i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 8) AS BIGINT)) AS h
+        |  FROM documents)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+        |    i -> list_min(h[(i):(i+3)]))) AS fp
+        |  FROM h) x""".stripMargin) { (s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"), 8, 4)
     },
 
     Q.df(

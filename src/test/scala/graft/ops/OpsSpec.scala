@@ -743,6 +743,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == expect, s"got ${got.toSeq}, want $expect")
   }
 
+  test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "zqxwvutsrqponml" // 15 chars >= w + k - 1 = 11
+    val tiny = Seq(
+      (0L, s"aaaa bbbb $shared cccc dddd"),
+      (1L, s"完全 different prefix $shared and suffix here"),
+      (2L, "nothing in common with the others at all ok")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(tiny, 8, 4).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(fps(0L).intersect(fps(1L)).nonEmpty,
+      "docs sharing an 11+-char substring must share a winnowed fingerprint")
+    // Fingerprints are a subset of the doc's own k-gram hashes (window minima).
+    val doc0 = tiny.filter(col("doc_id") === 0L).head().getString(1)
+    val all0 = (1 to math.max(doc0.length - 7, 1)).map { i =>
+      val kg = doc0.substring(i - 1, math.min(i + 7, doc0.length))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(kg.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }.toSet
+    assert(fps(0L).subsetOf(all0))
+  }
+
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
     import spark.implicits._
     val tiny = Seq(
