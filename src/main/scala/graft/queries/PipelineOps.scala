@@ -1212,6 +1212,38 @@ object PipelineOps {
       TextOps.winnowFingerprints(t(s, dir, "documents"), 8, 4)
     },
 
+    // Ordered funnel: users converting view -> first click after that
+    // view -> first purchase after that click. Per-step filtered MIN
+    // aggregates chained on user_id; no event-log sort anywhere.
+    Q.df(
+      "p64_funnel",
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_purchase""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Funnels.funnelCounts(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+    },
+
+    // Cohort retention triangle: signup-week cohorts x activity week,
+    // distinct users. The join is user-dimension x event-projection.
+    Q.df(
+      "p65_cohort_retention",
+      """WITH c AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week FROM events)
+        |SELECT cohort_week, activity_week, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.ops.Funnels.cohortRetention(t(s, dir, "events"), "signup")
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

@@ -766,6 +766,39 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(fps(0L).subsetOf(all0))
   }
 
+  test("funnel: order matters — a click before the first view does not convert") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"), // full
+      (2L, ts(10), "click"), (2L, ts(20), "view"),                           // click BEFORE view
+      (3L, ts(10), "view"), (3L, ts(20), "click"),                           // no purchase
+      (4L, ts(5), "purchase")                                                // purchase only
+    ).toDF("user_id", "ts", "event_type")
+    val row = Funnels.funnelCounts(ev, Seq("view", "click", "purchase")).head()
+    assert(row.getAs[Long]("n_view") == 3L)     // users 1, 2, 3
+    assert(row.getAs[Long]("n_click") == 2L)    // users 1, 3 (user 2's click precedes the view)
+    assert(row.getAs[Long]("n_purchase") == 1L) // user 1 only
+  }
+
+  test("cohort retention: users count in their signup-week cohort only") {
+    import spark.implicits._
+    val t = (d: String) => java.sql.Timestamp.valueOf(d)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "signup"), // week of Jan 1 (Monday)
+      (1L, t("2024-01-09 10:00:00"), "click"),  // active week of Jan 8
+      (2L, t("2024-01-10 10:00:00"), "signup"), // week of Jan 8
+      (3L, t("2024-01-03 10:00:00"), "click")   // never signed up -> excluded
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.cohortRetention(ev, "signup").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:00:00.0") -> 1L, // user 1 signup week
+      ("2024-01-01 00:00:00.0", "2024-01-08 00:00:00.0") -> 1L, // user 1 retained week 2
+      ("2024-01-08 00:00:00.0", "2024-01-08 00:00:00.0") -> 1L  // user 2 signup week
+    ), got.toString)
+  }
+
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
     import spark.implicits._
     val tiny = Seq(
