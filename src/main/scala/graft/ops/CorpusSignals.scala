@@ -174,12 +174,15 @@ object CorpusSignals {
     * marks genuine collocations vs frequency coincidence (PMI without
     * the log, so no transcendental-function drift between engines).
     *
-    * Scale shape: one map-side-combinable hash aggregate per relation
-    * (pairs, left marginals, right marginals, total); the top-k cut is a
-    * distributed TakeOrdered (never a global sort), and the marginal
-    * joins stream the vocabulary-sized sides against the broadcast
-    * k-row top list. Integer counts; the lift is three fixed-order IEEE
-    * ops, reproducible anywhere.
+    * Scale shape: the corpus-wide split+explode is paid ONCE, into the
+    * (w1, w2) pair-count aggregate; the positional marginals and total
+    * are integer-identical SUMs of that aggregate (n_a = Σ n_ab over
+    * w2, etc.), so they run over the pair-vocabulary relation, not the
+    * corpus. The aggregate is persisted so its one scan feeds all four
+    * consumers. The top-k cut is a distributed TakeOrdered (never a
+    * global sort), and the marginal joins stream the vocabulary-sized
+    * sides against the broadcast k-row top list. Integer counts; the
+    * lift is three fixed-order IEEE ops, reproducible anywhere.
     */
   def cooccurrenceLift(docs: DataFrame, k: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -192,9 +195,10 @@ object CorpusSignals {
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-    val la = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
-    val rb = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
-    val tot = pairs.agg(count(lit(1)).as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val la = c.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val rb = c.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = c.agg(sum(col("n_ab")).as("nn"))
     // Top-k FIRST (TakeOrderedAndProject), then rank the k survivors —
     // the window sorts k rows, not the pair vocabulary.
     val top = c.orderBy(col("n_ab").desc, col("w1"), col("w2")).limit(k)

@@ -325,6 +325,12 @@ object Dedup {
     * cost constant regardless of document length. Both joins hash-
     * partition on doc id — candidate count, not corpus size, is the only
     * quadratic-ish term, and banding controls it.
+    *
+    * Cross-engine caveat: Spark's `levenshtein` edits CODEPOINTS while
+    * DuckDB's edits BYTES, so the p55 oracle parity holds only for
+    * ASCII text (the corpus here). On multibyte text the distances (and
+    * therefore the maxDist cut) diverge between the engines — pick one
+    * semantics and one engine for non-ASCII corpora, or normalize first.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 40,
       prefixLen: Int = 200): DataFrame = {

@@ -42,7 +42,9 @@ object Funnels {
 
   /** Cohort retention matrix: users cohorted by the week of their first
     * `signupType` event, counted distinct per (cohort week, activity
-    * week). The product-analytics retention triangle.
+    * week) for activity AT or AFTER the cohort week — the
+    * product-analytics retention triangle (pre-signup activity is not
+    * "retention" and would put cells above the diagonal).
     *
     * Scale shape: the cohort relation is one row per signed-up user
     * (user-dimension-sized); the activity side is a map-only projection
@@ -56,6 +58,7 @@ object Funnels {
       .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
     events.select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
       .join(cohort, "user_id")
+      .filter(col("activity_week") >= col("cohort_week"))
       .groupBy(col("cohort_week"), col("activity_week"))
       .agg(countDistinct(col("user_id")).as("n_active"))
   }

@@ -30,9 +30,13 @@ object Similarity {
     * are integers (w = tf * min(n_docs div df, idfCap)), so dot products
     * and squared norms are exact int64 sums — immune to float
     * summation-order drift — and the cosine is three fixed-order IEEE
-    * ops on those integers. The idf cap bounds w so products fit int64
-    * headroom even when n_docs is planetary (uncapped, a hapax term's
-    * weight IS n_docs and w1*w2 overflows at ~10^5 docs).
+    * ops on those integers. The idf cap bounds each weight so a single
+    * product fits int64 even when n_docs is planetary (uncapped, a hapax
+    * term's weight IS n_docs and w1*w2 overflows at ~10^5 docs); the
+    * SUMS accumulate as DECIMAL(38,0) — matching DuckDB's HUGEINT
+    * promotion of SUM(BIGINT) — so a multi-million-token document
+    * cannot wrap the norm into a negative long (sqrt → NaN → silently
+    * dropped pairs) the way a bigint accumulator would.
     *
     * Scale shape: the shared-term equi-join form of the numerator is
     * quadratic in posting-list length (a corpus-stopword term fans out
@@ -58,12 +62,14 @@ object Similarity {
         (col("tf") * least(expr("n_docs div df"), lit(idfCap.toLong))).as("w"))
     val docVecs = w.groupBy(col("doc_id")).agg(
       map_from_entries(collect_list(struct(col("term"), col("w")))).as("wm"),
-      sum(col("w") * col("w")).as("n2"))
+      sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     graft.ops.Dedup.minhashLshCandidates(docs)
       .join(docVecs.select(col("doc_id").as("i"), col("wm").as("ma"), col("n2").as("n2a")), "i")
       .join(docVecs.select(col("doc_id").as("j"), col("wm").as("mb"), col("n2").as("n2b")), "j")
       .withColumn("num", expr(
-        "aggregate(map_entries(ma), 0L, (acc, e) -> acc + e.value * coalesce(try_element_at(mb, e.key), 0L))"))
+        """aggregate(map_entries(ma), CAST(0 AS DECIMAL(38, 0)),
+          |  (acc, e) -> acc + CAST(e.value * coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(38, 0)))"""
+          .stripMargin))
       .select(col("i"), col("j"),
         (col("num").cast("double")
           / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cos"))

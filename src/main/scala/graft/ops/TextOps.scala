@@ -280,23 +280,31 @@ object TextOps {
     * docs. Emits per-doc counts plus an md5 of the trimmed text so the
     * reconstruction itself is oracle-checked, not just the arithmetic.
     *
-    * Scale shape: entirely row-local — chunking, first-occurrence
-    * filtering (`array_position` = earliest index), and the md5 all run
-    * inside one codegen'd projection; no shuffle, no state beyond one
-    * document's chunk array. Linear at any corpus size.
+    * Scale shape: chunking is row-local; first-occurrence selection is a
+    * hash aggregate on (doc_id, chunk) keeping MIN(position) — linear in
+    * chunk volume — and the trimmed text reassembles from the per-doc
+    * first-occurrence list sorted by position (O(k log k) in the doc's
+    * DISTINCT chunk count). A row-local `array_position` filter would be
+    * O(chunks²) per document — a 1M-word doc is ~5e10 comparisons inside
+    * one task — so the aggregate form is the one that survives long
+    * documents; state never exceeds one document's distinct chunks.
     */
   def selfRepetitionTrim(docs: DataFrame, chunkWords: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("ch", expr(
+      .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(ws) / ${chunkWords}.0) AS INT) - 1),
            |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin))
-      .withColumn("kept", expr("filter(ch, (c, i) -> array_position(ch, c) = i + 1)"))
-      .select(
-        col("doc_id"),
-        size(col("ch")).cast("long").as("n_chunks"),
-        size(col("kept")).cast("long").as("n_kept"),
-        md5(array_join(col("kept"), " ")).as("trimmed_md5"))
+        .as(Seq("pos", "chunk")))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("pos")).as("fpos"), count(lit(1)).as("n_occ"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(fpos, chunk))), x -> x.chunk)"),
+          " ")).as("trimmed_md5"))
 
   /** Multi-iteration BPE merge training — the full tokenizer-training
     * inner loop ([[bpePairCounts]] is one counting pass of it). Returns

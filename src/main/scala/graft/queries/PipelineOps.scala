@@ -1240,6 +1240,7 @@ object PipelineOps {
         |a AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week FROM events)
         |SELECT cohort_week, activity_week, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE activity_week >= cohort_week
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       graft.ops.Funnels.cohortRetention(t(s, dir, "events"), "signup")
     },

@@ -788,6 +788,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (1L, t("2024-01-01 10:00:00"), "signup"), // week of Jan 1 (Monday)
       (1L, t("2024-01-09 10:00:00"), "click"),  // active week of Jan 8
       (2L, t("2024-01-10 10:00:00"), "signup"), // week of Jan 8
+      (2L, t("2024-01-02 10:00:00"), "click"),  // PRE-signup activity -> above-diagonal, excluded
       (3L, t("2024-01-03 10:00:00"), "click")   // never signed up -> excluded
     ).toDF("user_id", "ts", "event_type")
     val got = Funnels.cohortRetention(ev, "signup").collect()
@@ -797,6 +798,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01 00:00:00.0", "2024-01-08 00:00:00.0") -> 1L, // user 1 retained week 2
       ("2024-01-08 00:00:00.0", "2024-01-08 00:00:00.0") -> 1L  // user 2 signup week
     ), got.toString)
+  }
+
+  test("bpe merges survive words collapsing to a single piece") {
+    import spark.implicits._
+    // "ab" fully merges in step 1; later steps must not explode pairs from
+    // its single-piece segmentation (sequence(1, 0) would descend).
+    val tiny = Seq((0L, "ab ab ab ab cd cd ce")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(tiny, 3).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got(0) == ((1, "a", "b", 4L)))
+    // Step 2: remaining pairs are cd(2), ce(1) -> "c","d" wins.
+    assert(got(1) == ((2, "c", "d", 2L)))
+    // Step 3: only "c","e" remains.
+    assert(got(2) == ((3, "c", "e", 1L)))
   }
 
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
