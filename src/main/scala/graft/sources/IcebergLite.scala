@@ -251,8 +251,12 @@ object IcebergLite {
       }.flatten
     }
 
-  /** Identity-transform partition column names of the default spec. */
-  def partitionColumns(meta: JObj): Seq[String] =
+  /** All partition-spec fields of the default spec (identity AND hidden
+    * transforms). `source-name` is the lite format's direct source link
+    * (older lite tables without it fall back to the field name, which is
+    * the identity-transform source anyway).
+    */
+  def partitionSpecFields(meta: JObj): Seq[PartitionField] =
     meta.get("partition-specs") match {
       case Some(JValue.JArr(specs)) =>
         val defaultId = jLong(meta, "default-spec-id").getOrElse(0L)
@@ -260,12 +264,29 @@ object IcebergLite {
           .find(s => jLong(s, "spec-id").contains(defaultId))
           .toSeq.flatMap(_.get("fields")).flatMap {
             case JValue.JArr(fs) => fs.collect {
-              case f: JObj if f.str("transform").contains("identity") =>
-                f.str("name")
+              case f: JObj =>
+                for (n <- f.str("name"); t <- f.str("transform"))
+                  yield PartitionField(n, t, f.str("source-name").getOrElse(n))
             }.flatten
             case _ => Nil
           }
       case _ => Nil
+    }
+
+  /** The default spec as writer-DSL strings — what appends and metadata
+    * rewrites (compaction, rollback, expiration) re-feed so hidden
+    * transform fields survive every metadata-carrying commit.
+    */
+  def partitionSpecDsl(meta: JObj): Seq[String] =
+    partitionSpecFields(meta).map(PartitionSpec.toDsl)
+
+  /** Identity-transform partition column names of the default spec (the
+    * ones that surface as table partition COLUMNS; hidden transform
+    * fields stay out of the schema).
+    */
+  def partitionColumns(meta: JObj): Seq[String] =
+    partitionSpecFields(meta).collect {
+      case f if f.transform == "identity" => f.name
     }
 
   /** Declared fields of the current schema: (name, iceberg type name). */
@@ -519,8 +540,13 @@ object IcebergLite {
       e.path, e.fileSize, e.recordCount, e.partitionValues,
       e.lowerBounds, e.upperBounds, e.nullCounts))
     val statTypes = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+    // Hidden transform fields (day/bucket) never surface as table columns;
+    // they reach the index so source-column predicates can be projected
+    // through the transform onto the files' partition values.
+    val hiddenFields = partitionSpecFields(meta).filter(_.transform != "identity")
     val index = new IcebergLiteFileIndex(
-      spark, new Path(tablePath), liteFiles, partitionSchema, statTypes)
+      spark, new Path(tablePath), liteFiles, partitionSchema, statTypes,
+      hiddenFields)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partitionSchema, fileSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),

@@ -38,7 +38,11 @@ final class IcebergLiteFileIndex(
     tablePath: Path,
     files: Seq[LiteDataFile],
     override val partitionSchema: StructType,
-    statTypes: Map[String, DataType]) extends FileIndex {
+    statTypes: Map[String, DataType],
+    hiddenFields: Seq[PartitionField] = Nil) extends FileIndex {
+
+  private val sessionZone = java.time.ZoneId.of(
+    spark.sessionState.conf.sessionLocalTimeZone)
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
@@ -82,13 +86,99 @@ final class IcebergLiteFileIndex(
     val kept = files.filter { f =>
       val row = partitionRow(f)
       partPred.forall(_.eval(row)) &&
-        !dataFilters.exists(e => StatsPruning.canSkip(e, f))
+        !dataFilters.exists(e => StatsPruning.canSkip(e, f)) &&
+        !dataFilters.exists(e => hiddenFields.exists(h => canSkipHidden(e, h, f)))
     }
     kept.groupBy(partitionRow).toSeq.map { case (row, fs) =>
       PartitionDirectory(row, fs.map(f =>
         new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L, new Path(f.path))).toArray)
     }
   }
+
+  // ---- hidden-transform pruning ------------------------------------------
+  // Queries filter the SOURCE column (hidden partitioning's whole point);
+  // the predicate is projected through the transform onto the file's
+  // partition value. Conservative throughout: any shape or type outside
+  // the mapping keeps the file.
+
+  /** True when `h`'s transform PROVES no row of `f` can satisfy `e`. */
+  private def canSkipHidden(e: Expression, h: PartitionField, f: LiteDataFile): Boolean = {
+    val fileVal = f.partitionValues.get(h.name)
+    if (fileVal.isEmpty || fileVal.contains("__HIVE_DEFAULT_PARTITION__")) return false
+    val v = fileVal.get
+    e match {
+      case And(l, r) => canSkipHidden(l, h, f) || canSkipHidden(r, h, f)
+      case Or(l, r) => canSkipHidden(l, h, f) && canSkipHidden(r, h, f)
+      case EqualTo(a: AttributeReference, lit: Literal) if a.name == h.source =>
+        transformOf(h, lit).exists(_ != v)
+      case EqualTo(lit: Literal, a: AttributeReference) if a.name == h.source =>
+        transformOf(h, lit).exists(_ != v)
+      case In(a: AttributeReference, lits) if a.name == h.source &&
+          lits.forall(_.isInstanceOf[Literal]) =>
+        val ts = lits.map(l => transformOf(h, l.asInstanceOf[Literal]))
+        ts.nonEmpty && ts.forall(_.exists(_ != v))
+      // Range predicates project only through ORDER-PRESERVING transforms
+      // (day); bucket scrambles order, so ranges never prune buckets.
+      case GreaterThan(a: AttributeReference, lit: Literal)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v < d) // a > t: need day(a) >= day(t)
+      case GreaterThanOrEqual(a: AttributeReference, lit: Literal)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v < d)
+      case LessThan(a: AttributeReference, lit: Literal)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v > d) // a < t: need day(a) <= day(t)
+      case LessThanOrEqual(a: AttributeReference, lit: Literal)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v > d)
+      case GreaterThan(lit: Literal, a: AttributeReference)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v > d) // t > a  ==  a < t
+      case LessThan(lit: Literal, a: AttributeReference)
+          if a.name == h.source && h.transform == "day" =>
+        transformOf(h, lit).exists(d => v < d)
+      case _ => false
+    }
+  }
+
+  /** The literal's partition value under the transform, as the same string
+    * the writer's Hive path produced — None when the literal's type is
+    * outside the bit-reproducible mapping (no pruning then).
+    *
+    * day: 'yyyy-MM-dd' in the session zone (lexicographic == chronological,
+    * so the range cases above compare strings). bucket: md5-prefix mod N of
+    * the value's plain string form, matching `CAST(x AS STRING)` only for
+    * integral and string types — others stay unpruned.
+    */
+  private def transformOf(h: PartitionField, lit: Literal): Option[String] =
+    if (lit.value == null) None
+    else h.transform match {
+      case "day" => lit.dataType match {
+        // TIMESTAMP (with zone): the writer's date_format renders the
+        // instant in the session zone, so the projection does too.
+        // TIMESTAMP_NTZ is deliberately unmapped (its micros are wall
+        // clock, not an instant) — conservative no-prune.
+        case TimestampType =>
+          val micros = lit.value.asInstanceOf[Long]
+          Some(java.time.Instant
+            .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L)
+            .atZone(sessionZone).toLocalDate.toString)
+        case DateType =>
+          Some(java.time.LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong).toString)
+        case _ => None
+      }
+      case t if t.startsWith("bucket[") =>
+        val n = h.bucketCount.get
+        (lit.dataType match {
+          case LongType => Some(lit.value.asInstanceOf[Long].toString)
+          case IntegerType => Some(lit.value.asInstanceOf[Int].toString)
+          case ShortType => Some(lit.value.asInstanceOf[Short].toString)
+          case StringType => Some(lit.value.toString)
+          case _ => None
+        }).map(s => PartitionSpec.bucketOf(s, n).toString)
+      case _ => None
+    }
 }
 
 /** Min/max + null-count file skipping straight off the Catalyst filter

@@ -107,12 +107,22 @@ object IcebergLiteWriter {
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
+    // Hidden partitioning: derive transform columns (day/bucket) just for
+    // the write — partitionBy consumes them into Hive path segments, so
+    // they never land INSIDE the parquet files; the table schema stays the
+    // data schema, exactly like real Iceberg's hidden partition fields.
+    val fields = partCols.map(PartitionSpec.parse)
+    val derived = fields.filter(_.transform != "identity").foldLeft(withIds) {
+      (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+        PartitionSpec.deriveSql(f)))
+    }
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val priorFieldId = spark.conf.getOption(fieldIdKey)
     spark.conf.set(fieldIdKey, "true")
     try {
-      val writer = withIds.write.mode(mode)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+      val writer = derived.write.mode(mode)
+      val names = fields.map(_.name)
+      (if (names.nonEmpty) writer.partitionBy(names: _*) else writer).parquet(dir)
     } finally priorFieldId match {
       case Some(v) => spark.conf.set(fieldIdKey, v)
       case None => spark.conf.unset(fieldIdKey)
@@ -239,7 +249,7 @@ object IcebergLiteWriter {
     // Appends inherit the table's partition spec unless re-specified.
     val partCols =
       if (partitionBy.nonEmpty) partitionBy
-      else prior.map(m => IcebergLite.partitionColumns(m)).getOrElse(Nil)
+      else prior.map(m => IcebergLite.partitionSpecDsl(m)).getOrElse(Nil)
 
     // Manifest EXACTLY the files this write produces (listing diff around
     // the write), never "whatever is unmanifested in data/": debris from a
@@ -460,7 +470,7 @@ object IcebergLiteWriter {
       carried ++ newEntries)
     commitSnapshot(conf, tableDir, Some(meta), snapshotId,
       Seq((manifestPath.toString, manifestLen, 0)), schemaJson = None,
-      partCols = IcebergLite.partitionColumns(meta),
+      partCols = IcebergLite.partitionSpecDsl(meta),
       carryPriorManifests = false, operation = "replace")
     CompactionResult(rewritten, newFiles.size)
   }
@@ -501,7 +511,7 @@ object IcebergLiteWriter {
         deletes.length.toLong, len, fileContent)))
     commitSnapshot(conf, tableDir, Some(prior), snapshotId,
       Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
-      partCols = IcebergLite.partitionColumns(prior))
+      partCols = IcebergLite.partitionSpecDsl(prior))
   }
 
   /** Commit an equality-delete snapshot. As in Iceberg proper (spec §
@@ -539,7 +549,7 @@ object IcebergLiteWriter {
       deleteEntry(fs.makeQualified(delFile).toString, nRows, len, fileContent = 2)))
     commitSnapshot(conf, tableDir, Some(prior), snapshotId,
       Seq((delManifestPath.toString, delLen, 1)), schemaJson = None,
-      partCols = IcebergLite.partitionColumns(prior))
+      partCols = IcebergLite.partitionSpecDsl(prior))
   }
 
   // fileContent 1 = position deletes; 2 = equality deletes (also settable
@@ -642,8 +652,9 @@ object IcebergLiteWriter {
     val effSchema = schemaJson.orElse(
       prior.flatMap(m => IcebergLite.currentSchemaFieldsJson(m)))
     val snapshotsJson = (priorSnapshots :+ newSnapshot).mkString(",\n    ")
-    val specFields = partCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name": "$c", "transform": "identity", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
+    val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
+      case (f, i) =>
+        s"""{"name": "${f.name}", "transform": "${f.transform}", "source-name": "${f.source}", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val schemaSection = effSchema.map(fs =>
       s"""
@@ -696,9 +707,10 @@ object IcebergLiteWriter {
       snapshots: Seq[graft.gateway.JValue.JObj], currentId: Long): Unit = {
     val metaDir = s"$tableDir/metadata"
     val snapshotsJson = snapshots.map(graft.gateway.Json.render).mkString(",\n    ")
-    val partCols = IcebergLite.partitionColumns(prior)
-    val specFields = partCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name": "$c", "transform": "identity", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
+    val partCols = IcebergLite.partitionSpecDsl(prior)
+    val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
+      case (f, i) =>
+        s"""{"name": "${f.name}", "transform": "${f.transform}", "source-name": "${f.source}", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val schemaSection = IcebergLite.currentSchemaFieldsJson(prior).map(fs =>
       s"""

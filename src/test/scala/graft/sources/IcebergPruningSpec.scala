@@ -68,6 +68,59 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("o_orderstatus") === "P").count() == expected)
   }
 
+  test("hidden partitioning: day/bucket transforms prune on SOURCE-column filters, stay out of the schema") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_hidden") + "/warehouse/events_hidden"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 4 + 1}%02d 10:00:00"), (i % 10).toLong, i * 1.5)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    IcebergLiteWriter.write(spark, df, dir,
+      partitionBy = Seq("day(ts)", "bucket(4, user_id)"))
+
+    val scan = IcebergLite.scan(spark, dir)
+    // Hidden fields never surface as table columns.
+    assert(scan.columns.toSet == Set("event_id", "ts", "user_id", "value"))
+    assert(scan.count() == 200)
+    // Round-trip: rows identical to the source.
+    assert(scan.orderBy("event_id").collect().toSeq ==
+      df.orderBy("event_id").collect().toSeq)
+
+    val all = filesScanned(scan)
+    assert(all >= 16, s"expected 4 days x 4 buckets layout, got $all files")
+    // Day range on the SOURCE timestamp prunes to one day's files (the
+    // upper bound sits inside day 02, so day 03 is provably excluded; an
+    // exact-midnight bound would conservatively keep the boundary day).
+    val oneDay = filesScanned(scan.filter(
+      col("ts") >= lit(ts("2024-01-02 00:00:00")) &&
+        col("ts") <= lit(ts("2024-01-02 23:00:00"))))
+    assert(oneDay < all / 2, s"day pruning: $oneDay of $all") // one of 4 days (file counts per partition vary)
+    // Bucket equality on the SOURCE id prunes to one bucket's files.
+    val oneUser = filesScanned(scan.filter(col("user_id") === 7L))
+    assert(oneUser < all / 2, s"bucket pruning: $oneUser of $all") // one of 4 buckets
+    // Pruned results stay correct.
+    assert(scan.filter(col("user_id") === 7L).count() ==
+      df.filter(col("user_id") === 7L).count())
+    assert(scan.filter(col("ts") >= lit(ts("2024-01-02 00:00:00")) &&
+        col("ts") <= lit(ts("2024-01-02 23:00:00"))).count() ==
+      df.filter(col("ts") >= lit(ts("2024-01-02 00:00:00")) &&
+        col("ts") <= lit(ts("2024-01-02 23:00:00"))).count())
+
+    // Appends inherit the transform spec (hidden fields survive the
+    // metadata rewrite) and new files land in the same layout.
+    val more = Seq((1000L, ts("2024-01-02 12:00:00"), 7L, 9.9))
+      .toDF("event_id", "ts", "user_id", "value")
+    IcebergLiteWriter.append(spark, more, dir)
+    val scan2 = IcebergLite.scan(spark, dir)
+    assert(scan2.count() == 201)
+    assert(scan2.filter(col("user_id") === 7L && col("event_id") === 1000L).count() == 1)
+    val meta2 = IcebergLite.latestMetadataPath(
+      spark.sparkContext.hadoopConfiguration, dir).map(p =>
+      IcebergLite.readMetadataJson(spark.sparkContext.hadoopConfiguration, p)).get
+    assert(IcebergLite.partitionSpecDsl(meta2) == Seq("day(ts)", "bucket(4, user_id)"))
+  }
+
   test("column-bounds filter skips files whose min/max exclude the predicate") {
     val df = IcebergLite.scan(spark, rangedTable)
     val all = filesScanned(df)
