@@ -118,28 +118,34 @@ final class IcebergLiteFileIndex(
         val ts = lits.map(l => transformOf(h, l.asInstanceOf[Literal]))
         ts.nonEmpty && ts.forall(_.exists(_ != v))
       // Range predicates project only through ORDER-PRESERVING transforms
-      // (day); bucket scrambles order, so ranges never prune buckets.
+      // (the time family: fixed-width digit strings where lexicographic
+      // == chronological); bucket scrambles order and truncate's string
+      // compare can diverge from UTF8String binary order on non-ASCII,
+      // so ranges never prune those.
       case GreaterThan(a: AttributeReference, lit: Literal)
-          if a.name == h.source && h.transform == "day" =>
-        transformOf(h, lit).exists(d => v < d) // a > t: need day(a) >= day(t)
+          if a.name == h.source && timeTransform(h) =>
+        transformOf(h, lit).exists(d => v < d) // a > t: need T(a) >= T(t)
       case GreaterThanOrEqual(a: AttributeReference, lit: Literal)
-          if a.name == h.source && h.transform == "day" =>
+          if a.name == h.source && timeTransform(h) =>
         transformOf(h, lit).exists(d => v < d)
       case LessThan(a: AttributeReference, lit: Literal)
-          if a.name == h.source && h.transform == "day" =>
-        transformOf(h, lit).exists(d => v > d) // a < t: need day(a) <= day(t)
+          if a.name == h.source && timeTransform(h) =>
+        transformOf(h, lit).exists(d => v > d) // a < t: need T(a) <= T(t)
       case LessThanOrEqual(a: AttributeReference, lit: Literal)
-          if a.name == h.source && h.transform == "day" =>
+          if a.name == h.source && timeTransform(h) =>
         transformOf(h, lit).exists(d => v > d)
       case GreaterThan(lit: Literal, a: AttributeReference)
-          if a.name == h.source && h.transform == "day" =>
+          if a.name == h.source && timeTransform(h) =>
         transformOf(h, lit).exists(d => v > d) // t > a  ==  a < t
       case LessThan(lit: Literal, a: AttributeReference)
-          if a.name == h.source && h.transform == "day" =>
+          if a.name == h.source && timeTransform(h) =>
         transformOf(h, lit).exists(d => v < d)
       case _ => false
     }
   }
+
+  private def timeTransform(h: PartitionField): Boolean =
+    PartitionSpec.TimeFormats.contains(h.transform)
 
   /** The literal's partition value under the transform, as the same string
     * the writer's Hive path produced — None when the literal's type is
@@ -153,21 +159,25 @@ final class IcebergLiteFileIndex(
   private def transformOf(h: PartitionField, lit: Literal): Option[String] =
     if (lit.value == null) None
     else h.transform match {
-      case "day" => lit.dataType match {
+      case t @ ("year" | "month" | "day" | "hour") =>
         // TIMESTAMP (with zone): the writer's date_format renders the
         // instant in the session zone, so the projection does too.
         // TIMESTAMP_NTZ is deliberately unmapped (its micros are wall
         // clock, not an instant) — conservative no-prune.
-        case TimestampType =>
-          val micros = lit.value.asInstanceOf[Long]
-          Some(java.time.Instant
-            .ofEpochSecond(Math.floorDiv(micros, 1000000L),
-              Math.floorMod(micros, 1000000L) * 1000L)
-            .atZone(sessionZone).toLocalDate.toString)
-        case DateType =>
-          Some(java.time.LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong).toString)
-        case _ => None
-      }
+        val local: Option[java.time.LocalDateTime] = lit.dataType match {
+          case TimestampType =>
+            val micros = lit.value.asInstanceOf[Long]
+            Some(java.time.Instant
+              .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+                Math.floorMod(micros, 1000000L) * 1000L)
+              .atZone(sessionZone).toLocalDateTime)
+          case DateType =>
+            Some(java.time.LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong)
+              .atStartOfDay)
+          case _ => None
+        }
+        local.map(_.format(java.time.format.DateTimeFormatter.ofPattern(
+          PartitionSpec.TimeFormats(t))))
       case t if t.startsWith("bucket[") =>
         val n = h.bucketCount.get
         (lit.dataType match {
@@ -177,6 +187,18 @@ final class IcebergLiteFileIndex(
           case StringType => Some(lit.value.toString)
           case _ => None
         }).map(s => PartitionSpec.bucketOf(s, n).toString)
+      case t if t.startsWith("truncate[") =>
+        // Equality-only projection, ASCII-only: Spark's substring slices
+        // codepoints and UTF8String compares bytes — both coincide with
+        // java.lang.String on ASCII, and nowhere else that matters here.
+        val w = PartitionSpec.truncWidth(h.transform).get
+        lit.dataType match {
+          case StringType =>
+            val s = lit.value.toString
+            if (s.forall(_ < 128)) Some(s.substring(0, math.min(w, s.length)))
+            else None
+          case _ => None
+        }
       case _ => None
     }
 }

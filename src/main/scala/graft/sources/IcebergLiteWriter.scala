@@ -112,6 +112,13 @@ object IcebergLiteWriter {
     // they never land INSIDE the parquet files; the table schema stays the
     // data schema, exactly like real Iceberg's hidden partition fields.
     val fields = partCols.map(PartitionSpec.parse)
+    fields.filter(_.transform.startsWith("truncate[")).foreach { f =>
+      val dt = df.schema.fields.find(_.name == f.source).map(_.dataType)
+      require(dt.contains(org.apache.spark.sql.types.StringType),
+        s"truncate(${f.source}) needs a STRING source column (Iceberg's " +
+          s"numeric truncate is W*floor(v/W), not a string prefix — " +
+          s"refused rather than silently wrong); got ${dt.getOrElse("missing column")}")
+    }
     val derived = fields.filter(_.transform != "identity").foldLeft(withIds) {
       (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions.expr(
         PartitionSpec.deriveSql(f)))

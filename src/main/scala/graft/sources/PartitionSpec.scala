@@ -25,32 +25,53 @@ final case class PartitionField(name: String, transform: String, source: String)
 
 object PartitionSpec {
 
-  private val DayRe = """^\s*day\s*\(\s*([\w.]+)\s*\)\s*$""".r
+  private val TimeRe = """^\s*(year|month|day|hour)\s*\(\s*([\w.]+)\s*\)\s*$""".r
   private val BucketRe = """^\s*bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*$""".r
+  private val TruncRe = """^\s*truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*$""".r
 
   def parse(s: String): PartitionField = s match {
-    case DayRe(src) => PartitionField(s"${src}_day", "day", src)
+    case TimeRe(t, src) => PartitionField(s"${src}_$t", t, src)
     case BucketRe(n, src) => PartitionField(s"${src}_bucket", s"bucket[$n]", src)
+    case TruncRe(w, src) => PartitionField(s"${src}_trunc", s"truncate[$w]", src)
     case name => PartitionField(name.trim, "identity", name.trim)
   }
 
   /** Reconstruct the DSL string (what append inheritance re-feeds). */
   def toDsl(f: PartitionField): String = f.transform match {
     case "identity" => f.source
-    case "day" => s"day(${f.source})"
+    case t @ ("year" | "month" | "day" | "hour") => s"$t(${f.source})"
     case t if t.startsWith("bucket[") => s"bucket(${f.bucketCount.get}, ${f.source})"
+    case t if t.startsWith("truncate[") => s"truncate(${truncWidth(f.transform).get}, ${f.source})"
     case other => throw new IllegalArgumentException(s"unknown transform $other")
   }
 
+  def truncWidth(transform: String): Option[Int] =
+    if (transform.startsWith("truncate["))
+      Some(transform.stripPrefix("truncate[").stripSuffix("]").toInt)
+    else None
+
+  /** The time transforms' path formats: fixed-width digit strings, so
+    * lexicographic order == chronological order and range pruning is a
+    * plain string compare.
+    */
+  val TimeFormats: Map[String, String] = Map(
+    "year" -> "yyyy", "month" -> "yyyy-MM",
+    "day" -> "yyyy-MM-dd", "hour" -> "yyyy-MM-dd-HH")
+
   /** Spark SQL deriving the partition value from the source column.
-    * day: session-timezone calendar date as 'yyyy-MM-dd' (lexicographic
-    * order == chronological order, so range pruning is a string compare).
-    * bucket: md5-prefix int64 mod N — non-negative, engine-reproducible.
+    * Time transforms: session-timezone calendar rendering (see
+    * TimeFormats). bucket: md5-prefix int64 mod N — non-negative,
+    * engine-reproducible. truncate: string prefix (Iceberg's string
+    * semantics; numeric truncate is refused at write rather than
+    * risking float-precision drift on huge longs).
     */
   def deriveSql(f: PartitionField): String = f.transform match {
-    case "day" => s"date_format(`${f.source}`, 'yyyy-MM-dd')"
+    case t @ ("year" | "month" | "day" | "hour") =>
+      s"date_format(`${f.source}`, '${TimeFormats(t)}')"
     case t if t.startsWith("bucket[") =>
       s"CAST(conv(substring(md5(CAST(`${f.source}` AS STRING)), 1, 8), 16, 10) AS BIGINT) % ${f.bucketCount.get}"
+    case t if t.startsWith("truncate[") =>
+      s"substring(CAST(`${f.source}` AS STRING), 1, ${truncWidth(f.transform).get})"
     case "identity" => s"`${f.source}`"
     case other => throw new IllegalArgumentException(s"unknown transform $other")
   }

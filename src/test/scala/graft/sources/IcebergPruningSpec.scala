@@ -121,6 +121,38 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergLite.partitionSpecDsl(meta2) == Seq("day(ts)", "bucket(4, user_id)"))
   }
 
+  test("month and string-truncate transforms: pruning, and numeric truncate refuses") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_hidden2") + "/warehouse/docs_hidden"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, ts(f"2024-${i % 3 + 1}%02d-15 08:00:00"), s"src${i % 5}/item$i")
+    }
+    val df = rows.toDF("id", "ts", "path")
+    IcebergLiteWriter.write(spark, df, dir,
+      partitionBy = Seq("month(ts)", "truncate(4, path)"))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.columns.toSet == Set("id", "ts", "path"))
+    assert(scan.count() == 120)
+    val all = filesScanned(scan)
+    // Month range prunes to one month's files.
+    val feb = filesScanned(scan.filter(
+      col("ts") >= lit(ts("2024-02-01 00:00:00")) &&
+        col("ts") <= lit(ts("2024-02-20 00:00:00"))))
+    assert(feb < all / 2, s"month pruning: $feb of $all")
+    // Truncate equality prunes to one prefix's files ("src3..." -> "src3").
+    val one = filesScanned(scan.filter(col("path") === "src3/item3"))
+    assert(one < all / 2, s"truncate pruning: $one of $all")
+    assert(scan.filter(col("path") === "src3/item3").count() == 1)
+    // Numeric truncate is refused loudly, not silently string-prefixed.
+    val err = intercept[IllegalArgumentException] {
+      IcebergLiteWriter.write(spark, df,
+        tmpDir("iceberg_badtrunc") + "/warehouse/bad",
+        partitionBy = Seq("truncate(2, id)"))
+    }
+    assert(err.getMessage.contains("STRING source column"))
+  }
+
   test("column-bounds filter skips files whose min/max exclude the predicate") {
     val df = IcebergLite.scan(spark, rangedTable)
     val all = filesScanned(df)
