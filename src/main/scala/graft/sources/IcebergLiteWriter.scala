@@ -162,7 +162,21 @@ object IcebergLiteWriter {
         val name = c.getPath.toDotString
         val stats = c.getStatistics
         val pt = c.getPrimitiveType
-        if (stats == null || !stats.isNumNullsSet) broken += name
+        // The reader's bound comparisons assume Catalyst's physical units:
+        // timestamp micros and SIGNED integers. A NANOS/MILLIS timestamp
+        // or unsigned-int annotation would make those comparisons silently
+        // wrong (off by 1000x / sign-flipped), so such columns publish no
+        // bounds at all — pruning must only ever see bounds it can trust.
+        // (This writer's own files are always micros/signed; the guard is
+        // for tables whose data files someone else wrote.)
+        val unitMismatch = pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+          case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => !i.isSigned
+          case _ => false
+        }
+        if (stats == null || !stats.isNumNullsSet || unitMismatch) broken += name
         else {
           nulls.update(name, nulls.getOrElse(name, 0L) + stats.getNumNulls)
           if (stats.hasNonNullValue) {
