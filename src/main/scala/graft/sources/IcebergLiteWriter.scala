@@ -831,6 +831,44 @@ object IcebergLiteWriter {
     ExpireResult(expired.size, deadManifests.size, deadFiles.size)
   }
 
+  final case class OrphanCleanupResult(scanned: Int, deleted: Int)
+
+  /** Delete data-directory files NO snapshot in the log references — the
+    * debris a commit leaves when it dies between its data write and its
+    * metadata swap (commits deliberately never adopt such files; see the
+    * listing-diff note in `commit`). Reachability is computed over EVERY
+    * snapshot, current and historical, so time travel stays intact, and
+    * `olderThanMs` is the same grace period real Iceberg's
+    * remove_orphan_files defaults to days of: an in-flight concurrent
+    * commit's data files exist BEFORE its metadata lands, and a zero
+    * grace period would eat them. Single-writer-process boundary as with
+    * all lite commits.
+    *
+    * Listing + deletion are driver-side Hadoop FS calls, like
+    * [[expireSnapshots]]: at object-store scale both would batch through
+    * a bulk API — different I/O, same reachability computation.
+    */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+      olderThanMs: Long): OrphanCleanupResult = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val snapIds = snapshotObjs(meta).flatMap(longOf(_, "snapshot-id"))
+    val live: Set[String] = snapIds.flatMap { id =>
+      IcebergLite.currentManifests(conf, tableDir, meta, Some(id))
+        .flatMap(m => IcebergLite.manifestFilePaths(conf, m.path))
+    }.toSet
+    val dataPath = new Path(s"$tableDir/data")
+    val fs = dataPath.getFileSystem(conf)
+    val all = if (fs.exists(dataPath)) listParquet(fs, dataPath) else Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = all.filter(s =>
+      !live.contains(s.getPath.toString) && s.getModificationTime <= cutoff)
+    orphans.foreach(s => fs.delete(s.getPath, false))
+    OrphanCleanupResult(all.size, orphans.size)
+  }
+
   private def manifestFileRecord(path: String, len: Long, content: Int,
       snapshotId: Long): GenericRecord = {
     val r = new GenericData.Record(ManifestFileSchema)

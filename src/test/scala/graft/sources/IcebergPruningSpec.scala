@@ -362,6 +362,22 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     IcebergLiteWriter.append(spark, region.limit(2), dir)
     // 5 original + 2 appended; the orphan's 5 duplicate rows excluded.
     assert(IcebergLite.scan(spark, dir).count() == 7)
+
+    // Orphan cleanup: within the grace period the debris survives (it
+    // could be a concurrent commit's not-yet-manifested data)...
+    val graced = IcebergLiteWriter.removeOrphanFiles(spark, dir,
+      olderThanMs = 3600L * 1000)
+    assert(graced.deleted == 0, graced.toString)
+    assert(fs.exists(new Path(dataDir, "part-orphan-from-dead-commit.parquet")))
+    // ...past it, exactly the unreferenced file goes; every snapshot's
+    // files stay, so current reads AND time travel are intact.
+    val cleaned = IcebergLiteWriter.removeOrphanFiles(spark, dir, olderThanMs = 0)
+    assert(cleaned.deleted == 1, cleaned.toString)
+    assert(!fs.exists(new Path(dataDir, "part-orphan-from-dead-commit.parquet")))
+    assert(IcebergLite.scan(spark, dir).count() == 7)
+    val firstSnap = IcebergLite.snapshotsRelation(spark, dir)
+      .orderBy("committed_at").collect()(0).getLong(0)
+    assert(IcebergLite.scan(spark, dir, snapshotId = Some(firstSnap)).count() == 5)
   }
 
   test("malformed equality deletes refuse merge-on-read instead of resurrecting rows") {
