@@ -99,6 +99,35 @@ object Sampling {
     * division on that rank. Any engine re-derives the same shard layout,
     * so a 100 TB shuffle is auditable shard by shard.
     */
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws `k` pseudo-random corpus rows, reproducible across
+    * runs, engines, and cluster sizes — negative (anchor, slot) →
+    * position = h56(anchor:slot) mod corpus size, resolved against the
+    * corpus's deterministic rank index. Accidental self-draws are
+    * dropped (documented bias of ~1/n per slot, standard for in-batch
+    * negative schemes).
+    *
+    * Scale shape: the rank index is [[GlobalRank.rowNumber]] (range
+    * repartition, no single-reducer sort); anchors explode k-fold
+    * map-only; the resolve is one hash-partitioned equi-join on the
+    * rank. Nothing broadcasts the corpus.
+    */
+  def negativeSamples(df: DataFrame, k: Int, key: Column): DataFrame = {
+    require(k > 0, "need at least one negative per anchor")
+    val n = df.count()
+    val ranks = GlobalRank.rowNumber(
+      df.select(key.as("neg_id")), Seq(col("neg_id")), "rn")
+    val draws = df.select(key.as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(expr(s"sequence(1, $k)")).as("slot"))
+      .withColumn("rn",
+        h56(concat_ws(":", col("anchor_id").cast("string"), col("slot").cast("string")))
+          % lit(n) + 1L)
+    draws.join(ranks, "rn")
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("slot").cast("int").as("slot"), col("neg_id"))
+  }
+
   def shuffleShards(df: DataFrame, shardSize: Int, key: Column): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val keyed = df.withColumn("__shuf", md5(key.cast("string")))

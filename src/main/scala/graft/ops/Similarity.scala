@@ -139,6 +139,31 @@ object Similarity {
   /** (q_id, cos, vec_id) -> per-query (q_id, n_id, rnk, cos), rnk 1..k by
     * cosine desc (vec_id tiebreak), via bounded-heap aggregation.
     */
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — near the anchor in embedding space but known
+    * non-matches, the negatives that actually move a contrastive loss
+    * (random negatives are trivially separable).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast queries,
+    * codegen'd vec_dot at scan speed, bounded-heap per-query top-k — no
+    * corpus shuffle, no window); the label filter rides the join
+    * condition. For corpus-x-corpus mining swap the broadcast side for
+    * the IVF/PQ index paths (p18/p44) exactly as for search.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val n = emb.select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      col("label").as("q_label"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+    val scored = n.join(broadcast(q),
+      col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+    rankTopK(scored, k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("q_id"))

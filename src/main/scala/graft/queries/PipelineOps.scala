@@ -1245,6 +1245,44 @@ object PipelineOps {
       graft.ops.Funnels.cohortRetention(t(s, dir, "events"), "signup")
     },
 
+    // Deterministic negative sampling: 3 pseudo-random corpus negatives
+    // per anchor, position = h56(anchor:slot) mod n against the rank
+    // index. Reproducible draws; self-draws filtered.
+    Q.df(
+      "p66_negative_samples",
+      """WITH rk AS (SELECT doc_id AS neg_id,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |dr AS (SELECT d.doc_id AS anchor_id, s.slot,
+        |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)), 1, 14) AS BIGINT) % n + 1 AS rn
+        |  FROM documents d CROSS JOIN nd
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS slot) s)
+        |SELECT anchor_id, CAST(slot AS INT) AS slot, neg_id
+        |FROM dr JOIN rk USING (rn)
+        |WHERE neg_id <> anchor_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.negativeSamples(t(s, dir, "documents"), 3, col("doc_id"))
+    },
+
+    // Hard-negative mining: per query vector, top-5 most-similar corpus
+    // vectors with a DIFFERENT label — same broadcast + bounded-heap
+    // shape as p09; the label veto rides the join condition.
+    Q.df(
+      "p67_hard_negatives",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, label AS q_label FROM n WHERE vec_id < 8),
+        |scored AS (SELECT q.q_id, n.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), k -> qv[k] * v[k])) / (qn * nrm) AS cos
+        |  FROM n JOIN q ON n.vec_id <> q.q_id AND n.label <> q.q_label)
+        |SELECT q_id, n_id, rnk, cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), 5)
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

@@ -814,6 +814,38 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2) == ((3, "c", "e", 1L)))
   }
 
+  test("negative samples: k draws per anchor, deterministic, never self") {
+    val out = Sampling.negativeSamples(docs, 3, col("doc_id")).cache()
+    val n = docs.count()
+    // Every anchor draws 3 slots minus the ~1/n self-draw filter.
+    val total = out.count()
+    assert(total <= 3 * n && total >= 3 * n - 10, s"got $total of ${3 * n}")
+    assert(out.filter(col("neg_id") === col("anchor_id")).count() == 0)
+    // Negatives are valid corpus ids, and the draw replays exactly.
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.select("neg_id").collect().forall(r => ids.contains(r.getLong(0))))
+    val again = Sampling.negativeSamples(docs, 3, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    out.unpersist()
+  }
+
+  test("hard negatives: top-k similar with a DIFFERENT label, never same-label") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val out = Similarity.hardNegatives(emb, queries, 5).collect()
+    assert(out.length == 40) // 8 queries x 5
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall(r => labels(r.getLong(1)) != labels(r.getLong(0))),
+      "a hard negative must not share the query's label")
+    // Each negative is at most as similar as the unrestricted top-1.
+    val unrestricted = Similarity.bruteForceTopK(emb, queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getDouble(3) <= unrestricted(r.getLong(0)) + 1e-12)
+    }
+  }
+
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
     import spark.implicits._
     val tiny = Seq(
