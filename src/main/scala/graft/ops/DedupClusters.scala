@@ -157,4 +157,29 @@ object DedupClusters {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     } catch { case NonFatal(_) => () }
+
+  /** Quality-aware dedup keep: ONE survivor per duplicate cluster — the
+    * highest-scoring doc (ties to the smallest id) rather than the
+    * min-id survivor exact dedup defaults to. This is the curation form
+    * of dedup: among near-duplicates, keep the best-written copy.
+    *
+    * `scores` is (doc_id, quality); determinism requires the score be
+    * engine-reproducible (qualityScore's fixed-order doubles are).
+    *
+    * Scale shape: cluster assignment is [[connectedComponents]] (edge-
+    * touched iteration); the argmax is a window partitioned by
+    * cluster_id — partition-parallel, and every cluster is duplicate-
+    * group-sized, never corpus-sized.
+    */
+  def bestPerCluster(docs: DataFrame, pairs: DataFrame,
+      scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    connectedComponents(docs, pairs)
+      .join(scores, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality"))
+  }
 }

@@ -128,6 +128,32 @@ object Sampling {
       .select(col("anchor_id"), col("slot").cast("int").as("slot"), col("neg_id"))
   }
 
+  /** Token-budgeted corpus mixing: cap every stratum (source, language,
+    * domain …) at `budget` tokens, choosing WHICH docs fill the budget by
+    * the deterministic h56 shuffle order — a reproducible "take ~B tokens
+    * from each source" mixing step (admission: exclusive running sum
+    * below budget, so the last doc may overshoot — cut semantics that
+    * never split a document).
+    *
+    * Scale shape: tokenization is map-only; the running sum is a window
+    * partitioned by the stratum — partition-parallel across strata, and
+    * each partition holds one stratum's (id, count) pairs, not the text.
+    */
+  def tokenBudgetPerStratum(df: DataFrame, stratum: Column, budget: Long,
+      key: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = df.select(stratum.as("src"), key.as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(h56(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("src"), col("doc_id"), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
   def shuffleShards(df: DataFrame, shardSize: Int, key: Column): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val keyed = df.withColumn("__shuf", md5(key.cast("string")))

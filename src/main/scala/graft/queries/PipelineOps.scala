@@ -1283,6 +1283,73 @@ object PipelineOps {
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), 5)
     },
 
+    // Quality-aware dedup keep: one survivor per near-dup cluster — the
+    // BEST-scoring doc, not the min id. Cluster CTEs are p26's; the
+    // argmax window is per-cluster (duplicate-group-sized partitions).
+    Q.df(
+      "p68_cluster_best_keep",
+      s"""WITH RECURSIVE $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairx AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT i, j FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+         |  FROM pairx JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j) p
+         |  WHERE jac >= 0.8),
+         |e AS (SELECT i AS src, j AS dst FROM jp UNION SELECT j AS src, i AS dst FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src),
+         |cl AS (SELECT d.doc_id,
+         |  CAST(CASE WHEN comp.min_reach IS NULL OR d.doc_id < comp.min_reach
+         |       THEN d.doc_id ELSE comp.min_reach END AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |qb AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS no_space,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  LEAST(n_words / 100.0, 1.0) * 0.25
+         |    + (stop_hits / n_words) * 0.25
+         |    + (1.0 - punct / n_chars) * 0.25
+         |    + (CASE WHEN no_space / n_words BETWEEN 3.0 AND 8.0 THEN 0.25 ELSE 0.0 END) AS quality
+         |  FROM qb)
+         |SELECT cluster_id, doc_id, quality FROM (
+         |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN q ON q.doc_id = cl.doc_id) x
+         |WHERE rk = 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.DedupClusters.bestPerCluster(
+        docs, Dedup.ngramJaccardPairs(docs, 3, 0.8),
+        TextOps.qualityScore(docs).select(col("doc_id"), col("quality")))
+    },
+
+    // Token-budgeted source mixing: cap each source at 700 tokens, docs
+    // admitted in the deterministic h56 shuffle order (exclusive prefix
+    // below budget — documents never split).
+    Q.df(
+      "p69_token_budget_mix",
+      """WITH t AS (SELECT source AS src, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS hk
+        |  FROM documents),
+        |c AS (SELECT src, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT src, doc_id, n_tokens, cum_before + n_tokens AS cum_tokens
+        |FROM c WHERE cum_before < 700""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.tokenBudgetPerStratum(
+        t(s, dir, "documents"), col("source"), 700L, col("doc_id"))
+    },
+
     Q.df(
       "p50_rebalance_strata",
       """WITH c AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

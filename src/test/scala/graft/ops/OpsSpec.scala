@@ -846,6 +846,43 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster best-keep: exactly one survivor per cluster, the top-quality one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    val scores = TextOps.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val kept = DedupClusters.bestPerCluster(docs, pairs, scores).cache()
+    val clusters = DedupClusters.connectedComponents(docs, pairs)
+    // One keeper per cluster, covering every cluster.
+    assert(kept.count() == clusters.select("cluster_id").distinct().count())
+    // The keeper's quality is the cluster maximum.
+    val qByDoc = scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.collect()
+      .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.map(_.getLong(0)) }
+    kept.collect().foreach { r =>
+      val (c, d) = (r.getLong(0), r.getLong(1))
+      assert(qByDoc(d) == byCluster(c).map(qByDoc).max,
+        s"cluster $c kept $d which is not its max-quality member")
+    }
+    kept.unpersist()
+  }
+
+  test("token budget mix: per-source cap respected with never-split documents") {
+    val out = Sampling.tokenBudgetPerStratum(docs, col("source"), 700L, col("doc_id"))
+      .collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      val cums = rows.sortBy(_.getLong(3))
+      // Admission rule: every admitted doc's exclusive prefix is under
+      // budget, so all but the last stay under it even inclusively.
+      val last = cums.last
+      assert(last.getLong(3) - last.getLong(2) < 700L, s"$src overshot admission")
+      cums.dropRight(1).foreach(r => assert(r.getLong(3) - r.getLong(2) < 700L))
+      // Cumulative sums are consistent (no document was split).
+      assert(cums.map(_.getLong(2)).sum == last.getLong(3),
+        s"$src cum_tokens mismatch")
+    }
+  }
+
   test("self-repetition trim: repeated chunks drop, first occurrence and order survive") {
     import spark.implicits._
     val tiny = Seq(
