@@ -164,7 +164,10 @@ object DedupClusters {
     * of dedup: among near-duplicates, keep the best-written copy.
     *
     * `scores` is (doc_id, quality); determinism requires the score be
-    * engine-reproducible (qualityScore's fixed-order doubles are).
+    * engine-reproducible (qualityScore's fixed-order doubles are). Docs
+    * absent from `scores` still compete — with a NULL quality that sorts
+    * last — so a cluster whose members are all unscored still keeps its
+    * smallest id rather than vanishing from the output.
     *
     * Scale shape: cluster assignment is [[connectedComponents]] (edge-
     * touched iteration); the argmax is a window partitioned by
@@ -175,10 +178,10 @@ object DedupClusters {
       scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     connectedComponents(docs, pairs)
-      .join(scores, "doc_id")
+      .join(scores, Seq("doc_id"), "left")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality").desc, col("doc_id"))))
+          .orderBy(col("quality").desc_nulls_last, col("doc_id"))))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("doc_id"), col("quality"))
   }

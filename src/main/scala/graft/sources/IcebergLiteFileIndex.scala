@@ -41,8 +41,10 @@ final class IcebergLiteFileIndex(
     statTypes: Map[String, DataType],
     hiddenFields: Seq[PartitionField] = Nil) extends FileIndex {
 
-  private val sessionZone = java.time.ZoneId.of(
-    spark.sessionState.conf.sessionLocalTimeZone)
+  // Time transforms are defined on UTC (matching the writer's pinned-UTC
+  // derive and real Iceberg's spec) — NOT the reader session's zone, which
+  // would make pruning results depend on who is asking.
+  private val transformZone = java.time.ZoneOffset.UTC
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
@@ -151,8 +153,8 @@ final class IcebergLiteFileIndex(
     * the writer's Hive path produced — None when the literal's type is
     * outside the bit-reproducible mapping (no pruning then).
     *
-    * day: 'yyyy-MM-dd' in the session zone (lexicographic == chronological,
-    * so the range cases above compare strings). bucket: md5-prefix mod N of
+    * day: 'yyyy-MM-dd' at UTC (lexicographic == chronological, so the
+    * range cases above compare strings). bucket: md5-prefix mod N of
     * the value's plain string form, matching `CAST(x AS STRING)` only for
     * integral and string types — others stay unpruned.
     */
@@ -160,8 +162,8 @@ final class IcebergLiteFileIndex(
     if (lit.value == null) None
     else h.transform match {
       case t @ ("year" | "month" | "day" | "hour") =>
-        // TIMESTAMP (with zone): the writer's date_format renders the
-        // instant in the session zone, so the projection does too.
+        // TIMESTAMP (with zone): the writer derives under a pinned-UTC
+        // session, so the projection renders the instant at UTC too.
         // TIMESTAMP_NTZ is deliberately unmapped (its micros are wall
         // clock, not an instant) — conservative no-prune.
         val local: Option[java.time.LocalDateTime] = lit.dataType match {
@@ -170,7 +172,7 @@ final class IcebergLiteFileIndex(
             Some(java.time.Instant
               .ofEpochSecond(Math.floorDiv(micros, 1000000L),
                 Math.floorMod(micros, 1000000L) * 1000L)
-              .atZone(sessionZone).toLocalDateTime)
+              .atZone(transformZone).toLocalDateTime)
           case DateType =>
             Some(java.time.LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong)
               .atStartOfDay)

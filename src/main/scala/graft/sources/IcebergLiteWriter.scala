@@ -119,20 +119,44 @@ object IcebergLiteWriter {
           s"numeric truncate is W*floor(v/W), not a string prefix — " +
           s"refused rather than silently wrong); got ${dt.getOrElse("missing column")}")
     }
+    // A derived hidden field must never shadow a real data column:
+    // withColumn would overwrite it and partitionBy would then consume it
+    // — the user's data silently lost AND the table wedged (the declared
+    // schema still lists the column the files no longer carry).
+    fields.filter(_.transform != "identity").foreach { f =>
+      require(!df.schema.fieldNames.contains(f.name),
+        s"hidden partition field '${f.name}' (from ${PartitionSpec.toDsl(f)}) " +
+          "collides with a data column of the same name; rename the column " +
+          "or partition differently")
+    }
     val derived = fields.filter(_.transform != "identity").foldLeft(withIds) {
       (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions.expr(
         PartitionSpec.deriveSql(f)))
     }
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val priorFieldId = spark.conf.getOption(fieldIdKey)
+    val tzKey = "spark.sql.session.timeZone"
+    val priorTz = spark.conf.getOption(tzKey)
     spark.conf.set(fieldIdKey, "true")
+    // Time transforms are defined on UTC, as in real Iceberg: the derive
+    // runs under a pinned UTC session so a writer in any timezone (or a
+    // reader in a different one — the index projects literals in UTC too)
+    // sees identical partition values. Stored timestamp DATA is an
+    // instant (micros), unaffected by the session flip.
+    spark.conf.set(tzKey, "UTC")
     try {
       val writer = derived.write.mode(mode)
       val names = fields.map(_.name)
       (if (names.nonEmpty) writer.partitionBy(names: _*) else writer).parquet(dir)
-    } finally priorFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
+    } finally {
+      priorFieldId match {
+        case Some(v) => spark.conf.set(fieldIdKey, v)
+        case None => spark.conf.unset(fieldIdKey)
+      }
+      priorTz match {
+        case Some(v) => spark.conf.set(tzKey, v)
+        case None => spark.conf.unset(tzKey)
+      }
     }
   }
 
@@ -226,15 +250,37 @@ object IcebergLiteWriter {
     case _ => a
   }
 
-  /** Hive path segments `col=value` under data/ -> partition value map. */
+  /** Hive path segments `col=value` under data/ -> partition value map.
+    * Decoding must be the exact inverse of Spark's escapePathName:
+    * URLDecoder would additionally turn a literal '+' (which Spark does
+    * NOT escape) into a space, corrupting values like "C++" — and the
+    * hidden-transform pruning compares these values to PROVE absence, so
+    * a corrupted value silently drops matching files. %XX sequences only.
+    */
   private def partitionValuesOf(dataDir: Path, file: Path): Map[String, String] = {
     val rel = file.toString.stripPrefix(dataDir.toString).stripPrefix("/")
     rel.split('/').dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k, v) => Some(k -> unescapePathValue(v))
         case _ => None
       }
     }.toMap
+  }
+
+  private def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
+          Character.digit(v.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def icebergTypeName(dt: DataType): String = dt match {
@@ -855,10 +901,14 @@ object IcebergLiteWriter {
     val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
     val meta = IcebergLite.readMetadataJson(conf, metaPath)
     val snapIds = snapshotObjs(meta).flatMap(longOf(_, "snapshot-id"))
-    val live: Set[String] = snapIds.flatMap { id =>
-      IcebergLite.currentManifests(conf, tableDir, meta, Some(id))
-        .flatMap(m => IcebergLite.manifestFilePaths(conf, m.path))
-    }.toSet
+    // Every commit carries prior manifests forward, so the same manifest
+    // appears in many snapshots' lists — dedupe the PATHS before reading
+    // (O(manifests) Avro reads, not O(snapshots x manifests): a 1000-
+    // append table would otherwise re-read ~500k manifests here).
+    val manifestPaths = snapIds.flatMap(id =>
+      IcebergLite.currentManifests(conf, tableDir, meta, Some(id)).map(_.path)).distinct
+    val live: Set[String] =
+      manifestPaths.flatMap(p => IcebergLite.manifestFilePaths(conf, p)).toSet
     val dataPath = new Path(s"$tableDir/data")
     val fs = dataPath.getFileSystem(conf)
     val all = if (fs.exists(dataPath)) listParquet(fs, dataPath) else Nil

@@ -31,9 +31,23 @@ object PartitionSpec {
 
   def parse(s: String): PartitionField = s match {
     case TimeRe(t, src) => PartitionField(s"${src}_$t", t, src)
-    case BucketRe(n, src) => PartitionField(s"${src}_bucket", s"bucket[$n]", src)
-    case TruncRe(w, src) => PartitionField(s"${src}_trunc", s"truncate[$w]", src)
-    case name => PartitionField(name.trim, "identity", name.trim)
+    case BucketRe(n, src) =>
+      require(n.toInt >= 1,
+        s"bucket count must be >= 1 in '$s' (bucket(0, …) would send every " +
+          "row to the null partition and disable pruning)")
+      PartitionField(s"${src}_bucket", s"bucket[$n]", src)
+    case TruncRe(w, src) =>
+      require(w.toInt >= 1, s"truncate width must be >= 1 in '$s'")
+      PartitionField(s"${src}_trunc", s"truncate[$w]", src)
+    case name =>
+      // Identity is a plain column name. Anything function-shaped that
+      // did not match a known transform is a typo (days(ts), buckets(4,x),
+      // …) — failing here beats silently identity-partitioning on a
+      // column literally named "days(ts)".
+      require(!name.contains("(") && !name.contains(")"),
+        s"unknown partition transform '$name' (supported: identity column, " +
+          "year/month/day/hour(col), bucket(N, col), truncate(W, col))")
+      PartitionField(name.trim, "identity", name.trim)
   }
 
   /** Reconstruct the DSL string (what append inheritance re-feeds). */
@@ -59,11 +73,14 @@ object PartitionSpec {
     "day" -> "yyyy-MM-dd", "hour" -> "yyyy-MM-dd-HH")
 
   /** Spark SQL deriving the partition value from the source column.
-    * Time transforms: session-timezone calendar rendering (see
-    * TimeFormats). bucket: md5-prefix int64 mod N — non-negative,
-    * engine-reproducible. truncate: string prefix (Iceberg's string
-    * semantics; numeric truncate is refused at write rather than
-    * risking float-precision drift on huge longs).
+    * Time transforms: UTC calendar rendering (see TimeFormats) — the
+    * writer pins the session timezone to UTC around the derive, and the
+    * reader projects predicate literals at UTC, so partition values are
+    * writer/reader-zone independent like real Iceberg's. bucket:
+    * md5-prefix int64 mod N — non-negative, engine-reproducible.
+    * truncate: string prefix (Iceberg's string semantics; numeric
+    * truncate is refused at write rather than risking float-precision
+    * drift on huge longs).
     */
   def deriveSql(f: PartitionField): String = f.transform match {
     case t @ ("year" | "month" | "day" | "hour") =>

@@ -121,6 +121,35 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergLite.partitionSpecDsl(meta2) == Seq("day(ts)", "bucket(4, user_id)"))
   }
 
+  test("time transforms are UTC-pinned: a reader in another zone gets the same rows") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_tz") + "/warehouse/events_tz"
+    // 23:00 UTC on Jan 1 — in Asia/Tokyo this instant is Jan 2. If either
+    // derive or pruning used a session zone, the row would vanish for one
+    // of the two readers.
+    val boundary = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T23:00:00Z"))
+    val other = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T01:00:00Z"))
+    val df = Seq((1L, boundary, 1.0), (2L, other, 2.0)).toDF("id", "ts", "v")
+    IcebergLiteWriter.write(spark, df, dir, partitionBy = Seq("day(ts)"))
+    // Partition dirs carry UTC dates regardless of session zone.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val days = fs.listStatus(new Path(s"$dir/data"))
+      .map(_.getPath.getName).filter(_.startsWith("ts_day=")).sorted
+    assert(days.toSeq == Seq("ts_day=2024-01-01", "ts_day=2024-01-05"), days.mkString(","))
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    try {
+      for (zone <- Seq("UTC", "Asia/Tokyo", "America/Los_Angeles")) {
+        spark.conf.set(tzKey, zone)
+        val got = IcebergLite.scan(spark, dir)
+          .filter(col("ts") === lit(boundary))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(got == Seq(1L), s"zone $zone lost the boundary row: $got")
+      }
+    } finally spark.conf.set(tzKey, prior)
+  }
+
   test("month and string-truncate transforms: pruning, and numeric truncate refuses") {
     import spark.implicits._
     val dir = tmpDir("iceberg_hidden2") + "/warehouse/docs_hidden"
