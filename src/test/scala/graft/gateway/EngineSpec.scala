@@ -75,6 +75,28 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(r.rows.head.head == 5L)
   }
 
+  test("hidden-partitioned tables query through the SQL gateway with pruned scans") {
+    import spark.implicits._
+    val dir = tmpDir("engine_hidden") + "/warehouse/events_hidden"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d)
+    val df = (0 until 80).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 4 + 1}%02d 10:00:00"), (i % 8).toLong)
+    }.toDF("event_id", "ts", "user_id")
+    IcebergLiteWriter.write(spark, df, dir,
+      partitionBy = Seq("day(ts)", "bucket(4, user_id)"))
+    // The SQL surface sees only the data columns and the right rows.
+    val all = Engine.executeQuery(
+      spark, s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir')", cfg)
+    assert(all.rows.head.head == 80L)
+    val one = Engine.executeQuery(spark,
+      s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir') WHERE user_id = 3", cfg)
+    assert(one.rows.head.head == 10L)
+    // bytesScanned (real filesSize metric) reflects bucket pruning: the
+    // filtered query reads a strict subset of the table's files.
+    assert(one.stats.bytesScanned < all.stats.bytesScanned,
+      s"expected pruned scan: ${one.stats.bytesScanned} < ${all.stats.bytesScanned}")
+  }
+
   test("per-request sessions are isolated (bound views do not leak)") {
     val dir = tmpDir("engine_iso") + "/warehouse/region"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
