@@ -1341,8 +1341,8 @@ object PipelineOps {
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS hk
         |  FROM documents),
         |c AS (SELECT src, doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT src, doc_id, n_tokens, cum_before + n_tokens AS cum_tokens
         |FROM c WHERE cum_before < 700""".stripMargin) { (s, dir) =>
