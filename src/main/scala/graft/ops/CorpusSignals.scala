@@ -194,6 +194,8 @@ object CorpusSignals {
           |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // Cache lifecycle is caller-managed, as with Dedup's persisted
+    // relations: clearCache() between unrelated workloads.
     val c = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val la = c.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))

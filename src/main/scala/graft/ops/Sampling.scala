@@ -90,15 +90,6 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
-  /** Deterministic global shuffle + fixed-size shard assignment — the
-    * "shuffle the corpus once, write N-row training shards" step.
-    * Ordering by md5(key) is a reproducible permutation (no RNG state,
-    * stable across runs and cluster sizes), the global position comes
-    * from [[GlobalRank.rowNumber]] (range repartition + partition-count
-    * offsets — no single-reducer sort), and `shard_id` is an integer
-    * division on that rank. Any engine re-derives the same shard layout,
-    * so a 100 TB shuffle is auditable shard by shard.
-    */
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` pseudo-random corpus rows, reproducible across
     * runs, engines, and cluster sizes — negative (anchor, slot) →
@@ -154,6 +145,15 @@ object Sampling {
         (col("cum_before") + col("n_tokens")).as("cum_tokens"))
   }
 
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * "shuffle the corpus once, write N-row training shards" step.
+    * Ordering by md5(key) is a reproducible permutation (no RNG state,
+    * stable across runs and cluster sizes), the global position comes
+    * from [[GlobalRank.rowNumber]] (range repartition + partition-count
+    * offsets — no single-reducer sort), and `shard_id` is an integer
+    * division on that rank. Any engine re-derives the same shard layout,
+    * so a 100 TB shuffle is auditable shard by shard.
+    */
   def shuffleShards(df: DataFrame, shardSize: Int, key: Column): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val keyed = df.withColumn("__shuf", md5(key.cast("string")))

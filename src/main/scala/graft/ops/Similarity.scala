@@ -63,7 +63,7 @@ object Similarity {
     val docVecs = w.groupBy(col("doc_id")).agg(
       map_from_entries(collect_list(struct(col("term"), col("w")))).as("wm"),
       sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
-    graft.ops.Dedup.minhashLshCandidates(docs)
+    Dedup.minhashLshCandidates(docs)
       .join(docVecs.select(col("doc_id").as("i"), col("wm").as("ma"), col("n2").as("n2a")), "i")
       .join(docVecs.select(col("doc_id").as("j"), col("wm").as("mb"), col("n2").as("n2b")), "j")
       .withColumn("num", expr(

@@ -266,10 +266,10 @@ object TextOps {
         s"""aggregate(toks, 0L, (a, w) ->
            |  a + ((CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $dim) % 13 - 6))"""
           .stripMargin).as("wsum"))
+    val score = col("wsum").cast("double") / col("n_tokens").cast("double")
     scored.select(
       col("doc_id"), col("n_tokens"), col("wsum"),
-      (col("wsum").cast("double") / col("n_tokens").cast("double")).as("score"),
-      (col("wsum").cast("double") / col("n_tokens").cast("double") > 0.0).as("keep"))
+      score.as("score"), (score > 0.0).as("keep"))
   }
 
   /** Intra-document repetition trim: split the doc into fixed 3-word
