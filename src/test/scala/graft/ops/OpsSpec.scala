@@ -764,6 +764,11 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       java.lang.Long.parseLong(hex, 16)
     }.toSet
     assert(fps(0L).subsetOf(all0))
+    // Degenerate inputs survive: shorter than k, and empty text.
+    val short = Seq((10L, "tiny"), (11L, "")).toDF("doc_id", "text")
+    val shortFps = TextOps.winnowFingerprints(short, 8, 4).collect()
+    assert(shortFps.count(_.getLong(0) == 10L) == 1) // one k-gram, one window
+    assert(shortFps.count(_.getLong(0) == 11L) == 1)
   }
 
   test("funnel: order matters — a click before the first view does not convert") {

@@ -182,6 +182,35 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("STRING source column"))
   }
 
+  test("hour and year transforms prune ranges like day") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_hidden3") + "/warehouse/events_hy"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d)
+    val rows = (0 until 96).map { i =>
+      (i.toLong, ts(f"${2022 + i % 2}%d-03-01 ${i % 4 * 6}%02d:30:00"))
+    }
+    val df = rows.toDF("id", "ts")
+    IcebergLiteWriter.write(spark, df, dir,
+      partitionBy = Seq("year(ts)", "hour(ts)"))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.count() == 96)
+    val all = filesScanned(scan)
+    // Year equality range: only 2023's files.
+    val oneYear = filesScanned(scan.filter(
+      col("ts") >= lit(ts("2023-01-01 00:00:00")) &&
+        col("ts") <= lit(ts("2023-12-31 00:00:00"))))
+    assert(oneYear < all, s"year pruning: $oneYear of $all")
+    // Hour range inside one morning: hours 00 and 06 only.
+    val morning = filesScanned(scan.filter(
+      col("ts") >= lit(ts("2022-03-01 00:00:00")) &&
+        col("ts") <= lit(ts("2022-03-01 07:00:00"))))
+    assert(morning < oneYear, s"hour pruning: $morning of $oneYear")
+    assert(scan.filter(col("ts") >= lit(ts("2022-03-01 00:00:00")) &&
+        col("ts") <= lit(ts("2022-03-01 07:00:00"))).count() ==
+      df.filter(col("ts") >= lit(ts("2022-03-01 00:00:00")) &&
+        col("ts") <= lit(ts("2022-03-01 07:00:00"))).count())
+  }
+
   test("column-bounds filter skips files whose min/max exclude the predicate") {
     val df = IcebergLite.scan(spark, rangedTable)
     val all = filesScanned(df)
