@@ -211,6 +211,29 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
         col("ts") <= lit(ts("2022-03-01 07:00:00"))).count())
   }
 
+  test("exactly-once streaming batches land in a hidden-partitioned layout") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_stream_hidden") + "/warehouse/stream_hidden"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d)
+    val b0 = Seq((1L, ts("2024-01-01 10:00:00"), 3L), (2L, ts("2024-01-02 10:00:00"), 5L))
+      .toDF("event_id", "ts", "user_id")
+    val spec = Seq("day(ts)", "bucket(4, user_id)")
+    assert(IcebergLiteWriter.appendStreamingBatch(spark, b0, dir, batchId = 0L, spec))
+    // Batch 1 inherits the spec WITHOUT re-passing it (the metadata carries it).
+    val b1 = Seq((3L, ts("2024-01-03 10:00:00"), 7L)).toDF("event_id", "ts", "user_id")
+    assert(IcebergLiteWriter.appendStreamingBatch(spark, b1, dir, batchId = 1L))
+    // Replay of batch 1 is a no-op (exactly-once), layout + pruning intact.
+    assert(!IcebergLiteWriter.appendStreamingBatch(spark, b1, dir, batchId = 1L))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.count() == 3)
+    assert(scan.columns.toSet == Set("event_id", "ts", "user_id"))
+    assert(filesScanned(scan.filter(col("user_id") === 7L)) < filesScanned(scan))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = IcebergLite.latestMetadataPath(conf, dir)
+      .map(p => IcebergLite.readMetadataJson(conf, p)).get
+    assert(IcebergLite.partitionSpecDsl(meta) == spec)
+  }
+
   test("column-bounds filter skips files whose min/max exclude the predicate") {
     val df = IcebergLite.scan(spark, rangedTable)
     val all = filesScanned(df)
