@@ -36,6 +36,17 @@ object DialectRewriter {
     ("""(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*""" +
       """(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*|,\s*(?:timestamp\s*=>\s*)?['"]([^'"]+)['"]\s*)?\)""").r
 
+  /** `iceberg_changes('path', from_snapshot => N [, to_snapshot => M])` —
+    * the SQL surface over [[IcebergLite.incrementalScan]]: exactly the
+    * rows appended AFTER snapshot N (up to M or current). The CDC read
+    * pattern an incremental pipeline polls with; non-append ranges
+    * (compaction/delete commits) refuse rather than emitting wrong
+    * deltas, surfacing as a 400 through the gateway.
+    */
+  private val IcebergChangesRe: Regex =
+    ("""(?i)iceberg_changes\(\s*['"]([^'"]+)['"]\s*,\s*(?:from_snapshot\s*=>\s*)?(\d+)\s*""" +
+      """(?:,\s*(?:to_snapshot\s*=>\s*)?(\d+)\s*)?\)""").r
+
   /** ISO instant, or local "yyyy-MM-dd[ HH:mm:ss]" taken as UTC. */
   private[gateway] def parseTravelTimestamp(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse {
@@ -145,7 +156,16 @@ object DialectRewriter {
         IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withMeta = IcebergMetadataRe.replaceAllIn(scans, m => {
+    val withChanges = IcebergChangesRe.replaceAllIn(scans, m => {
+      val path = m.group(1)
+      val from = m.group(2).toLong
+      val to = Option(m.group(3)).map(_.toLong)
+      val view = s"graft_iceberg_changes_${viewCounter.incrementAndGet()}"
+      binders += (() =>
+        IcebergLite.incrementalScan(spark, path, from, to).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withMeta = IcebergMetadataRe.replaceAllIn(withChanges, m => {
       val path = m.group(1)
       val view = s"graft_iceberg_metadata_${viewCounter.incrementAndGet()}"
       binders += (() =>

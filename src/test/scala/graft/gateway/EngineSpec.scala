@@ -97,6 +97,24 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"expected pruned scan: ${one.stats.bytesScanned} < ${all.stats.bytesScanned}")
   }
 
+  test("iceberg_changes exposes incremental snapshot-diff reads over SQL") {
+    val dir = tmpDir("engine_changes") + "/warehouse/region_changes"
+    val region = Tables.t(spark, sf0001, "region")
+    IcebergLiteWriter.write(spark, region, dir)
+    val snap1 = graft.sources.IcebergLite.snapshotsRelation(spark, dir)
+      .collect().head.getLong(0)
+    IcebergLiteWriter.append(spark, region.limit(2), dir)
+    // Only the appended rows come back — the CDC poll an incremental
+    // pipeline runs, now reachable from plain SQL.
+    val r = Engine.executeQuery(spark,
+      s"SELECT COUNT(*) AS n FROM iceberg_changes('$dir', from_snapshot => $snap1)", cfg)
+    assert(r.rows.head.head == 2L)
+    // An unknown snapshot surfaces as a 400, not a 500.
+    val e = intercept[Engine.EngineError](Engine.executeQuery(spark,
+      s"SELECT * FROM iceberg_changes('$dir', from_snapshot => 999999)", cfg))
+    assert(e.status == 400)
+  }
+
   test("per-request sessions are isolated (bound views do not leak)") {
     val dir = tmpDir("engine_iso") + "/warehouse/region"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir)
