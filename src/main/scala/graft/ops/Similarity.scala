@@ -28,15 +28,16 @@ object Similarity {
     * come from the banded LSH join (linear in corpus size), and each is
     * verified by an EXACT integer cosine computed row-locally. Weights
     * are integers (w = tf * min(n_docs div df, idfCap)), so dot products
-    * and squared norms are exact int64 sums — immune to float
+    * and squared norms are exact integer sums — immune to float
     * summation-order drift — and the cosine is three fixed-order IEEE
-    * ops on those integers. The idf cap bounds each weight so a single
-    * product fits int64 even when n_docs is planetary (uncapped, a hapax
-    * term's weight IS n_docs and w1*w2 overflows at ~10^5 docs); the
-    * SUMS accumulate as DECIMAL(38,0) — matching DuckDB's HUGEINT
-    * promotion of SUM(BIGINT) — so a multi-million-token document
-    * cannot wrap the norm into a negative long (sqrt → NaN → silently
-    * dropped pairs) the way a bigint accumulator would.
+    * ops on those integers. The idf cap bounds each weight against an
+    * uncapped hapax term whose weight IS n_docs; beyond that, each
+    * FACTOR is widened to decimal before its multiply and the sums
+    * accumulate as DECIMAL(38,0) — matching DuckDB's HUGEINT promotion
+    * of both the product and SUM(BIGINT) — so even a multi-million-token
+    * document (tf ≈ 3e6 → w ≈ 3e9 → w*w ≈ 9e18 ≳ Long.MaxValue) cannot
+    * wrap a product or the norm into a negative long (sqrt → NaN →
+    * silently dropped pairs) the way int64 arithmetic would.
     *
     * Scale shape: the shared-term equi-join form of the numerator is
     * quadratic in posting-list length (a corpus-stopword term fans out
@@ -60,15 +61,22 @@ object Similarity {
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         (col("tf") * least(expr("n_docs div df"), lit(idfCap.toLong))).as("w"))
+    // Each FACTOR is widened to decimal before the multiply (mirroring
+    // DuckDB's HUGEINT promotion of the product): a tf of ~3e6 on an
+    // idfCap-weighted term gives w ≈ 3e9, so w*w in int64 would wrap
+    // negative and NaN the norm — casting only the product's result
+    // would be too late.
+    val wDec = col("w").cast("decimal(19,0)")
     val docVecs = w.groupBy(col("doc_id")).agg(
       map_from_entries(collect_list(struct(col("term"), col("w")))).as("wm"),
-      sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+      sum(wDec * wDec).as("n2"))
     Dedup.minhashLshCandidates(docs)
       .join(docVecs.select(col("doc_id").as("i"), col("wm").as("ma"), col("n2").as("n2a")), "i")
       .join(docVecs.select(col("doc_id").as("j"), col("wm").as("mb"), col("n2").as("n2b")), "j")
       .withColumn("num", expr(
         """aggregate(map_entries(ma), CAST(0 AS DECIMAL(38, 0)),
-          |  (acc, e) -> acc + CAST(e.value * coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(38, 0)))"""
+          |  (acc, e) -> acc + CAST(e.value AS DECIMAL(19, 0))
+          |    * CAST(coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(19, 0)))"""
           .stripMargin))
       .select(col("i"), col("j"),
         (col("num").cast("double")

@@ -129,10 +129,6 @@ object IcebergLiteWriter {
           "collides with a data column of the same name; rename the column " +
           "or partition differently")
     }
-    val derived = fields.filter(_.transform != "identity").foldLeft(withIds) {
-      (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions.expr(
-        PartitionSpec.deriveSql(f)))
-    }
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val priorFieldId = spark.conf.getOption(fieldIdKey)
     val tzKey = "spark.sql.session.timeZone"
@@ -142,9 +138,15 @@ object IcebergLiteWriter {
     // runs under a pinned UTC session so a writer in any timezone (or a
     // reader in a different one — the index projects literals in UTC too)
     // sees identical partition values. Stored timestamp DATA is an
-    // instant (micros), unaffected by the session flip.
+    // instant (micros), unaffected by the session flip. The pin MUST
+    // precede building `derived`: ResolveTimeZone stamps the session zone
+    // into date_format at analysis time (withColumn), not at execution.
     spark.conf.set(tzKey, "UTC")
     try {
+      val derived = fields.filter(_.transform != "identity").foldLeft(withIds) {
+        (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+          PartitionSpec.deriveSql(f)))
+      }
       val writer = derived.write.mode(mode)
       val names = fields.map(_.name)
       (if (names.nonEmpty) writer.partitionBy(names: _*) else writer).parquet(dir)
@@ -907,14 +909,20 @@ object IcebergLiteWriter {
     // append table would otherwise re-read ~500k manifests here).
     val manifestPaths = snapIds.flatMap(id =>
       IcebergLite.currentManifests(conf, tableDir, meta, Some(id)).map(_.path)).distinct
-    val live: Set[String] =
-      manifestPaths.flatMap(p => IcebergLite.manifestFilePaths(conf, p)).toSet
     val dataPath = new Path(s"$tableDir/data")
     val fs = dataPath.getFileSystem(conf)
+    // Qualify BOTH sides before comparing: manifests may record paths in a
+    // different form than the listing returns (scheme-less tableDir, a
+    // relocated/copied table, externally authored metadata). Raw string
+    // equality would make every live file look orphaned — and deleted.
+    val qualify = (p: Path) => fs.makeQualified(p).toString
+    val live: Set[String] = manifestPaths
+      .flatMap(p => IcebergLite.manifestFilePaths(conf, p))
+      .map(p => qualify(new Path(p))).toSet
     val all = if (fs.exists(dataPath)) listParquet(fs, dataPath) else Nil
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = all.filter(s =>
-      !live.contains(s.getPath.toString) && s.getModificationTime <= cutoff)
+      !live.contains(qualify(s.getPath)) && s.getModificationTime <= cutoff)
     orphans.foreach(s => fs.delete(s.getPath, false))
     OrphanCleanupResult(all.size, orphans.size)
   }

@@ -150,6 +150,38 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set(tzKey, prior)
   }
 
+  test("time transforms are UTC-pinned for a WRITER in another zone too") {
+    import spark.implicits._
+    // The derive expressions are analyzed (ResolveTimeZone) when the
+    // DataFrame is BUILT, so the UTC pin must precede construction — a
+    // writer session in Asia/Tokyo would otherwise stamp Tokyo-local dates
+    // into the partition paths while the reader's index prunes in UTC,
+    // silently dropping boundary rows.
+    val dir = tmpDir("iceberg_tz_writer") + "/warehouse/events_tzw"
+    val boundary = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T23:00:00Z"))
+    val other = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T01:00:00Z"))
+    val df = Seq((1L, boundary, 1.0), (2L, other, 2.0)).toDF("id", "ts", "v")
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      IcebergLiteWriter.write(spark, df, dir, partitionBy = Seq("day(ts)"))
+      // In Tokyo the boundary instant is Jan 2 — the path must say Jan 1.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dir).getFileSystem(conf)
+      val days = fs.listStatus(new Path(s"$dir/data"))
+        .map(_.getPath.getName).filter(_.startsWith("ts_day=")).sorted
+      assert(days.toSeq == Seq("ts_day=2024-01-01", "ts_day=2024-01-05"), days.mkString(","))
+      // And the writer session must have its zone restored afterwards.
+      assert(spark.conf.get(tzKey) == "Asia/Tokyo")
+      // Pruned equality read (still in Tokyo) finds the boundary row.
+      val got = IcebergLite.scan(spark, dir)
+        .filter(col("ts") === lit(boundary))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"writer-zone drift lost the boundary row: $got")
+    } finally spark.conf.set(tzKey, prior)
+  }
+
   test("month and string-truncate transforms: pruning, and numeric truncate refuses") {
     import spark.implicits._
     val dir = tmpDir("iceberg_hidden2") + "/warehouse/docs_hidden"
@@ -459,6 +491,16 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     val firstSnap = IcebergLite.snapshotsRelation(spark, dir)
       .orderBy("committed_at").collect()(0).getLong(0)
     assert(IcebergLite.scan(spark, dir, snapshotId = Some(firstSnap)).count() == 5)
+
+    // Path-form divergence must NOT fabricate orphans: addressed through a
+    // scheme-qualified alias of the same table, every live file still
+    // matches (both sides are qualified before comparison) — raw string
+    // equality here would delete the whole table.
+    val qualified = fs.makeQualified(new Path(dir)).toString
+    assert(qualified != dir && qualified.endsWith(dir), qualified)
+    val aliased = IcebergLiteWriter.removeOrphanFiles(spark, qualified, olderThanMs = 0)
+    assert(aliased.deleted == 0, aliased.toString)
+    assert(IcebergLite.scan(spark, dir).count() == 7)
   }
 
   test("malformed equality deletes refuse merge-on-read instead of resurrecting rows") {
