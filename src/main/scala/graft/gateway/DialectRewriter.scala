@@ -193,6 +193,153 @@ object DialectRewriter {
     (bound, catalogBinders ++ scanBinders)
   }
 
+  // --- DuckDB-dialect function surface ------------------------------------
+
+  /** DuckDB function names with a drop-in Spark equivalent: a pure rename
+    * suffices because argument order and semantics line up, and none of
+    * these names is a valid Spark function — so Spark-dialect SQL passes
+    * through byte-identical. `string_split_regex` maps straight onto
+    * Spark's `split` (both take a regex); the literal-delimiter
+    * `string_split` family is handled separately below.
+    */
+  private val DuckRenames: Map[String, String] = Map(
+    "unnest" -> "explode",
+    "len" -> "length",
+    "list_transform" -> "transform",
+    "list_filter" -> "filter",
+    "generate_series" -> "sequence",
+    "string_split_regex" -> "split")
+
+  /** DuckDB's literal-delimiter split family: `split` in Spark takes a
+    * REGEX, so the delimiter needs quoting, not just a rename.
+    */
+  private val DuckSplitNames = Set("string_split", "str_split", "string_to_array")
+
+  /** Rewrite 4: DuckDB-dialect pre-pass. The reference's declared contract
+    * is "any read-only DuckDB SELECT" (backend/main.py:95-100) and its own
+    * canonical demo query uses it — `UNNEST(string_split(genres, ','))`
+    * (backend/main.py:767) — so real cloudfloe SQL must run verbatim.
+    * Token-level: renames apply only to function-call positions (name
+    * immediately followed by `(`) OUTSIDE string literals, quoted
+    * identifiers, and comments, so data literals like `WHERE x = 'len(a)'`
+    * are never corrupted. `string_split(x, d)` becomes `split(x, <quoted
+    * d>)`: a literal delimiter is regex-escaped at rewrite time; a computed
+    * one is wrapped in the `\Q…\E` construction `java.util.regex.Pattern
+    * .quote` uses (including its embedded-`\E` splice), evaluated at
+    * runtime.
+    */
+  def convertDuckDbDialect(sql: String): String = {
+    // java.lang.StringBuilder for its (CharSequence, start, end) append —
+    // the Scala wrapper lacks that overload and would box a tuple.
+    val out = new java.lang.StringBuilder(sql.length + 16)
+    var i = 0
+    val n = sql.length
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val j = skipQuoted(sql, i)
+        out.append(sql, i, j); i = j
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) match { case -1 => n; case k => k }
+        out.append(sql, i, j); i = j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i + 2) match { case -1 => n; case k => k + 2 }
+        out.append(sql, i, j); i = j
+      } else if (isWordChar(c) && !c.isDigit &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < n && isWordChar(sql.charAt(j))) j += 1
+        val word = sql.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+        // A rename fires only on a CALL: next non-space char is `(`.
+        var k = j
+        while (k < n && sql.charAt(k).isWhitespace) k += 1
+        val isCall = k < n && sql.charAt(k) == '('
+        if (isCall && DuckSplitNames.contains(word)) {
+          splitArgs(sql, k) match {
+            case Some((args, close)) if args.length == 2 =>
+              out.append("split(")
+                .append(convertDuckDbDialect(args.head.trim)).append(", ")
+                .append(quoteDelimiter(args(1).trim)).append(')')
+              i = close + 1
+            case _ => // wrong arity — leave it to fail loudly at analysis
+              out.append(sql, i, j); i = j
+          }
+        } else if (isCall && DuckRenames.contains(word)) {
+          out.append(DuckRenames(word)); i = j
+        } else {
+          out.append(sql, i, j); i = j
+        }
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** From an opening quote at `start`, index just past the closing quote;
+    * handles `''` doubling and backslash escapes (Spark literals process
+    * both).
+    */
+  private def skipQuoted(s: String, start: Int): Int = {
+    val q = s.charAt(start)
+    var i = start + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) i += 2
+      else if (c == q) {
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** Top-level comma split of the balanced argument list whose `(` sits at
+    * `open`; returns (args, index of the closing paren), or None when
+    * unbalanced.
+    */
+  private def splitArgs(s: String, open: Int): Option[(Seq[String], Int)] = {
+    val args = Seq.newBuilder[String]
+    var depth = 1
+    var i = open + 1
+    var argStart = i
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' | '"' => i = skipQuoted(s, i)
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { args += s.substring(argStart, i); return Some((args.result(), i)) }
+          i += 1
+        case ',' if depth == 1 => args += s.substring(argStart, i); i += 1; argStart = i
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  private val SimpleLiteralRe = """^'((?:[^'\\]|''|\\.)*)'$""".r
+
+  /** Emit a Spark regex-string for a DuckDB LITERAL delimiter: unescape the
+    * DuckDB literal (`''` doubling; backslash passes through — DuckDB
+    * standard literals don't process escapes), regex-escape each metachar,
+    * then re-escape for Spark's literal processing (backslashes doubled,
+    * quotes doubled). A non-literal delimiter gets the runtime
+    * Pattern.quote construction instead.
+    */
+  private def quoteDelimiter(arg: String): String = arg match {
+    case SimpleLiteralRe(body) =>
+      val value = body.replace("''", "'")
+      val regex = value.flatMap(c =>
+        if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString)
+      "'" + regex.replace("\\", "\\\\").replace("'", "''") + "'"
+    case expr =>
+      // Pattern.quote(expr): \Q expr \E with any embedded \E spliced as
+      // \E\\E\Q — correct for every runtime value.
+      s"concat('\\\\Q', replace(${convertDuckDbDialect(expr)}, '\\\\E', '\\\\E\\\\\\\\E\\\\Q'), '\\\\E')"
+  }
+
   /** Immediate-execution forms (tests, ad-hoc callers): plan + bind. */
   def bindCatalogRefs(spark: SparkSession, sql: String, config: ConnectionConfig): String = {
     val (bound, binders) = planCatalogRefs(spark, sql, config)

@@ -55,7 +55,8 @@ object Engine {
     // Plan the dialect rewrites text-only, validate, THEN run the binders:
     // a statement the guard rejects must not trigger catalog HTTP fetches,
     // Iceberg metadata/footer IO, or temp-view creation as side effects.
-    val converted = DialectRewriter.convertReadParquet(sql, cfg)
+    val converted = DialectRewriter.convertDuckDbDialect(
+      DialectRewriter.convertReadParquet(sql, cfg))
     val (bound, binders) =
       try DialectRewriter.plan(spark, converted, cfg) // text-only (may reject a malformed travel timestamp)
       catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }

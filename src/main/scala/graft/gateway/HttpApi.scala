@@ -134,8 +134,11 @@ final class HttpApi(spark: SparkSession, port: Int, demoTablePath: Option[String
             s"SELECT lang, COUNT(*) AS doc_count FROM iceberg_scan('$t') GROUP BY lang ORDER BY doc_count DESC"),
           q("Long Documents", "Find documents over 300 chars",
             s"SELECT doc_id, n_chars FROM iceberg_scan('$t') WHERE n_chars > 300 ORDER BY n_chars DESC"),
+          // Reference-shaped DuckDB dialect (its "Popular Genres" sample,
+          // main.py:767) — served VERBATIM now that the gateway's dialect
+          // pre-pass runs it, rather than a quiet Spark translation.
           q("Word Frequency", "Most common words",
-            s"SELECT word, COUNT(*) AS count FROM (SELECT explode(split(text, ' ')) AS word FROM iceberg_scan('$t')) GROUP BY word ORDER BY count DESC")))))
+            s"SELECT TRIM(word) AS word, COUNT(*) AS count FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM iceberg_scan('$t') WHERE text IS NOT NULL) GROUP BY word ORDER BY count DESC")))))
       case _ => (405, JObj("detail" -> JStr("Method Not Allowed")))
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))

@@ -43,4 +43,70 @@ class DialectRewriterSpec extends AnyFunSuite {
     val local = "SELECT * FROM read_parquet('/local/path/file.parquet')"
     assert(DialectRewriter.convertReadParquet(local, noCatalog) == local)
   }
+
+  // --- DuckDB-dialect pre-pass (reference demo SQL, backend/main.py:738-770)
+
+  private def duck(sql: String) = DialectRewriter.convertDuckDbDialect(sql)
+
+  test("the reference's Popular Genres query rewrites to runnable Spark") {
+    val in = "SELECT TRIM(genre) as genre, COUNT(*) as count FROM (SELECT " +
+      "UNNEST(string_split(genres, ',')) as genre FROM iceberg_scan('s3://m/t') " +
+      "WHERE titleType = 'movie' AND genres IS NOT NULL) GROUP BY genre ORDER BY count DESC"
+    assert(duck(in) ==
+      "SELECT TRIM(genre) as genre, COUNT(*) as count FROM (SELECT " +
+        "explode(split(genres, ',')) as genre FROM iceberg_scan('s3://m/t') " +
+        "WHERE titleType = 'movie' AND genres IS NOT NULL) GROUP BY genre ORDER BY count DESC")
+  }
+
+  test("duckdb function renames: len, list_transform, list_filter, generate_series") {
+    assert(duck("SELECT len(x) FROM t") == "SELECT length(x) FROM t")
+    assert(duck("SELECT LIST_TRANSFORM(a, x -> x + 1) FROM t") ==
+      "SELECT transform(a, x -> x + 1) FROM t")
+    assert(duck("SELECT list_filter(a, x -> x > 0) FROM t") ==
+      "SELECT filter(a, x -> x > 0) FROM t")
+    assert(duck("SELECT generate_series(1, 5) AS s") == "SELECT sequence(1, 5) AS s")
+    assert(duck("SELECT string_split_regex(x, '[,;]') FROM t") ==
+      "SELECT split(x, '[,;]') FROM t")
+  }
+
+  test("string_split regex-escapes a metachar literal delimiter") {
+    // '.' is a regex metachar: a bare rename would split on EVERY char.
+    assert(duck("SELECT string_split(host, '.') FROM t") ==
+      """SELECT split(host, '\\.') FROM t""")
+    assert(duck("SELECT str_split(x, '||') FROM t") ==
+      """SELECT split(x, '\\|\\|') FROM t""")
+    // Plain delimiters stay clean.
+    assert(duck("SELECT string_to_array(x, ', ') FROM t") ==
+      "SELECT split(x, ', ') FROM t")
+  }
+
+  test("string_split with a computed delimiter gets the runtime Pattern.quote wrap") {
+    val out = duck("SELECT string_split(x, d) FROM t")
+    assert(out.contains("split(x, concat('\\\\Q'"))
+    assert(out.contains("'\\\\E'"))
+  }
+
+  test("renames never fire inside string literals, quoted identifiers, or comments") {
+    val lit = "SELECT 'len(x) unnest(y)' AS s, \"len\" FROM t -- len(z)"
+    assert(duck(lit) == lit)
+    val block = "SELECT /* unnest(string_split(a,'.')) */ col FROM t"
+    assert(duck(block) == block)
+    // A bare word (not a call) is a column reference, not a function.
+    assert(duck("SELECT len FROM t WHERE unnest = 1") ==
+      "SELECT len FROM t WHERE unnest = 1")
+  }
+
+  test("spark-dialect SQL passes through the duckdb pre-pass byte-identical") {
+    val sqls = Seq(
+      "SELECT explode(split(text, ' ')) AS w FROM docs",
+      "SELECT transform(a, x -> x * 2), filter(a, x -> x > 0) FROM t",
+      "SELECT sequence(1, 10), length(s) FROM t",
+      "SELECT count(*) FILTER (WHERE x > 0) FROM t GROUP BY k")
+    sqls.foreach(s => assert(duck(s) == s))
+  }
+
+  test("nested duckdb constructs rewrite recursively") {
+    assert(duck("SELECT UNNEST(string_split(lower(genres), '.')) FROM t") ==
+      """SELECT explode(split(lower(genres), '\\.')) FROM t""")
+  }
 }

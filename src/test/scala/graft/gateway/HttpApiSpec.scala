@@ -140,6 +140,56 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(r.statusCode() == 200)
   }
 
+  test("the reference's five demo queries run VERBATIM through /api/query") {
+    import spark.implicits._
+    // A table with the reference demo dataset's shape (movies); the SQL
+    // below is copied character-for-character from backend/main.py:738-770
+    // with only the table path substituted — exactly what the reference's
+    // own f-string does.
+    val moviesDir = tmpDir("http_movies") + "/warehouse/demo/movies"
+    IcebergLiteWriter.write(spark, Seq(
+      ("The Long One", "movie", 1994, 201, "Drama,Crime", 1990),
+      ("Short Film", "short", 2001, 12, "Animation", 2000),
+      ("Space Epic", "movie", 2014, 189, "Sci-Fi, Adventure", 2010),
+      ("Quiet Drama", "movie", 2014, 96, "Drama", 2010),
+      ("No Genres", "movie", 2020, 90, null, 2020)
+    ).toDF("primaryTitle", "titleType", "startYear", "runtimeMinutes", "genres", "decade"),
+      moviesDir)
+    val t = moviesDir
+    val refQueries = Seq(
+      s"SELECT primaryTitle, startYear, runtimeMinutes, genres FROM iceberg_scan('$t') WHERE titleType = 'movie' ORDER BY startYear DESC LIMIT 10",
+      s"SELECT COUNT(*) as total_movies FROM iceberg_scan('$t')",
+      s"SELECT decade, COUNT(*) as movie_count FROM iceberg_scan('$t') WHERE titleType = 'movie' GROUP BY decade ORDER BY decade DESC",
+      s"SELECT primaryTitle, startYear, runtimeMinutes FROM iceberg_scan('$t') WHERE titleType = 'movie' AND runtimeMinutes > 180 ORDER BY runtimeMinutes DESC",
+      s"SELECT TRIM(genre) as genre, COUNT(*) as count FROM (SELECT UNNEST(string_split(genres, ',')) as genre FROM iceberg_scan('$t') WHERE titleType = 'movie' AND genres IS NOT NULL) GROUP BY genre ORDER BY count DESC")
+    val results = refQueries.map { sql =>
+      val r = post("/api/query",
+        s"""{"sql":"${sql.replace("\"", "\\\"")}","connection":$connJson}""")
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      obj(r)
+    }
+    // Sample Movies: 4 movies, newest first.
+    assert(results(0).get("rows").exists { case JArr(rs) => rs.length == 4; case _ => false })
+    // Row Count: 5 total.
+    assert(results(1).get("rows").contains(JArr(Vector(JArr(Vector(JNum(BigDecimal(5))))))))
+    // Long Movies: the two > 180 minutes, longest first.
+    assert(results(3).get("rows").exists {
+      case JArr(rs) => rs.map(_.asInstanceOf[JArr].items.head) ==
+        Vector(JStr("The Long One"), JStr("Space Epic"))
+      case _ => false
+    })
+    // Popular Genres (the UNNEST/string_split one): genres split on ',' and
+    // trimmed — " Adventure" surfaces as "Adventure"; Drama counted twice.
+    val genreRows = results(4).get("rows").collect {
+      case JArr(rs) => rs.map { r =>
+        val cols = r.asInstanceOf[JArr].items
+        (cols(0).asInstanceOf[JStr].v, cols(1).asInstanceOf[JNum].v.toInt)
+      }
+    }.get
+    assert(genreRows.toMap == Map(
+      "Drama" -> 2, "Crime" -> 1, "Sci-Fi" -> 1, "Adventure" -> 1))
+  }
+
   test("CORS headers present; unknown route 404") {
     val r = get("/nope")
     assert(r.statusCode() == 404)
