@@ -73,8 +73,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Stamp the run's environment into the artifact so a load-inflated
+    // record is self-identifying (round 7's official bench ran on a busy
+    // machine and read 1.7x slower than an idle re-run of the same code):
+    // 1/5/15-min load averages at completion, the machine's core count,
+    // the worker count used, and the repeat mode.
+    val loadAvg =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8).split("\\s+")
+        parts.take(3).mkString("[", ",", "]")
+      } catch {
+        case _: Throwable =>
+          s"[${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}]"
+      }
+    val env = s""""loadavg":$loadAvg,"cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""workers":$cpus,"repeat":$repeat"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The driver parses this from the log tail; sbt prefixes and truncation
     // made round-1's line unrecoverable. Persist to a file AND print it as the
     // final line after spark.stop() so no shutdown logging follows it.
@@ -93,6 +110,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 100) / 100.0) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$top,"sf":"$sfDir","detail":"$outPath"}""")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$top,"sf":"$sfDir",$env,"detail":"$outPath"}""")
   }
 }
