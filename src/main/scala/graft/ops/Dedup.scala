@@ -79,18 +79,15 @@ object Dedup {
     // verification shuffles; only the tiny (doc_id, set, prefix) relation —
     // one row per doc, not per shingle — flows into the joins, so the plan
     // holds at corpus scale where the exploded index dwarfs memory.
-    // Per-doc distinct shingle sets in ONE shuffle (collect_set dedupes in
-    // the partial aggregate, so no separate distinct pass); the exploded
-    // views below re-derive from this small persisted per-doc relation.
-    // Cache lifecycle is caller-managed: the persists must outlive the
-    // returned DataFrame's actions (the op cannot know when the caller is
-    // done), so a long-lived session should spark.catalog.clearCache()
-    // between unrelated workloads.
-    val docSets = shingles(docs, n, distinct = false)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("set0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = docSets.select(col("doc_id"), explode(col("set0")).as("shingle"))
+    //
+    // No persist: `docData` feeds four plan branches (both self-join sides
+    // and both verification lookups), but they share the identical
+    // aggregate subtree, so ReuseExchange materializes its shuffle ONCE and
+    // the branches re-read the shuffle files — the caching persist() used
+    // to provide, without block-manager state outliving the query (a
+    // long-lived gateway session would otherwise accumulate cached blocks
+    // across requests).
+    val ex = shingles(docs, n, distinct = true)
     val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val docData = ex
       .join(df, "shingle")
@@ -106,7 +103,6 @@ object Dedup {
       // bounds, rounding here may only ADMIT candidates.
       .withColumn("prefix", expr(
         s"slice(set, 1, cast(size(set) - ceil(size(set) * $threshold - 1e-9) + 1 as int))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate generation: equi-join on prefix shingles, pruned row-locally
     // by (a) the length bound — jac >= t forces t*|A| <= |B| <= |A|/t — and

@@ -29,6 +29,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("jaccard pairs leave no cached blocks behind (gateway sessions must not accumulate)") {
+    // The shared docData subtree is deduplicated by ReuseExchange within
+    // the single action, not by persist() — so after the action completes
+    // there is NO block-manager state for a long-lived session to leak.
+    spark.catalog.clearCache()
+    Dedup.ngramJaccardPairs(docs, 3, 0.8).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
+    // And the reuse actually fires — the aggregate is not recomputed per
+    // branch (four consumers, three ReusedExchange nodes).
+    val df = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("minhash signature has one row per eligible doc, 8 hash columns") {
     val sig = Dedup.minhashSignature(docs)
     assert(sig.columns.toSet == (Set("doc_id") ++ (0 until 8).map(i => s"h$i")))
@@ -459,6 +475,15 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val tiny = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"))
       .toDF("doc_id", "text")
     assert(Dedup.simhashPairs(tiny, 32).count() == 3L)
+    // Cross-validation at the pigeonhole boundary: maxDist=8 takes the
+    // all-pairs fallback; re-filtering its exact distances to <= 7 must
+    // reproduce the banded candidate->verify path's output row-for-row.
+    val banded7 = Dedup.simhashPairs(docs, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fallback8 = Dedup.simhashPairs(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fallback8.filter(_._3 <= 7).toSet == banded7)
+    assert(fallback8.exists(_._3 == 8) || fallback8.forall(_._3 <= 7))
   }
 
   test("quadratic cosine baseline refuses corpus-scale inputs") {
