@@ -57,5 +57,7 @@ object GraftFunctions {
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_shingles", NgramShingles.forArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_hashes", WinnowHashes.forArgs, "built-in")
   }
 }

@@ -155,15 +155,21 @@ object Dedup {
     * contained side gives no length bound (c(i→j) ignores |S_j|).
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = shingles(docs, n, distinct = true)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // One aggregate builds the per-doc distinct set AND its cardinality;
+    // the explode then carries n_sh alongside each shingle, so the
+    // division needs no separate count aggregate or post-join lookup —
+    // two shuffles fewer than the count-then-join form, and the set size
+    // rides the (already-shuffled) shingle rows for free.
+    val sets = shingles(docs, n, distinct = false)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"))
+      .select(col("doc_id"), size(col("set")).cast("long").as("n_sh"),
+        explode(col("set")).as("shingle"))
+    sets.as("a")
+      .join(sets.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.n_sh").as("n_sh"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("i"), col("n_sh")), "i")
       .withColumn("contain", col("inter").cast("double") / col("n_sh").cast("double"))
       .filter(col("contain") >= threshold)
       .select(col("i"), col("j"), col("contain"))

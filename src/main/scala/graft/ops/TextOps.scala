@@ -375,22 +375,19 @@ object TextOps {
     * fingerprints localize it. Selection here is value-level (the set
     * of window minima), which preserves the guarantee.
     *
-    * Scale shape: entirely row-local (two nested transforms + distinct
-    * inside one projection, O(len * w) per doc), then one explode — no
-    * shuffle; downstream dedup joins on (fp) are hash-partitioned and
-    * linear in fingerprint volume.
+    * Scale shape: entirely row-local — ONE codegen'd expression
+    * ([[graft.functions.WinnowHashes]]: rolling polynomial k-gram hash +
+    * monotonic-deque window minima, O(len) per doc) — then one explode;
+    * no shuffle. Downstream dedup joins on (fp) are hash-partitioned and
+    * linear in fingerprint volume. The hash is the [[graft.functions
+    * .RollingHash]] polynomial, reproducible externally as
+    * sum(cp_j * 31^(len-j)) mod 1e9+7 over each gram's code points.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), col("text"))
-      .withColumn("h", expr(
-        s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
-           |  i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT))"""
-          .stripMargin))
-      .withColumn("fp", explode(expr(
-        s"""array_distinct(transform(sequence(1, greatest(size(h) - ${w - 1}, 1)),
-           |  i -> array_min(slice(h, i, $w))))""".stripMargin)))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), explode(expr(s"winnow_hashes(text, $k, $w)")).as("fp"))
+  }
 
   /** Rolling-hash fingerprint (custom codegen'd Catalyst expression) plus an
     * md5 prefix as a cheap secondary fingerprint.

@@ -780,13 +780,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
     assert(fps(0L).intersect(fps(1L)).nonEmpty,
       "docs sharing an 11+-char substring must share a winnowed fingerprint")
-    // Fingerprints are a subset of the doc's own k-gram hashes (window minima).
+    // Fingerprints are a subset of the doc's own k-gram hashes (window
+    // minima), checked against the SUM-form polynomial — the oracle's
+    // formulation, independent of the expression's fold-with-mod.
     val doc0 = tiny.filter(col("doc_id") === 0L).head().getString(1)
     val all0 = (1 to math.max(doc0.length - 7, 1)).map { i =>
       val kg = doc0.substring(i - 1, math.min(i + 7, doc0.length))
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(kg.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
+      val cps = kg.codePoints().toArray
+      cps.zipWithIndex.map { case (cp, j) =>
+        BigInt(cp) * BigInt(31).pow(cps.length - 1 - j)
+      }.sum.mod(BigInt(1000000007L)).toLong
     }.toSet
     assert(fps(0L).subsetOf(all0))
     // Degenerate inputs survive: shorter than k, and empty text.
