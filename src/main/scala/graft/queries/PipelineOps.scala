@@ -1188,11 +1188,39 @@ object PipelineOps {
     },
 
     // Multi-iteration BPE merge training: the learned merge table for 3
-    // greedy merges. No SQL oracle — the iterative argmax + re-segment
-    // loop is beyond one SQL statement (rows-only driver check); exact
-    // behavior is pinned in OpsSpec against an independent single-node
-    // BPE reimplementation.
-    Q.noOracle("p62_bpe_merges") { (s, dir) =>
+    // greedy merges. The oracle unrolls the three argmax+re-segment
+    // iterations as chained CTE stages over the (word, freq) vocabulary.
+    // Each word's segmentation is encoded as chr(31)||piece||chr(30)
+    // runs, so the left-to-right non-overlapping merge IS a plain
+    // replace() — the separators anchor matches to piece boundaries
+    // (classic BPE space-join trick, boundary-safe without lookbehind,
+    // which DuckDB's RE2 lacks), and replace() resumes scanning after
+    // each substitution exactly like the Spark fold (a just-merged token
+    // never re-merges).
+    Q.df(
+      "p62_bpe_merges",
+      ("""WITH vocab AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |seg0 AS (SELECT freq, array_to_string(list_transform(generate_series(1, length(word)),
+        |    i -> chr(31) || substr(word, i, 1) || chr(30)), '') AS enc FROM vocab),
+        |""" + (1 to 3).map { n =>
+        s"""pairs$n AS (
+        |  SELECT p.p1 AS p1, p.p2 AS p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(generate_series(1, len(pcs) - 1),
+        |      i -> {'p1': pcs[i], 'p2': pcs[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2),
+        |        chr(30) || chr(31)) AS pcs FROM seg${n - 1})
+        |  ) GROUP BY 1, 2),
+        |top$n AS (SELECT p1, p2, cnt FROM pairs$n ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |seg$n AS (SELECT freq, replace(enc,
+        |    (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top$n),
+        |    (SELECT chr(31) || p1 || p2 || chr(30) FROM top$n)) AS enc FROM seg${n - 1})"""
+      }.mkString(",\n") + """
+        |SELECT CAST(1 AS INT) AS step, p1, p2, cnt FROM top1
+        |UNION ALL SELECT CAST(2 AS INT), p1, p2, cnt FROM top2
+        |UNION ALL SELECT CAST(3 AS INT), p1, p2, cnt FROM top3""").stripMargin) { (s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), 3)
     },
 
