@@ -208,7 +208,14 @@ object DialectRewriter {
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "generate_series" -> "sequence",
-    "string_split_regex" -> "split")
+    "string_split_regex" -> "split",
+    "str_split_regex" -> "split",
+    "list_contains" -> "array_contains",
+    "list_distinct" -> "array_distinct",
+    "list_sort" -> "sort_array",
+    "list_min" -> "array_min",
+    "list_max" -> "array_max",
+    "array_to_string" -> "array_join")
 
   /** DuckDB's literal-delimiter split family: `split` in Spark takes a
     * REGEX, so the delimiter needs quoting, not just a rename.

@@ -4,9 +4,12 @@ package graft.gateway
   * reference's static frontend (reference frontend/index.html:79-128,
   * frontend/js/app.js: connection form, editor, run/format/export, results
   * table, stats bar, demo query list). The reference loads CodeMirror from
-  * a CDN; this build is offline, so the editor is a plain textarea and the
-  * whole app is ONE self-contained HTML string with zero external assets —
-  * every fetch targets the same-origin API routes HttpApi already serves.
+  * a CDN; this build is offline, so the whole app is ONE self-contained
+  * HTML string with zero external assets — every fetch targets the
+  * same-origin API routes HttpApi already serves. The editor provides
+  * CodeMirror's visible affordance (SQL syntax highlighting) with an
+  * inline ~30-line tokenizer: a highlighted <pre> layered under a
+  * transparent-text textarea, kept in sync on input and scroll.
   */
 object WebUi {
 
@@ -24,7 +27,15 @@ object WebUi {
       |  h1 { font-size: 16px; margin: 0 0 12px; }
       |  label { display: block; font-size: 12px; margin-top: 8px; }
       |  input, select, textarea { width: 100%; box-sizing: border-box; font: inherit; }
-      |  textarea { font-family: ui-monospace, monospace; height: 140px; }
+      |  .editor { position: relative; height: 140px; }
+      |  .editor textarea, .editor pre {
+      |    position: absolute; inset: 0; margin: 0; padding: 6px; border: 1px solid #8886;
+      |    font: 13px/1.45 ui-monospace, monospace; white-space: pre-wrap; word-break: break-word;
+      |    overflow: auto; box-sizing: border-box; }
+      |  .editor textarea { background: transparent; color: transparent; caret-color: CanvasText; resize: none; }
+      |  .editor pre { pointer-events: none; }
+      |  .kw { color: #08c; font-weight: 600; } .st { color: #a31; } .nu { color: #164; }
+      |  .cm { color: #888; font-style: italic; } .fn { color: #82a; }
       |  button { margin-right: 6px; }
       |  table { border-collapse: collapse; font-size: 13px; }
       |  th, td { border: 1px solid #8884; padding: 3px 8px; text-align: left; }
@@ -53,7 +64,10 @@ object WebUi {
       |  <div id="samples"></div>
       |</aside>
       |<main>
-      |  <textarea id="sql" spellcheck="false">SELECT 1 AS ok</textarea>
+      |  <div class="editor">
+      |    <pre id="hl" aria-hidden="true"></pre>
+      |    <textarea id="sql" spellcheck="false">SELECT 1 AS ok</textarea>
+      |  </div>
       |  <div>
       |    <button id="runBtn">Run</button>
       |    <button id="formatBtn">Format</button>
@@ -67,6 +81,35 @@ object WebUi {
       |<script>
       |"use strict";
       |const $ = id => document.getElementById(id);
+      |const KW = new Set(('select from where group by order having limit offset join inner left right ' +
+      |  'full cross on as and or not in is null like between case when then else end union all ' +
+      |  'intersect except distinct with values exists any asc desc cast over partition rows range ' +
+      |  'filter rollup cube grouping sets pivot unpivot qualify using natural semi anti lateral').split(' '));
+      |const esc = s => s.replace(/[&<>]/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+      |function hl() {
+      |  const src = $('sql').value;
+      |  const re = /--[^\n]*|\/\*[\s\S]*?(?:\*\/|$)|'(?:[^'\\]|''|\\.)*'?|\b\d+(?:\.\d+)?\b|\b[A-Za-z_][A-Za-z0-9_]*\b/g;
+      |  let out = '', last = 0, m;
+      |  while ((m = re.exec(src)) !== null) {
+      |    out += esc(src.slice(last, m.index));
+      |    const t = m[0];
+      |    const cls = t.startsWith('--') || t.startsWith('/*') ? 'cm'
+      |      : t.startsWith("'") ? 'st'
+      |      : /^\d/.test(t) ? 'nu'
+      |      : KW.has(t.toLowerCase()) ? 'kw'
+      |      : src.slice(re.lastIndex).match(/^\s*\(/) ? 'fn' : '';
+      |    out += cls ? '<span class="' + cls + '">' + esc(t) + '</span>' : esc(t);
+      |    last = re.lastIndex;
+      |  }
+      |  // Trailing newline needs a filler so the pre keeps the same height.
+      |  $('hl').innerHTML = out + esc(src.slice(last)) + '\n';
+      |}
+      |function setSql(v) { $('sql').value = v; hl(); }
+      |$('sql').addEventListener('input', hl);
+      |$('sql').addEventListener('scroll', () => {
+      |  $('hl').scrollTop = $('sql').scrollTop; $('hl').scrollLeft = $('sql').scrollLeft;
+      |});
+      |hl();
       |function conn() {
       |  const c = { storageType: $('storageType').value, endpoint: $('endpoint').value,
       |    accessKey: $('accessKey').value, secretKey: $('secretKey').value,
@@ -105,7 +148,7 @@ object WebUi {
       |  } catch (e) { $('error').textContent = e.message; }
       |};
       |$('formatBtn').onclick = async () => {
-      |  try { $('sql').value = (await api('/api/format', { sql: $('sql').value })).formatted; }
+      |  try { setSql((await api('/api/format', { sql: $('sql').value })).formatted); }
       |  catch (e) { $('error').textContent = e.message; }
       |};
       |$('exportBtn').onclick = async () => {
@@ -126,7 +169,7 @@ object WebUi {
       |  try {
       |    const j = await api('/api/connect/test', { connection: conn() });
       |    $('connStatus').textContent = j.message + (j.tableInfo ? ' — ' + j.tableInfo.path : '');
-      |    if (j.tableInfo && j.tableInfo.suggestedQuery) $('sql').value = j.tableInfo.suggestedQuery;
+      |    if (j.tableInfo && j.tableInfo.suggestedQuery) setSql(j.tableInfo.suggestedQuery);
       |  } catch (e) { $('connStatus').textContent = e.message; }
       |};
       |$('demoBtn').onclick = async () => {
@@ -139,7 +182,7 @@ object WebUi {
       |    const b = document.createElement('button');
       |    b.textContent = q.name; b.title = q.description;
       |    b.style.cssText = 'display:block;margin:2px 0;width:100%;text-align:left';
-      |    b.onclick = () => { $('sql').value = q.sql; };
+      |    b.onclick = () => { setSql(q.sql); };
       |    return b;
       |  }));
       |  } catch (e) { $('connStatus').textContent = e.message; }

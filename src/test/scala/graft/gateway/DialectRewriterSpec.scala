@@ -67,6 +67,10 @@ class DialectRewriterSpec extends AnyFunSuite {
     assert(duck("SELECT generate_series(1, 5) AS s") == "SELECT sequence(1, 5) AS s")
     assert(duck("SELECT string_split_regex(x, '[,;]') FROM t") ==
       "SELECT split(x, '[,;]') FROM t")
+    assert(duck("SELECT list_contains(a, 1), list_distinct(a), list_sort(a) FROM t") ==
+      "SELECT array_contains(a, 1), array_distinct(a), sort_array(a) FROM t")
+    assert(duck("SELECT list_min(a), list_max(a), array_to_string(a, ',') FROM t") ==
+      "SELECT array_min(a), array_max(a), array_join(a, ',') FROM t")
   }
 
   test("string_split regex-escapes a metachar literal delimiter") {
