@@ -322,11 +322,15 @@ object Dedup {
     * scores Jaccard 1.0 still fails here — the right verifier for
     * boilerplate whose wording, not vocabulary, repeats.
     *
-    * Scale shape: the O(prefixLen^2) DP runs once per CANDIDATE (LSH-
-    * bounded), never per cross pair; the prefix cap keeps the per-row
-    * cost constant regardless of document length. Both joins hash-
-    * partition on doc id — candidate count, not corpus size, is the only
-    * quadratic-ish term, and banding controls it.
+    * Scale shape: the banded O(prefixLen * maxDist) DP (the threshold
+    * form of `levenshtein` early-exits and prunes cells more than
+    * maxDist off-diagonal) runs once per CANDIDATE (LSH-bounded), never
+    * per cross pair; the prefix cap keeps the per-row cost constant
+    * regardless of document length. Both joins hash-partition on doc id
+    * — candidate count, not corpus size, is the only quadratic-ish
+    * term, and banding controls it. Distances the threshold prunes come
+    * back as -1, so the keep-filter is dist IN [0, maxDist]; kept
+    * pairs' distances are exactly the unbounded DP's values.
     *
     * Cross-engine caveat: Spark's `levenshtein` edits CODEPOINTS while
     * DuckDB's edits BYTES, so the p55 oracle parity holds only for
@@ -341,8 +345,8 @@ object Dedup {
       .join(txt.select(col("doc_id").as("i"), col("pfx").as("pa")), "i")
       .join(txt.select(col("doc_id").as("j"), col("pfx").as("pb")), "j")
       .select(col("i"), col("j"),
-        levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("pa"), col("pb"), maxDist).cast("int").as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 
   /** Scale path for SimHash: split the 32-bit signature into 4 x 8-bit
