@@ -113,4 +113,20 @@ class DialectRewriterSpec extends AnyFunSuite {
     assert(duck("SELECT UNNEST(string_split(lower(genres), '.')) FROM t") ==
       """SELECT explode(split(lower(genres), '\\.')) FROM t""")
   }
+
+  test("the pre-pass is idempotent over the whole oracle corpus") {
+    // The corpus' oracle SQL is real DuckDB dialect (unnest, len,
+    // list_transform, generate_series all appear). One application must
+    // reach a fixpoint: every rewritten name is outside the rename maps,
+    // so a double-converted statement is byte-identical to a single
+    // conversion — the gateway can safely re-run the pass on anything.
+    val oracles = graft.SparkEntry.oracleSql.values
+    assert(oracles.nonEmpty)
+    oracles.foreach { sql =>
+      val once = duck(sql)
+      assert(duck(once) == once, sql.take(80))
+    }
+    // And it actually fires on that corpus (not vacuous).
+    assert(oracles.exists(sql => duck(sql) != sql))
+  }
 }
