@@ -200,15 +200,18 @@ object Dedup {
       docs: DataFrame, numHashes: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(docs, numHashes, n)
+    // The band value is ONLY a join key — keep it a native struct of the
+    // band's min-hash longs rather than a concat_ws string (no per-row
+    // string building/hashing; candidate pairs identical either way).
     val bandCols = (0 until bands).map { b =>
-      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("b"), concat_ws("|", parts: _*).as("v"))
+      val parts = (0 until rowsPerBand)
+        .map(k => col(s"h${b * rowsPerBand + k}").as(s"v$k"))
+      struct((lit(b).as("b") +: parts): _*)
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
     banded.as("x")
-      .join(banded.as("y"), col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
