@@ -48,4 +48,20 @@ class SqlGuardPropertySpec extends AnyFunSuite with SparkFixture {
     assert(injected1 && !injected2)
     assert(once.queryExecution.logical == twice.queryExecution.logical)
   }
+
+  private val duckishString: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf("SELECT", "unnest", "(", ")", "string_split", "'",
+      "len", "list_transform", ",", "''", "--", "/*", "*/", "\"", "x", "1",
+      "generate_series", "\\", "\n", " ")).map(_.mkString(" ")))
+
+  test("duckdb dialect pre-pass is total and idempotent on arbitrary input (300 samples)") {
+    // Arbitrary garbage — unbalanced quotes, dangling parens, half-open
+    // comments — must never throw, and a second application must be a
+    // no-op (the gateway may re-run the pass on already-converted SQL).
+    samples(duckishString, 300).foreach { s =>
+      val once = DialectRewriter.convertDuckDbDialect(s)
+      assert(DialectRewriter.convertDuckDbDialect(once) == once, s)
+    }
+  }
 }
