@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NgramShingles, RollingHash}
+import graft.functions.{DotProduct, NgramShingles, RollingHash, WinnowHashes}
 
 /** Session-extension entry point: makes graft's codegen'd expressions
   * available to EVERY session of a cluster via configuration —
@@ -14,8 +14,8 @@ import graft.functions.{DotProduct, NgramShingles, RollingHash}
   * — the deployment-grade alternative to the per-session
   * `GraftFunctions.register` call (which remains for embedded/test use).
   * Injected at session build time, so SQL-only users (e.g. through the
-  * gateway) get `rolling_hash`, `vec_dot`, and `ngram_shingles` without
-  * any Scala code running first.
+  * gateway) get `rolling_hash`, `vec_dot`, `ngram_shingles`, and
+  * `winnow_hashes` without any Scala code running first.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
       (exprs: Seq[Expression]) => NgramShingles.forArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      (exprs: Seq[Expression]) => WinnowHashes.forArgs(exprs)))
   }
 }

@@ -45,10 +45,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture with BeforeAndAf
     val row = extended.sql(
       """SELECT rolling_hash('abc') AS rh,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
-        |  ngram_shingles('a b c d', 3) AS sh""".stripMargin).collect()(0)
+        |  ngram_shingles('a b c d', 3) AS sh,
+        |  winnow_hashes('abcdefghij', 8, 4) AS wf""".stripMargin).collect()(0)
     assert(row.getLong(0) == graft.functions.RollingHash.hash("abc"))
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+    // 3 grams < w=4 -> one window: the min of the three 8-gram hashes.
+    assert(row.getSeq[Long](3) ==
+      Seq(Seq("abcdefgh", "bcdefghi", "cdefghij")
+        .map(graft.functions.RollingHash.hash).min))
   }
 
   test("the un-extended fixture session is unaffected") {
