@@ -127,4 +127,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial"), p.linesIterator.take(10).mkString("\n"))
     assert(p.contains("Window"), "expected the per-group rank window")
   }
+
+  test("edit-distance verification DP is banded (threshold levenshtein)") {
+    // The threshold form prunes DP cells beyond the maxDist off-diagonal
+    // band — O(prefixLen * maxDist) per candidate instead of
+    // O(prefixLen^2). The 3-arg call shows up in the plan's projection.
+    val p = plan("p55_editdist_pairs")
+    assert(p.contains("levenshtein(pa") && p.contains("Some(40)"),
+      p.linesIterator.filter(_.contains("levenshtein")).mkString("\n"))
+  }
+
+  test("containment carries the set size on the exploded rows — no count join") {
+    // One aggregate builds set + cardinality; n_sh rides the shingle rows
+    // into the grouping key, so there is no second per-doc count
+    // aggregate joined back in. Exactly 2 aggregate exchanges appear:
+    // the collect_set and the (i, j, n_sh) intersection count (AQE may
+    // re-list one as reused; count distinct exchange subtrees).
+    val p = plan("p48_containment")
+    assert(!p.contains("CartesianProduct"))
+    val aggExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(aggExchanges <= 3, s"unexpected shuffle count $aggExchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("winnowing is a single codegen'd expression — no shuffle before the explode") {
+    val df = SparkEntry.queries("p63_winnow_fingerprints")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("winnow_hashes"), p.linesIterator.take(8).mkString("\n"))
+    // Row-local: scan -> project/generate only; any Exchange would mean
+    // the selection stopped being map-only.
+    assert(!p.contains("Exchange"), p.linesIterator.take(12).mkString("\n"))
+  }
 }
