@@ -285,11 +285,11 @@ object Dedup {
     val sig = simhash(docs)
     // Exact side: 4 rows per doc — (chunk index, chunk value). Both sides
     // carry the full signature so verification happens IN the join row
-    // (one bit_count + filter) before the distinct — no candidate
-    // materialization, no signature-lookup joins, and the dedup shuffle
-    // sees only qualified pairs (each at most 4x duplicated — per chunk
-    // index, at most one of a doc's 9 variants can equal the other doc's
-    // exact chunk value) instead of the raw candidate fan-out.
+    // (one bit_count + filter) — no candidate materialization and no
+    // signature-lookup joins. Per chunk index at most one of a doc's 9
+    // variants can equal the other doc's exact chunk value, so a pair
+    // appears at most once per chunk index; the first-qualifying-chunk
+    // condition below then makes the join output itself duplicate-free.
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), expr(s"(simhash div ${1L << (8 * c)}) % 256").as("v")))
     val exact = sig
@@ -307,14 +307,24 @@ object Dedup {
     val expanded = sig
       .select(col("doc_id"), col("simhash"), explode(array(variantCols: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    // Each qualifying pair can match on up to 4 chunk indexes (one row
+    // per index) — instead of shuffling the qualified rows through a
+    // distinct, emit ONLY the row whose chunk index is the FIRST with
+    // chunk-distance <= 1: three row-local bit_counts replace a whole
+    // dedup exchange, and the output is exactly one row per pair.
+    val chunkDist = (c: Int) =>
+      expr(s"bit_count(((a.simhash ^ b.simhash) div ${1L << (8 * c)}) % 256)")
+    val firstQualifyingChunk =
+      col("a.c") === 0 ||
+        (chunkDist(0) >= 2 && (col("a.c") === 1 ||
+          (chunkDist(1) >= 2 && (col("a.c") === 2 || chunkDist(2) >= 2))))
     expanded.as("a")
       .join(exact.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && firstQualifyingChunk)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
       .filter(col("dist") <= maxDist)
-      .distinct()
   }
 
   /** Near-dup pairs with EDIT-DISTANCE verification: MinHash LSH proposes
