@@ -194,10 +194,11 @@ object CorpusSignals {
           |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // Cache lifecycle is caller-managed, as with Dedup's persisted
-    // relations: clearCache() between unrelated workloads.
+    // No persist: the four consumers below (marginals, total, top-k)
+    // share this identical aggregate subtree, so ReuseExchange
+    // materializes its shuffle once per action — without block-manager
+    // state outliving the query (the Dedup lesson).
     val c = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val la = c.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
     val rb = c.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
     val tot = c.agg(sum(col("n_ab")).as("nn"))
