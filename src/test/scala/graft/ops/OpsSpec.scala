@@ -35,6 +35,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // there is NO block-manager state for a long-lived session to leak.
     spark.catalog.clearCache()
     Dedup.ngramJaccardPairs(docs, 3, 0.8).collect()
+    CorpusSignals.cooccurrenceLift(docs).collect()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
     // And the reuse actually fires — the aggregate is not recomputed per
