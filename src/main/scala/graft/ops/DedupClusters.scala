@@ -170,19 +170,23 @@ object DedupClusters {
     * smallest id rather than vanishing from the output.
     *
     * Scale shape: cluster assignment is [[connectedComponents]] (edge-
-    * touched iteration); the argmax is a window partitioned by
-    * cluster_id — partition-parallel, and every cluster is duplicate-
-    * group-sized, never corpus-sized.
+    * touched iteration); the argmax is a max_by HASH aggregate on
+    * cluster_id — partially combined map-side, so the shuffle carries
+    * one candidate row per (partition, cluster), and nothing ever
+    * sorts. The ordering key (coalesced quality, negated id) encodes
+    * exactly "quality DESC NULLS LAST, doc_id ASC" — a missing score
+    * competes as -inf but a cluster of all-unscored docs still keeps
+    * its smallest id.
     */
   def bestPerCluster(docs: DataFrame, pairs: DataFrame,
-      scores: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      scores: DataFrame): DataFrame =
     connectedComponents(docs, pairs)
       .join(scores, Seq("doc_id"), "left")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality").desc_nulls_last, col("doc_id"))))
-      .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("doc_id"), col("quality"))
-  }
+      .groupBy(col("cluster_id"))
+      .agg(max_by(
+        struct(col("doc_id"), col("quality")),
+        struct(coalesce(col("quality"), lit(Double.MinValue)).as("q"),
+          (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"),
+        col("best.doc_id").as("doc_id"), col("best.quality").as("quality"))
 }
