@@ -141,9 +141,21 @@ object DialectRewriter {
     (bound, binders.result())
   }
 
+  // DuckDB's flat-file table functions (read_csv/read_csv_auto with
+  // header+type inference, read_json/read_json_auto line-JSON, and
+  // read_parquet over a single local/posix path — the s3 GLOB form was
+  // already rewritten to iceberg_scan by convertReadParquet, mirroring
+  // the reference; a plain path stays a plain parquet read).
+  private val ReadCsvRe: Regex =
+    """(?i)\bread_csv(?:_auto)?\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val ReadJsonRe: Regex =
+    """(?i)\bread_(?:nd)?json(?:_auto|_objects)?\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val ReadParquetPlainRe: Regex =
+    """(?i)\bread_parquet\(\s*['"]([^'"]+)['"]\s*\)""".r
+
   /** Text-only planning for the `iceberg_scan` / `iceberg_metadata` /
-    * `iceberg_snapshots` table functions; same deferred-binder contract as
-    * [[planCatalogRefs]].
+    * `iceberg_snapshots` table functions plus DuckDB's flat-file readers;
+    * same deferred-binder contract as [[planCatalogRefs]].
     */
   def planIcebergScans(spark: SparkSession, sql: String): (String, Seq[() => Unit]) = {
     val binders = Seq.newBuilder[() => Unit]
@@ -172,11 +184,31 @@ object DialectRewriter {
         IcebergLite.metadataRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val bound = IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
+    val withSnaps = IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
       val path = m.group(1)
       val view = s"graft_iceberg_snapshots_${viewCounter.incrementAndGet()}"
       binders += (() =>
         IcebergLite.snapshotsRelation(spark, path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withCsv = ReadCsvRe.replaceAllIn(withSnaps, m => {
+      val path = m.group(1)
+      val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"
+      binders += (() => spark.read
+        .option("header", "true").option("inferSchema", "true")
+        .csv(path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withJson = ReadJsonRe.replaceAllIn(withCsv, m => {
+      val path = m.group(1)
+      val view = s"graft_read_json_${viewCounter.incrementAndGet()}"
+      binders += (() => spark.read.json(path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val bound = ReadParquetPlainRe.replaceAllIn(withJson, m => {
+      val path = m.group(1)
+      val view = s"graft_read_parquet_${viewCounter.incrementAndGet()}"
+      binders += (() => spark.read.parquet(path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
     (bound, binders.result())

@@ -161,4 +161,28 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(ok.exists(_.rows.exists(_ > 0)))
     assert(Engine.runConnectionTest(spark, cfg, Some("/no/such/table")).isEmpty)
   }
+
+  test("duckdb flat-file readers bind: read_csv, read_json, plain read_parquet") {
+    val dir = tmpDir("engine_flat")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
+      "{\"id\": 3, \"name\": \"gamma\"}\n{\"id\": 4, \"name\": \"delta\"}\n".getBytes("UTF-8"))
+    val csv = Engine.executeQuery(spark,
+      s"SELECT id, name FROM read_csv('$dir/t.csv') ORDER BY id", cfg)
+    assert(csv.rows.map(_.toList) == Seq(List(1, "alpha"), List(2, "beta")))
+    val json = Engine.executeQuery(spark,
+      s"SELECT id, name FROM read_json_auto('$dir/t.jsonl') ORDER BY id", cfg)
+    assert(json.rows.map(_.toList) == Seq(List(3L, "gamma"), List(4L, "delta")))
+    // The reference's legacy escape hatch over a PLAIN path (not the s3
+    // glob convertReadParquet already rewrites) is a straight parquet read.
+    val pq = Engine.executeQuery(spark,
+      s"SELECT COUNT(*) AS n FROM read_parquet('$sf0001/region.parquet')", cfg)
+    assert(pq.rows.head.head == 5L)
+    // Binders fire only after validation: a mutation using the function
+    // still dies at the guard, with no view bound as a side effect.
+    val err = intercept[Engine.EngineError](Engine.executeQuery(spark,
+      s"DELETE FROM read_csv('$dir/t.csv')", cfg))
+    assert(err.status == 400)
+  }
 }
