@@ -129,15 +129,22 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(o.str("tablePath").exists(_.nonEmpty))
   }
 
-  test("GET /api/demo/queries returns runnable iceberg_scan samples") {
+  test("GET /api/demo/queries returns runnable samples — ALL five execute") {
     val o = obj(get("/api/demo/queries"))
     val queries = o.get("queries").collect { case JArr(q) => q }.get
     assert(queries.size == 5)
-    // And the first demo query actually runs through /api/query.
-    val sql = queries.head.asInstanceOf[JObj].str("sql").get
-      .replace("\"", "\\\"")
-    val r = post("/api/query", s"""{"sql":"$sql","connection":$connJson}""")
-    assert(r.statusCode() == 200)
+    // Every sample runs through /api/query — including the last one,
+    // which is served in the reference's DuckDB dialect
+    // (UNNEST(string_split(...))) and exercises the pre-pass end to end.
+    queries.foreach { q =>
+      val sql = q.asInstanceOf[JObj].str("sql").get.replace("\"", "\\\"")
+      val r = post("/api/query", s"""{"sql":"$sql","connection":$connJson}""")
+      assert(r.statusCode() == 200, s"$sql -> ${r.body().take(200)}")
+      assert(obj(r).get("rows").exists {
+        case JArr(rows) => rows.nonEmpty; case _ => false
+      }, sql)
+    }
+    assert(queries.last.asInstanceOf[JObj].str("sql").get.contains("UNNEST(string_split"))
   }
 
   test("the reference's five demo queries run VERBATIM through /api/query") {
