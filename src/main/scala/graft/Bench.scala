@@ -88,8 +88,9 @@ object Bench {
         case _: Throwable =>
           s"[${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}]"
       }
+    // workers is quoted: SPARK_GRAFT_CPUS may legitimately be "*".
     val env = s""""loadavg":$loadAvg,"cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""workers":$cpus,"repeat":$repeat"""
+      s""""workers":"$cpus","repeat":$repeat"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The driver parses this from the log tail; sbt prefixes and truncation

@@ -153,13 +153,56 @@ object DialectRewriter {
   private val ReadParquetPlainRe: Regex =
     """(?i)\bread_parquet\(\s*['"]([^'"]+)['"]\s*\)""".r
 
+  /** Index ranges of string literals, quoted identifiers, and comments —
+    * table-function rewrites must not fire (and bind IO!) for text that
+    * is not code, e.g. `-- read_csv('/x')` or a data literal mentioning
+    * `iceberg_scan`.
+    */
+  private def protectedRanges(sql: String): IndexedSeq[(Int, Int)] = {
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val j = skipQuoted(sql, i); out += ((i, j)); i = j
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) match { case -1 => n; case k => k }
+        out += ((i, j)); i = j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i + 2) match { case -1 => n; case k => k + 2 }
+        out += ((i, j)); i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** replaceAllIn, except matches that START inside a protected range are
+    * left untouched (both the text and — crucially — the side-effecting
+    * binder that `f` would have registered).
+    */
+  private def replaceOutsideLiterals(re: Regex, sql: String)(
+      f: Regex.Match => String): String = {
+    val ranges = protectedRanges(sql)
+    re.replaceAllIn(sql, m =>
+      if (ranges.exists { case (a, b) => m.start >= a && m.start < b })
+        Regex.quoteReplacement(m.matched)
+      else f(m))
+  }
+
   /** Text-only planning for the `iceberg_scan` / `iceberg_metadata` /
     * `iceberg_snapshots` table functions plus DuckDB's flat-file readers;
     * same deferred-binder contract as [[planCatalogRefs]].
+    *
+    * Trust model: paths reach `spark.read` exactly like `iceberg_scan`
+    * paths always have — the gateway is a self-hosted query endpoint
+    * whose engine can read what its process can read, the same contract
+    * as the reference's DuckDB (read_csv/read_parquet of any local file
+    * is reference behavior, not an extension).
     */
   def planIcebergScans(spark: SparkSession, sql: String): (String, Seq[() => Unit]) = {
     val binders = Seq.newBuilder[() => Unit]
-    val scans = IcebergScanRe.replaceAllIn(sql, m => {
+    val scans = replaceOutsideLiterals(IcebergScanRe, sql)(m => {
       val path = m.group(1)
       val snapshotId = Option(m.group(2)).map(_.toLong)
       val asOfMillis = Option(m.group(3)).map(parseTravelTimestamp)
@@ -168,7 +211,7 @@ object DialectRewriter {
         IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withChanges = IcebergChangesRe.replaceAllIn(scans, m => {
+    val withChanges = replaceOutsideLiterals(IcebergChangesRe, scans)(m => {
       val path = m.group(1)
       val from = m.group(2).toLong
       val to = Option(m.group(3)).map(_.toLong)
@@ -177,21 +220,21 @@ object DialectRewriter {
         IcebergLite.incrementalScan(spark, path, from, to).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withMeta = IcebergMetadataRe.replaceAllIn(withChanges, m => {
+    val withMeta = replaceOutsideLiterals(IcebergMetadataRe, withChanges)(m => {
       val path = m.group(1)
       val view = s"graft_iceberg_metadata_${viewCounter.incrementAndGet()}"
       binders += (() =>
         IcebergLite.metadataRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withSnaps = IcebergSnapshotsRe.replaceAllIn(withMeta, m => {
+    val withSnaps = replaceOutsideLiterals(IcebergSnapshotsRe, withMeta)(m => {
       val path = m.group(1)
       val view = s"graft_iceberg_snapshots_${viewCounter.incrementAndGet()}"
       binders += (() =>
         IcebergLite.snapshotsRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withCsv = ReadCsvRe.replaceAllIn(withSnaps, m => {
+    val withCsv = replaceOutsideLiterals(ReadCsvRe, withSnaps)(m => {
       val path = m.group(1)
       val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read
@@ -199,13 +242,13 @@ object DialectRewriter {
         .csv(path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withJson = ReadJsonRe.replaceAllIn(withCsv, m => {
+    val withJson = replaceOutsideLiterals(ReadJsonRe, withCsv)(m => {
       val path = m.group(1)
       val view = s"graft_read_json_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read.json(path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val bound = ReadParquetPlainRe.replaceAllIn(withJson, m => {
+    val bound = replaceOutsideLiterals(ReadParquetPlainRe, withJson)(m => {
       val path = m.group(1)
       val view = s"graft_read_parquet_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read.parquet(path).createOrReplaceTempView(view))

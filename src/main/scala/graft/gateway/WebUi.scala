@@ -86,6 +86,12 @@ object WebUi {
       |  'intersect except distinct with values exists any asc desc cast over partition rows range ' +
       |  'filter rollup cube grouping sets pivot unpivot qualify using natural semi anti lateral').split(' '));
       |const esc = s => s.replace(/[&<>]/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+      |// O(1) lookahead (no src.slice copies — a big paste would otherwise
+      |// make every keystroke O(n^2)).
+      |function callAhead(s, i) {
+      |  while (i < s.length && /\s/.test(s[i])) i++;
+      |  return s[i] === '(';
+      |}
       |function hl() {
       |  const src = $('sql').value;
       |  const re = /--[^\n]*|\/\*[\s\S]*?(?:\*\/|$)|'(?:[^'\\]|''|\\.)*'?|\b\d+(?:\.\d+)?\b|\b[A-Za-z_][A-Za-z0-9_]*\b/g;
@@ -97,7 +103,7 @@ object WebUi {
       |      : t.startsWith("'") ? 'st'
       |      : /^\d/.test(t) ? 'nu'
       |      : KW.has(t.toLowerCase()) ? 'kw'
-      |      : src.slice(re.lastIndex).match(/^\s*\(/) ? 'fn' : '';
+      |      : callAhead(src, re.lastIndex) ? 'fn' : '';
       |    out += cls ? '<span class="' + cls + '">' + esc(t) + '</span>' : esc(t);
       |    last = re.lastIndex;
       |  }

@@ -178,8 +178,9 @@ object CorpusSignals {
     * (w1, w2) pair-count aggregate; the positional marginals and total
     * are integer-identical SUMs of that aggregate (n_a = Σ n_ab over
     * w2, etc.), so they run over the pair-vocabulary relation, not the
-    * corpus. The aggregate is persisted so its one scan feeds all four
-    * consumers. The top-k cut is a distributed TakeOrdered (never a
+    * corpus. ReuseExchange materializes the shared aggregate's shuffle
+    * once per action for all four consumers (no persisted blocks
+    * outlive the query). The top-k cut is a distributed TakeOrdered (never a
     * global sort), and the marginal joins stream the vocabulary-sized
     * sides against the broadcast k-row top list. Integer counts; the
     * lift is three fixed-order IEEE ops, reproducible anywhere.

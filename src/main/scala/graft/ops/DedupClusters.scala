@@ -173,10 +173,11 @@ object DedupClusters {
     * touched iteration); the argmax is a max_by HASH aggregate on
     * cluster_id — partially combined map-side, so the shuffle carries
     * one candidate row per (partition, cluster), and nothing ever
-    * sorts. The ordering key (coalesced quality, negated id) encodes
-    * exactly "quality DESC NULLS LAST, doc_id ASC" — a missing score
-    * competes as -inf but a cluster of all-unscored docs still keeps
-    * its smallest id.
+    * sorts. The ordering key (has-score flag, quality, negated id)
+    * encodes exactly "quality DESC NULLS LAST, doc_id ASC": the leading
+    * boolean puts every scored doc above every unscored one — no -inf
+    * sentinel, so a REAL quality of -Infinity still outranks a missing
+    * score — and a cluster of all-unscored docs keeps its smallest id.
     */
   def bestPerCluster(docs: DataFrame, pairs: DataFrame,
       scores: DataFrame): DataFrame =
@@ -185,7 +186,8 @@ object DedupClusters {
       .groupBy(col("cluster_id"))
       .agg(max_by(
         struct(col("doc_id"), col("quality")),
-        struct(coalesce(col("quality"), lit(Double.MinValue)).as("q"),
+        struct(col("quality").isNotNull.as("has"),
+          coalesce(col("quality"), lit(0.0)).as("q"),
           (-col("doc_id")).as("nid"))).as("best"))
       .select(col("cluster_id"),
         col("best.doc_id").as("doc_id"), col("best.quality").as("quality"))

@@ -184,5 +184,13 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val err = intercept[Engine.EngineError](Engine.executeQuery(spark,
       s"DELETE FROM read_csv('$dir/t.csv')", cfg))
     assert(err.status == 400)
+    // A commented-out reader must neither rewrite nor bind (no IO for a
+    // missing file), and a data literal naming one is untouched.
+    val commented = Engine.executeQuery(spark,
+      "SELECT 1 AS ok -- read_csv('/no/such/file.csv')", cfg)
+    assert(commented.rows == Seq(Seq(1)))
+    val literal = Engine.executeQuery(spark,
+      "SELECT 'see read_csv(\"f\")' AS note", cfg)
+    assert(literal.rows == Seq(Seq("see read_csv(\"f\")")))
   }
 }
