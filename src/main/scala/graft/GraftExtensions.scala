@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NgramShingles, RollingHash, WinnowHashes}
+import graft.functions.{DotProduct, NgramShingles, RollingHash, SortedDotLong, WinnowHashes}
 
 /** Session-extension entry point: makes graft's codegen'd expressions
   * available to EVERY session of a cluster via configuration —
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_hashes"),
       new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
       (exprs: Seq[Expression]) => WinnowHashes.forArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_dot_long"),
+      new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
+      (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))
   }
 }

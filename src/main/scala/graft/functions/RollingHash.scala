@@ -59,5 +59,7 @@ object GraftFunctions {
       "ngram_shingles", NgramShingles.forArgs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_hashes", WinnowHashes.forArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_dot_long", SortedDotLong.forArgs, "built-in")
   }
 }

@@ -36,23 +36,53 @@ object DedupClusters {
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 50, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val idType = docs.schema("doc_id").dataType
-    // Eager checkpoint: materializes the (tiny) edge relation ONCE and
-    // truncates its lineage, so no per-round job DAG re-embeds the pair
-    // generator's plan (for verified-duplicate edges that is the whole
-    // PPJoin pipeline).
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint()
-    val edgeRows = edges.count()
     val integralIds = idType == LongType || idType == IntegerType
+    // Fast-path probe: ONE bounded action. Collecting limit+1 un-doubled
+    // pairs both fetches the edges AND answers "does the driver path
+    // apply" — union-find needs each undirected edge once, so there is no
+    // reason to build (or count, or checkpoint) the doubled src/dst
+    // relation first. Overflow (limit+1 rows came back) or non-integral
+    // ids fall through to the distributed loop, which is the only
+    // consumer that needs both edge directions.
+    val capped = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
+    val collected: Option[Array[org.apache.spark.sql.Row]] =
+      if (integralIds && capped > 0) {
+        // limit+collect normally ramps up partitions incrementally (1, 4,
+        // 16, ...) — a fine strategy for a LIMIT 10 a scan can satisfy
+        // early, but here the upstream is a full pair-generation pipeline
+        // whose shuffles have already run, so each extra wave is pure
+        // scheduling overhead. Pin the initial partition count high FOR
+        // THIS ACTION ONLY so the bounded collect is one job; the setting
+        // must not leak to gateway queries, whose injected LIMITs rely on
+        // early-stopping over raw scans.
+        val conf = pairs.sparkSession.conf
+        val key = "spark.sql.limit.initialNumPartitions"
+        val prev = conf.getOption(key)
+        conf.set(key, Int.MaxValue)
+        try
+          Some(pairs.select(col("i").cast("long"), col("j").cast("long"))
+            .limit(capped + 1).collect())
+        finally prev match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
+      } else None
 
-    val labelled: DataFrame =
-      if (integralIds && edgeRows <= 2 * driverEdgeLimit)
-        driverUnionFind(docs, edges, idType)
-      else distributedLabelProp(docs, edges, maxIter)
-
-    freeCheckpoint(edges)
-    labelled
+    collected match {
+      case Some(rows) if rows.length <= capped =>
+        driverUnionFind(docs, rows, idType)
+      case _ =>
+        // Eager checkpoint: materializes the (tiny) edge relation ONCE and
+        // truncates its lineage, so no per-round job DAG re-embeds the
+        // pair generator's plan (for verified-duplicate edges that is the
+        // whole PPJoin pipeline).
+        val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+          .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+          .localCheckpoint()
+        val labelled = distributedLabelProp(docs, edges, maxIter)
+        freeCheckpoint(edges)
+        labelled
+    }
   }
 
   /** Fast path: union-find over the collected edge list (representative =
@@ -60,7 +90,7 @@ object DedupClusters {
     * (id -> min) map back, left-join. One Spark action + one broadcast
     * join regardless of component diameter.
     */
-  private def driverUnionFind(docs: DataFrame, edges: DataFrame,
+  private def driverUnionFind(docs: DataFrame, edgeRows: Array[org.apache.spark.sql.Row],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def root(x: Long): Long = {
@@ -71,11 +101,10 @@ object DedupClusters {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect().foreach { row =>
-        val (ra, rb) = (root(row.getLong(0)), root(row.getLong(1)))
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
+    edgeRows.foreach { row =>
+      val (ra, rb) = (root(row.getLong(0)), root(row.getLong(1)))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
     val mapping = parent.keys.toSeq.map(id => (id, root(id))).filter(t => t._1 != t._2)
     val spark = docs.sparkSession
     import spark.implicits._

@@ -41,13 +41,14 @@ object Similarity {
     *
     * Scale shape: the shared-term equi-join form of the numerator is
     * quadratic in posting-list length (a corpus-stopword term fans out
-    * df² — on a shared-vocabulary corpus that is all-pairs); instead the
-    * per-doc weight MAP travels to each candidate pair and the dot
-    * product folds over one doc's terms with `try_element_at` lookups in
-    * the other's map — per-pair cost bounded by document vocabulary,
-    * total cost linear in candidates. The oracle states the same values
-    * through the join form (integer sums are order-independent, so both
-    * forms are bit-equal).
+    * df² — on a shared-vocabulary corpus that is all-pairs); instead each
+    * doc's weight vector travels to the candidate pair as a TERM-SORTED
+    * entry array (one sort per doc at aggregation time) and the codegen'd
+    * [[graft.functions.SortedDotLong]] merge-walks the two arrays —
+    * O(|a|+|b|) per pair with no per-pair allocation, vs the O(|a|·|b|)
+    * linear map probes an `element_at` fold pays. Total cost linear in
+    * candidates. The oracle states the same values through the join form
+    * (integer sums are order-independent, so both forms are bit-equal).
     */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.6,
       idfCap: Int = 1000): DataFrame = {
@@ -66,18 +67,18 @@ object Similarity {
     // idfCap-weighted term gives w ≈ 3e9, so w*w in int64 would wrap
     // negative and NaN the norm — casting only the product's result
     // would be too late.
+    GraftFunctions.register(docs.sparkSession)
     val wDec = col("w").cast("decimal(19,0)")
+    // Entries sorted by term (terms are unique per doc, so the struct
+    // sort IS a term sort) — the merge-walk precondition, paid once per
+    // doc in the aggregate rather than per candidate pair.
     val docVecs = w.groupBy(col("doc_id")).agg(
-      map_from_entries(collect_list(struct(col("term"), col("w")))).as("wm"),
+      sort_array(collect_list(struct(col("term"), col("w")))).as("wv"),
       sum(wDec * wDec).as("n2"))
     Dedup.minhashLshCandidates(docs)
-      .join(docVecs.select(col("doc_id").as("i"), col("wm").as("ma"), col("n2").as("n2a")), "i")
-      .join(docVecs.select(col("doc_id").as("j"), col("wm").as("mb"), col("n2").as("n2b")), "j")
-      .withColumn("num", expr(
-        """aggregate(map_entries(ma), CAST(0 AS DECIMAL(38, 0)),
-          |  (acc, e) -> acc + CAST(e.value AS DECIMAL(19, 0))
-          |    * CAST(coalesce(try_element_at(mb, e.key), 0L) AS DECIMAL(19, 0)))"""
-          .stripMargin))
+      .join(docVecs.select(col("doc_id").as("i"), col("wv").as("va"), col("n2").as("n2a")), "i")
+      .join(docVecs.select(col("doc_id").as("j"), col("wv").as("vb"), col("n2").as("n2b")), "j")
+      .withColumn("num", expr("sorted_dot_long(va, vb)"))
       .select(col("i"), col("j"),
         (col("num").cast("double")
           / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cos"))

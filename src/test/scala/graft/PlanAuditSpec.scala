@@ -159,4 +159,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // the selection stopped being map-only.
     assert(!p.contains("Exchange"), p.linesIterator.take(12).mkString("\n"))
   }
+
+  test("tf-idf numerator is the codegen'd sorted merge-dot, not a lambda fold") {
+    val p = plan("p60_tfidf_cosine")
+    // The O(|a|+|b|) merge expression over term-sorted entry arrays; the
+    // retired formulation (aggregate over map_entries with linear
+    // element_at probes) must not reappear — it is O(|a|·|b|) per pair
+    // and interpreted.
+    assert(p.contains("sorted_dot_long"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("map_entries"), "interpreted map fold reappeared")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
