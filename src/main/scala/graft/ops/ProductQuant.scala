@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   * evaluating the same fold reproduces every distance bit-exactly; code
   * assignment breaks ties on the centroid id, and ADC sums the m partial
   * distances in fixed subspace order (sorted collect + fold, not SUM).
-  * The codebook is the first `ks` corpus vectors' subvectors — the same
-  * deterministic stand-in for a trained codebook as
-  * [[Similarity.ivfAssign]]; training would only change the broadcast
-  * constants, not the plan shape.
+  *
+  * The codebook is TRAINED: seeded with the first `ks` corpus vectors'
+  * subvectors, then refined by `trainIters` Lloyd iterations per
+  * subspace (assign to nearest centroid; replace each centroid by the
+  * per-dimension mean of its assigned subvectors — [[Similarity
+  * .kmeansStep]]'s fixed-order-fold mean applied per subspace). Every
+  * step is deterministic (id tiebreaks, vec_id-ordered summation), so
+  * refined centroids are bit-reproducible in any engine and the trained
+  * assignment stays oracle-derivable. Empty cells keep their previous
+  * centroid. Training changes only the broadcast constants, never the
+  * search plan shape: the corpus pays one extra assignment pass per
+  * iteration, each producing a tiny m*ks relation that is re-broadcast.
   */
 object ProductQuant {
 
@@ -49,12 +57,49 @@ object ProductQuant {
         .as(Seq("sub", "sv")))
   }
 
-  /** Subspace codebook: centroid j of subspace s is the s-th subvector of
-    * corpus vector j (j < ks). m*ks rows — always broadcast.
+  /** Subspace codebook seed: centroid j of subspace s is the s-th
+    * subvector of corpus vector j (j < ks). m*ks rows — always broadcast.
     */
-  private def codebook(emb: DataFrame, m: Int, ks: Int, dim: Int): DataFrame =
+  private def seedCodebook(emb: DataFrame, m: Int, ks: Int, dim: Int): DataFrame =
     subvectors(doubled(emb).filter(col("vec_id") < ks), m, dim)
       .select(col("sub").as("cs"), col("vec_id").as("j"), col("sv").as("cv"))
+
+  /** Codebook after `trainIters` Lloyd refinements of the seed. Each
+    * iteration: E-step assigns every corpus subvector to its nearest
+    * centroid (squared L2, centroid-id tiebreak); M-step replaces each
+    * centroid with the per-dimension mean of its assigned subvectors,
+    * summed as a fold over the vec_id-sorted value list (double addition
+    * is order-dependent; a hash-aggregate SUM would not reproduce across
+    * partitionings or engines). Centroids with no assignments survive
+    * unchanged via the left join.
+    */
+  private[ops] def codebook(emb: DataFrame, m: Int, ks: Int, dim: Int,
+      trainIters: Int): DataFrame = {
+    var cb = seedCodebook(emb, m, ks, dim)
+    for (_ <- 1 to trainIters) {
+      val assigned = subvectors(doubled(emb), m, dim)
+        .join(broadcast(cb), col("sub") === col("cs"))
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("j"), col("sv")), struct(col("d2"), col("j"))).as("a"))
+        .select(col("vec_id"), col("sub"), col("a.j").as("j"), col("a.sv").as("sv"))
+      val means = assigned
+        .select(col("vec_id"), col("sub"), col("j"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("j"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+        .select(col("sub"), col("j"), col("pos"),
+          (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
+            / size(col("arr"))).as("c"))
+        .groupBy(col("sub"), col("j"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pcs"))
+        .select(col("sub").as("ms"), col("j").as("mj"),
+          expr("transform(pcs, s -> s.c)").as("mv"))
+      cb = cb.join(means, col("cs") === col("ms") && col("j") === col("mj"), "left")
+        .select(col("cs"), col("j"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    cb
+  }
 
   /** PQ encoding: (vec_id, sub, code) — for each of the m subspaces, the
     * id of the nearest codebook centroid (squared-L2, centroid-id
@@ -64,10 +109,11 @@ object ProductQuant {
     * fanout per subvector, and ONE hash aggregate (min_by with map-side
     * combine) — no window, no corpus shuffle beyond the aggregate's.
     */
-  def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
+  def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64,
+      trainIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = subvectors(doubled(emb), m, dim)
-    sub.join(broadcast(codebook(emb, m, ks, dim)), col("sub") === col("cs"))
+    sub.join(broadcast(codebook(emb, m, ks, dim, trainIters)), col("sub") === col("cs"))
       .withColumn("d2", sqDist(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
@@ -85,12 +131,12 @@ object ProductQuant {
     * — no window over the scored set, no shuffle of raw vectors.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
-      m: Int = 16, ks: Int = 64, dim: Int = 64): DataFrame = {
+      m: Int = 16, ks: Int = 64, dim: Int = 64, trainIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val codes = pqAssign(emb, m, ks, dim)
+    val codes = pqAssign(emb, m, ks, dim, trainIters)
     val lut = subvectors(doubled(queries), m, dim)
       .select(col("vec_id").as("q_id"), col("sub").as("qs"), col("sv").as("qsv"))
-      .join(broadcast(codebook(emb, m, ks, dim)), col("qs") === col("cs"))
+      .join(broadcast(codebook(emb, m, ks, dim, trainIters)), col("qs") === col("cs"))
       .withColumn("d2", sqDist(col("qsv"), col("cv")))
       .select(col("q_id"), col("qs"), col("j"), col("d2"))
     val scored = codes

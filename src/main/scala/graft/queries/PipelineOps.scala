@@ -60,15 +60,32 @@ object PipelineOps {
        |  FROM ${cte}_ws WHERE len(w) >= $n) x)""".stripMargin
   }
 
-  /** PQ subvector + codebook CTEs (over an `e(vec_id, v)` CTE): 16 subspaces
-    * of 4 dims; centroids = the first 64 vectors' subvectors — mirrors
-    * [[graft.ops.ProductQuant]]'s deterministic stand-in codebook.
+  /** PQ subvector + TRAINED codebook CTEs (over an `e(vec_id, v)` CTE):
+    * 16 subspaces of 4 dims; the seed codebook (`cb0` = the first 64
+    * vectors' subvectors) is refined by one unrolled Lloyd iteration —
+    * nearest-centroid assignment (`a0`), then per-dimension means summed
+    * in vec_id order (`mean0`/`cbm`), empty cells keeping their seed via
+    * the left join — mirroring [[graft.ops.ProductQuant]]'s trained
+    * codebook stage by stage (the p62 BPE-merge unrolling technique).
     */
   private val pqSubCtes =
     """sub AS (SELECT vec_id, u.s.sub AS sub, u.s.sv AS sv FROM (
       |  SELECT vec_id, unnest(list_transform(generate_series(0, 15),
       |    s -> struct_pack(sub := s, sv := v[(s*4+1):(s*4+4)]))) AS s FROM e) u(vec_id, s)),
-      |cb AS (SELECT sub AS cs, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 64)""".stripMargin
+      |cb0 AS (SELECT sub AS cs, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 64),
+      |d0 AS (SELECT sub.vec_id, sub.sub, cb0.j, sub.sv,
+      |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
+      |  FROM sub JOIN cb0 ON sub.sub = cb0.cs),
+      |a0 AS (SELECT vec_id, sub, j, sv FROM (
+      |  SELECT vec_id, sub, j, sv, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+      |  FROM d0) x WHERE rn = 1),
+      |dim0 AS (SELECT sub, j, ks.k, sv[ks.k] AS x, vec_id
+      |  FROM a0, (SELECT unnest(generate_series(1, 4)) AS k) ks),
+      |mean0 AS (SELECT sub, j, k, list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
+      |  FROM dim0 GROUP BY 1, 2, 3),
+      |cbm AS (SELECT sub AS cs, j, list(c ORDER BY k) AS cv FROM mean0 GROUP BY 1, 2),
+      |cb AS (SELECT cb0.cs, cb0.j, COALESCE(cbm.cv, cb0.cv) AS cv
+      |  FROM cb0 LEFT JOIN cbm ON cb0.cs = cbm.cs AND cb0.j = cbm.j)""".stripMargin
 
   private val embCtes =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -823,9 +840,10 @@ object PipelineOps {
     },
 
     // Product quantization, encode step: each 64-dim vector -> 16 centroid
-    // codes (4-dim subspaces, 64 centroids each = the first 64 corpus
-    // vectors' subvectors). Squared-L2 per subspace is a sequential fold;
-    // ties break on centroid id — bit-reproducible in any engine.
+    // codes (4-dim subspaces, 64 centroids each, TRAINED: first-64 seed
+    // refined by one Lloyd iteration with vec_id-ordered mean folds).
+    // Squared-L2 per subspace is a sequential fold; ties break on
+    // centroid id — bit-reproducible in any engine.
     Q.df(
       "p43_pq_assign",
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -384,14 +384,40 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(distCum.exceptAll(winCum).isEmpty && winCum.exceptAll(distCum).isEmpty)
   }
 
-  test("pq: m codes per vector in [0, ks); codebook vectors encode themselves") {
+  test("pq: m codes per vector in [0, ks); seed codebook vectors encode themselves") {
+    // Codes stay well-formed under the trained (default) codebook.
     val codes = ProductQuant.pqAssign(emb).collect()
     val perVec = codes.groupBy(_.getLong(0))
     assert(perVec.values.forall(_.length == 16))
     assert(codes.forall { r => val c = r.getInt(2); c >= 0 && c < 64 })
-    // A codebook vector's subvector is its own nearest centroid (d2 = 0,
-    // id tiebreak), so vectors 0..63 must encode as themselves.
-    assert(codes.filter(_.getLong(0) < 64).forall(r => r.getInt(2) == r.getLong(0)))
+    // Under the UNTRAINED seed, a codebook vector's subvector is its own
+    // nearest centroid (d2 = 0, id tiebreak) — vectors 0..63 encode as
+    // themselves. Training moves centroids to cluster means, so this is
+    // a seed-only invariant.
+    val seed = ProductQuant.pqAssign(emb, trainIters = 0).collect()
+    assert(seed.filter(_.getLong(0) < 64).forall(r => r.getInt(2) == r.getLong(0)))
+  }
+
+  test("pq training reduces total quantization error (Lloyd monotonicity)") {
+    val d = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sub = d.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 15), s -> slice(v, s * 4 + 1, 4))"))
+        .as(Seq("sub", "sv")))
+    def qerr(iters: Int): Double = sub
+      .join(broadcast(ProductQuant.codebook(emb, 16, 64, 64, iters)),
+        col("sub") === col("cs"))
+      .withColumn("d2",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("md"))
+      .agg(sum(col("md"))).collect()(0).getDouble(0)
+    val (untrained, trained) = (qerr(0), qerr(1))
+    // Each Lloyd iteration is non-increasing in total assignment error;
+    // on real data the drop is strict and substantial.
+    assert(trained <= untrained,
+      s"trained error $trained > untrained $untrained")
+    assert(trained < untrained * 0.999,
+      s"training had no measurable effect: $trained vs $untrained")
   }
 
   test("pq ADC top-k recovers a usable share of the exact L2 top-k") {
@@ -414,7 +440,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (e intersect p).size.toDouble / 5
     }
     val mean = overlaps.sum / overlaps.size
-    assert(mean >= 0.4, s"mean ADC recall@5 vs exact L2 = $mean (untrained codebook baseline)")
+    assert(mean >= 0.4, s"mean ADC recall@5 vs exact L2 = $mean (trained codebook)")
   }
 
   test("boilerplate passage dedup removes shared chunks, keeps unique ones in order") {
