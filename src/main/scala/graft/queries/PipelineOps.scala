@@ -378,23 +378,45 @@ object PipelineOps {
           col("_asof_o_totalprice").as("o_totalprice"))
     },
 
-    // Approximate sketches (HLL distinct, t-digest-style quantiles): the
-    // scale substitutes for exact distinct/percentile. Algorithms differ
-    // across engines, so there is no SQL oracle — OpsSpec pins accuracy
-    // against the exact answers instead.
-    Q.noOracle("p21_approx_stats") { (s, dir) =>
+    // Approximate sketches (HLL distinct, quantile sketches): the scale
+    // substitutes for exact distinct/percentile. Sketch VALUES differ
+    // across engines (different HLL/percentile algorithms), so the raw
+    // outputs cannot hash-match an oracle — instead the query emits the
+    // EXACT answers alongside boolean accuracy verdicts computed Spark-
+    // side (HLL within 10% relative error of the exact distinct count —
+    // default rsd is 5%, so 2 sigma; each approx percentile between the
+    // exact interpolated percentiles at q∓0.01 — the sketch's rank error
+    // is 1e-4 at default accuracy, two orders inside that band), and the
+    // oracle states the exact counts and asserts every verdict TRUE.
+    // The driver's rows+schema+hash compare thus gates BOTH the exact
+    // aggregates and the sketches' error bounds.
+    Q.df(
+      "p21_approx_stats",
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  TRUE AS parts_ok, TRUE AS supps_ok,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions._
-      // One quantile sketch, expanded into scalar columns: the driver's
-      // canonicalizer cannot hash an array-typed result cell.
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asup"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))").as("ex"))
         .select(
-          col("approx_parts"), col("approx_supps"),
-          element_at(col("q"), 1).as("price_p50"),
-          element_at(col("q"), 2).as("price_p90"),
-          element_at(col("q"), 3).as("price_p99"))
+          col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("parts_ok"),
+          (abs(col("asup") - col("exact_supps")) <=
+            col("exact_supps") * 0.1).as("supps_ok"),
+          element_at(col("q"), 1)
+            .between(element_at(col("ex"), 1), element_at(col("ex"), 2)).as("p50_ok"),
+          element_at(col("q"), 2)
+            .between(element_at(col("ex"), 3), element_at(col("ex"), 4)).as("p90_ok"),
+          element_at(col("q"), 3)
+            .between(element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p99_ok"))
     },
 
     // Multimodal metadata over REAL container bytes: per doc, an actual
