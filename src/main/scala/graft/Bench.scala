@@ -49,30 +49,40 @@ object Bench {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    // Dev loop: SPARK_GRAFT_BENCH_REPEAT=N times each query N times (the
-    // report keeps the last run — isolates codegen/JIT-compile overhead
-    // from steady-state execution). Unset/1 = driver methodology.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_BENCH_REPEAT=N times each query N times. Every run is
+    // timed: run 1 is the COLD time (fresh plan + codegen/JIT), run N the
+    // STEADY time — both totals land in the artifact, because the 2x gate
+    // is judged on steady-state while cold carries the round-over-round
+    // trend. Default 2 so the official driver artifact records the pair
+    // in one invocation; set 1 for the quickest dev loop.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (1 until repeat).foreach { i =>
-        val r0 = System.nanoTime()
+      val times = (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        // Execute the already-compiled physical plan end to end. A DataFrame
+        // .count() would let Catalyst prune the projections away; toRdd keeps
+        // every output column materialized, matching the DuckDB fetchall
+        // comparison in tools/bench_duckdb.py without driver serialization.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
-        System.err.println(s"[bench] $name run $i: ${(System.nanoTime() - r0) / 1e9}")
-        spark.catalog.clearCache() // repeats must re-materialize persists
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (i < repeat) {
+          System.err.println(s"[bench] $name run $i: $dt")
+          spark.catalog.clearCache() // repeats must re-materialize persists
+        }
+        dt
       }
-      val t0 = System.nanoTime()
-      // Execute the already-compiled physical plan end to end. A DataFrame
-      // .count() would let Catalyst prune the projections away; toRdd keeps
-      // every output column materialized, matching the DuckDB fetchall
-      // comparison in tools/bench_duckdb.py without driver serialization.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query detail reports the LAST (steady) run; with repeat=1 the
+    // single cold run is both.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.last }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val cold = results.map(_._2.head).sum
+    val steady = results.map(_._2.last).sum
+    // "value" stays the cold total: that is what rounds 1-8's artifacts
+    // recorded, so the trend line remains comparable.
+    val total = cold
     // Stamp the run's environment into the artifact so a load-inflated
     // record is self-identifying (round 7's official bench ran on a busy
     // machine and read 1.7x slower than an idle re-run of the same code):
@@ -90,7 +100,7 @@ object Bench {
       }
     // workers is quoted: SPARK_GRAFT_CPUS may legitimately be "*".
     val env = s""""loadavg":$loadAvg,"cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""workers":"$cpus","repeat":$repeat"""
+      s""""workers":"$cpus","repeat":$repeat,"cold":$cold,"steady":$steady"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The driver parses this from the log tail; sbt prefixes and truncation
@@ -107,8 +117,8 @@ object Bench {
     // The driver recovers the result from a bounded log tail; the full
     // per-query dict above overflows it. Emit a compact summary as the very
     // last line: totals plus the slowest queries, full detail in `outPath`.
-    val top = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 100) / 100.0) }
+    val top = results.sortBy(-_._2.last).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v.last * 100) / 100.0) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$top,"sf":"$sfDir",$env,"detail":"$outPath"}""")
