@@ -40,5 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_dot_long"),
       new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
       (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("len"),
+      new ExpressionInfo(classOf[graft.functions.DuckLen].getName, "len"),
+      (exprs: Seq[Expression]) => graft.functions.DuckCompat.lenForArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("duck_slice"),
+      new ExpressionInfo(classOf[graft.functions.DuckSlice].getName, "duck_slice"),
+      (exprs: Seq[Expression]) => graft.functions.DuckCompat.sliceForArgs(exprs)))
   }
 }

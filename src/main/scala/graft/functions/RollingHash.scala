@@ -61,5 +61,9 @@ object GraftFunctions {
       "winnow_hashes", WinnowHashes.forArgs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_dot_long", SortedDotLong.forArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "len", DuckCompat.lenForArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "duck_slice", DuckCompat.sliceForArgs, "built-in")
   }
 }

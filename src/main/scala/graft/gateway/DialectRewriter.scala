@@ -153,6 +153,54 @@ object DialectRewriter {
   private val ReadParquetPlainRe: Regex =
     """(?i)\bread_parquet\(\s*['"]([^'"]+)['"]\s*\)""".r
 
+  // Any flat-file reader call the single-path rewrites above did NOT
+  // consume — named options, path lists, computed paths. Detected after
+  // the rewrites so the user gets a precise 400 instead of Spark's
+  // misleading "undefined function read_csv".
+  private val FlatFileLeftoverRe: Regex =
+    """(?i)\b(read_(?:csv|(?:nd)?json|parquet)(?:_auto|_objects)?)\s*\(""".r
+
+  /** Opt-in gate for the flat-file readers (read_csv/read_json and plain-
+    * path read_parquet): unlike `iceberg_scan` — whose Iceberg/parquet
+    * layout requirement bounds what it can exfiltrate — these read ANY
+    * text file the gateway process can open, through an endpoint that is
+    * unauthenticated and serves CORS '*' (the reference's own trust model,
+    * where DuckDB allows local reads by default — but a wider surface).
+    * They are therefore DISABLED unless `-Dgraft.gateway.flatFileRoot=...`
+    * (or env GRAFT_FLATFILE_ROOT) names the allowed root directories
+    * (comma-separated path prefixes, compared after normalization so `..`
+    * traversal cannot escape; `*` = no restriction, the reference's
+    * behavior). Checked at PLAN time — a rejected path never reaches
+    * validation, binding, or IO.
+    */
+  private[gateway] def flatFileRoots: Option[Seq[String]] =
+    sys.props.get("graft.gateway.flatFileRoot")
+      .orElse(sys.env.get("GRAFT_FLATFILE_ROOT"))
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
+  private def checkFlatFilePath(fn: String, path: String): Unit = {
+    val roots = flatFileRoots.getOrElse(throw new IllegalArgumentException(
+      s"$fn is disabled: flat-file reads are gated off by default; start the " +
+        "gateway with -Dgraft.gateway.flatFileRoot=<root[,root2]> (or " +
+        "GRAFT_FLATFILE_ROOT; '*' for no restriction) to enable them"))
+    if (!roots.contains("*")) {
+      val norm =
+        try java.nio.file.Paths.get(path).normalize().toString
+        catch { case _: Exception => path }
+      val allowed = roots.exists { r =>
+        val rn =
+          try java.nio.file.Paths.get(r).normalize().toString
+          catch { case _: Exception => r }
+        // Exact match or a "/"-separated descendant — a plain prefix test
+        // would let /data-evil slip past an allowed root of /data.
+        norm == rn || norm.startsWith(rn + "/")
+      }
+      if (!allowed) throw new IllegalArgumentException(
+        s"$fn path '$path' is outside the allowed flat-file roots")
+    }
+  }
+
   /** Index ranges of string literals, quoted identifiers, and comments —
     * table-function rewrites must not fire (and bind IO!) for text that
     * is not code, e.g. `-- read_csv('/x')` or a data literal mentioning
@@ -236,6 +284,7 @@ object DialectRewriter {
     })
     val withCsv = replaceOutsideLiterals(ReadCsvRe, withSnaps)(m => {
       val path = m.group(1)
+      checkFlatFilePath("read_csv", path)
       val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read
         .option("header", "true").option("inferSchema", "true")
@@ -244,16 +293,32 @@ object DialectRewriter {
     })
     val withJson = replaceOutsideLiterals(ReadJsonRe, withCsv)(m => {
       val path = m.group(1)
+      checkFlatFilePath("read_json", path)
       val view = s"graft_read_json_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read.json(path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
     val bound = replaceOutsideLiterals(ReadParquetPlainRe, withJson)(m => {
       val path = m.group(1)
+      checkFlatFilePath("read_parquet", path)
       val view = s"graft_read_parquet_${viewCounter.incrementAndGet()}"
       binders += (() => spark.read.parquet(path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
+    // A reader call the single-path rewrites did not consume (named
+    // options, a path list, a computed path) would otherwise surface as
+    // Spark's "undefined function read_csv" — a baffling error for a
+    // function the gateway nominally supports. Reject it here with the
+    // actual limitation instead.
+    locally {
+      val ranges = protectedRanges(bound)
+      FlatFileLeftoverRe.findAllMatchIn(bound)
+        .find(m => !ranges.exists { case (a, b) => m.start >= a && m.start < b })
+        .foreach(m => throw new IllegalArgumentException(
+          s"${m.group(1)}: only the single-quoted-path form is supported " +
+            s"(e.g. ${m.group(1)}('/path/to/file')); named options, path " +
+            "lists, and computed paths are not"))
+    }
     (bound, binders.result())
   }
 
@@ -279,7 +344,10 @@ object DialectRewriter {
     */
   private val DuckRenames: Map[String, String] = Map(
     "unnest" -> "explode",
-    "len" -> "length",
+    // `len` is deliberately NOT renamed: DuckDB's len is string length AND
+    // list cardinality, which no single Spark builtin covers. The gateway
+    // registers graft.functions.DuckLen as `len` per session (Engine), a
+    // RuntimeReplaceable that dispatches on the resolved argument type.
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "generate_series" -> "sequence",
@@ -356,12 +424,45 @@ object DialectRewriter {
         out.append(c); i += 1
       }
     }
-    out.toString
+    convertSlices(out.toString)
   }
+
+  /** DuckDB's bracket-slice syntax `x[i:j]` (1-based, inclusive bounds;
+    * open ends `x[i:]` / `x[:j]` supported) is not Spark syntax at all, so
+    * rewriting it is always strictly an improvement. Only LITERAL integer
+    * bounds over a plain (possibly dotted) identifier are rewritten —
+    * computed bounds like `v[(s*4+1):(s*4+4)]` pass through untouched and
+    * fail at analysis rather than risk a silent mis-parse. The target is
+    * `duck_slice` (graft.functions.DuckSlice), which dispatches to array
+    * `slice` or string `substring` on the resolved type; an open upper
+    * bound is encoded as to=Int.MaxValue, which DuckSlice clamps.
+    */
+  private val SliceRe: Regex =
+    """([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*\[\s*(\d*)\s*:\s*(\d*)\s*\]""".r
+
+  private def convertSlices(sql: String): String =
+    replaceOutsideLiterals(SliceRe, sql)(m => {
+      val (base, lo, hi) = (m.group(1), m.group(2), m.group(3))
+      if (lo.isEmpty && hi.isEmpty) Regex.quoteReplacement(m.matched)
+      else {
+        val from = if (lo.isEmpty) "1" else lo
+        val to = if (hi.isEmpty) Int.MaxValue.toString else hi
+        Regex.quoteReplacement(s"duck_slice($base, $from, $to)")
+      }
+    })
 
   /** From an opening quote at `start`, index just past the closing quote;
     * handles `''` doubling and backslash escapes (Spark literals process
     * both).
+    *
+    * KNOWN DIVERGENCE: DuckDB standard literals do NOT process backslash
+    * escapes, so a DuckDB literal ending in a lone backslash (`'...\'`)
+    * tokenizes differently here — the rewriter (like Spark's own parser,
+    * which applies the same escape rules downstream) reads the `\'` as an
+    * escaped quote and the literal as unterminated. Such a statement would
+    * fail Spark analysis regardless of what this pre-pass does, so the
+    * divergence cannot corrupt an otherwise-runnable query; writing the
+    * backslash as `'...\\'` (valid in both dialects) avoids it.
     */
   private def skipQuoted(s: String, start: Int): Int = {
     val q = s.charAt(start)

@@ -43,6 +43,11 @@ object Engine {
       case Failure(e) => throw EngineError(400, e.getMessage)
     }
     val spark = root.newSession()
+    // Graft's custom expressions (vec_dot, winnow_hashes, ...) plus the
+    // DuckDB-compat type-dispatchers (len, duck_slice) resolve per
+    // session; registering here means the gateway works on ANY root
+    // session, not only one built with GraftExtensions.
+    graft.functions.GraftFunctions.register(spark)
     applyStorageSettings(spark, cfg)
 
     // Delete-guard on the configured direct table path before every query

@@ -59,7 +59,11 @@ class DialectRewriterSpec extends AnyFunSuite {
   }
 
   test("duckdb function renames: len, list_transform, list_filter, generate_series") {
-    assert(duck("SELECT len(x) FROM t") == "SELECT length(x) FROM t")
+    // len is NOT renamed: DuckDB's len covers strings AND lists, so the
+    // gateway resolves it via the type-dispatching DuckLen registration
+    // (a rename to `length` would break len(list_col) with an error
+    // naming a function the user never wrote).
+    assert(duck("SELECT len(x) FROM t") == "SELECT len(x) FROM t")
     assert(duck("SELECT LIST_TRANSFORM(a, x -> x + 1) FROM t") ==
       "SELECT transform(a, x -> x + 1) FROM t")
     assert(duck("SELECT list_filter(a, x -> x > 0) FROM t") ==
@@ -112,6 +116,32 @@ class DialectRewriterSpec extends AnyFunSuite {
   test("nested duckdb constructs rewrite recursively") {
     assert(duck("SELECT UNNEST(string_split(lower(genres), '.')) FROM t") ==
       """SELECT explode(split(lower(genres), '\\.')) FROM t""")
+  }
+
+  test("bracket slices with literal bounds become duck_slice; computed bounds pass through") {
+    assert(duck("SELECT a[1:3] FROM t") == "SELECT duck_slice(a, 1, 3) FROM t")
+    assert(duck("SELECT u.s.v[2:] FROM t") ==
+      s"SELECT duck_slice(u.s.v, 2, ${Int.MaxValue}) FROM t")
+    assert(duck("SELECT a[:4] FROM t") == "SELECT duck_slice(a, 1, 4) FROM t")
+    // Computed bounds are not rewritten (they fail loudly at analysis
+    // instead of risking a mis-parse), nor are plain indexes or literals.
+    assert(duck("SELECT v[(s*4+1):(s*4+4)] FROM t") == "SELECT v[(s*4+1):(s*4+4)] FROM t")
+    assert(duck("SELECT a[1] FROM t") == "SELECT a[1] FROM t")
+    assert(duck("SELECT 'a[1:3]' AS s FROM t") == "SELECT 'a[1:3]' AS s FROM t")
+  }
+
+  test("flat-file reader forms beyond a single quoted path get a clear rejection") {
+    val err = intercept[IllegalArgumentException](
+      DialectRewriter.planIcebergScans(null, "SELECT * FROM read_csv('/x.csv', header=true)"))
+    assert(err.getMessage.contains("read_csv"))
+    assert(err.getMessage.contains("single-quoted-path"))
+    val err2 = intercept[IllegalArgumentException](
+      DialectRewriter.planIcebergScans(null, "SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])"))
+    assert(err2.getMessage.contains("read_parquet"))
+    // In a literal or comment the leftover detector must stay silent.
+    val (ok, binders) = DialectRewriter.planIcebergScans(null,
+      "SELECT 'read_csv(x, header=true)' AS s -- read_json(a, b)")
+    assert(binders.isEmpty && ok.contains("read_csv(x, header=true)"))
   }
 
   test("the pre-pass is idempotent over the whole oracle corpus") {

@@ -162,35 +162,89 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Engine.runConnectionTest(spark, cfg, Some("/no/such/table")).isEmpty)
   }
 
+  private def withFlatFileRoots[A](roots: String)(body: => A): A = {
+    System.setProperty("graft.gateway.flatFileRoot", roots)
+    try body finally System.clearProperty("graft.gateway.flatFileRoot")
+  }
+
   test("duckdb flat-file readers bind: read_csv, read_json, plain read_parquet") {
     val dir = tmpDir("engine_flat")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
       "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
       "{\"id\": 3, \"name\": \"gamma\"}\n{\"id\": 4, \"name\": \"delta\"}\n".getBytes("UTF-8"))
-    val csv = Engine.executeQuery(spark,
-      s"SELECT id, name FROM read_csv('$dir/t.csv') ORDER BY id", cfg)
-    assert(csv.rows.map(_.toList) == Seq(List(1, "alpha"), List(2, "beta")))
-    val json = Engine.executeQuery(spark,
-      s"SELECT id, name FROM read_json_auto('$dir/t.jsonl') ORDER BY id", cfg)
-    assert(json.rows.map(_.toList) == Seq(List(3L, "gamma"), List(4L, "delta")))
-    // The reference's legacy escape hatch over a PLAIN path (not the s3
-    // glob convertReadParquet already rewrites) is a straight parquet read.
-    val pq = Engine.executeQuery(spark,
-      s"SELECT COUNT(*) AS n FROM read_parquet('$sf0001/region.parquet')", cfg)
-    assert(pq.rows.head.head == 5L)
-    // Binders fire only after validation: a mutation using the function
-    // still dies at the guard, with no view bound as a side effect.
-    val err = intercept[Engine.EngineError](Engine.executeQuery(spark,
-      s"DELETE FROM read_csv('$dir/t.csv')", cfg))
-    assert(err.status == 400)
-    // A commented-out reader must neither rewrite nor bind (no IO for a
-    // missing file), and a data literal naming one is untouched.
-    val commented = Engine.executeQuery(spark,
-      "SELECT 1 AS ok -- read_csv('/no/such/file.csv')", cfg)
-    assert(commented.rows == Seq(Seq(1)))
-    val literal = Engine.executeQuery(spark,
-      "SELECT 'see read_csv(\"f\")' AS note", cfg)
-    assert(literal.rows == Seq(Seq("see read_csv(\"f\")")))
+    withFlatFileRoots(s"$dir,$sf0001") {
+      val csv = Engine.executeQuery(spark,
+        s"SELECT id, name FROM read_csv('$dir/t.csv') ORDER BY id", cfg)
+      assert(csv.rows.map(_.toList) == Seq(List(1, "alpha"), List(2, "beta")))
+      val json = Engine.executeQuery(spark,
+        s"SELECT id, name FROM read_json_auto('$dir/t.jsonl') ORDER BY id", cfg)
+      assert(json.rows.map(_.toList) == Seq(List(3L, "gamma"), List(4L, "delta")))
+      // The reference's legacy escape hatch over a PLAIN path (not the s3
+      // glob convertReadParquet already rewrites) is a straight parquet read.
+      val pq = Engine.executeQuery(spark,
+        s"SELECT COUNT(*) AS n FROM read_parquet('$sf0001/region.parquet')", cfg)
+      assert(pq.rows.head.head == 5L)
+      // Binders fire only after validation: a mutation using the function
+      // still dies at the guard, with no view bound as a side effect.
+      val err = intercept[Engine.EngineError](Engine.executeQuery(spark,
+        s"DELETE FROM read_csv('$dir/t.csv')", cfg))
+      assert(err.status == 400)
+      // A commented-out reader must neither rewrite nor bind (no IO for a
+      // missing file), and a data literal naming one is untouched.
+      val commented = Engine.executeQuery(spark,
+        "SELECT 1 AS ok -- read_csv('/no/such/file.csv')", cfg)
+      assert(commented.rows == Seq(Seq(1)))
+      val literal = Engine.executeQuery(spark,
+        "SELECT 'see read_csv(\"f\")' AS note", cfg)
+      assert(literal.rows == Seq(Seq("see read_csv(\"f\")")))
+    }
+  }
+
+  test("flat-file readers are gated: off by default, root-scoped when enabled") {
+    val dir = tmpDir("engine_flat_gate")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id\n1\n".getBytes("UTF-8"))
+    // Disabled by default: a clear 400 naming the enabling switch, and
+    // NO file IO (the rejection happens at plan time).
+    val off = intercept[Engine.EngineError](Engine.executeQuery(spark,
+      s"SELECT * FROM read_csv('$dir/t.csv')", cfg))
+    assert(off.status == 400 && off.detail.contains("disabled"))
+    // Enabled for one root: reads under it succeed, paths outside it —
+    // including `..` traversal back out — are rejected.
+    withFlatFileRoots(dir) {
+      val ok = Engine.executeQuery(spark, s"SELECT * FROM read_csv('$dir/t.csv')", cfg)
+      assert(ok.rows == Seq(Seq(1)))
+      val outside = intercept[Engine.EngineError](Engine.executeQuery(spark,
+        "SELECT * FROM read_csv('/etc/passwd')", cfg))
+      assert(outside.status == 400 && outside.detail.contains("outside"))
+      val traversal = intercept[Engine.EngineError](Engine.executeQuery(spark,
+        s"SELECT * FROM read_csv('$dir/../../../etc/passwd')", cfg))
+      assert(traversal.status == 400 && traversal.detail.contains("outside"))
+      // A sibling whose name merely EXTENDS the root is not under it.
+      val sibling = intercept[Engine.EngineError](Engine.executeQuery(spark,
+        s"SELECT * FROM read_csv('${dir}_evil/t.csv')", cfg))
+      assert(sibling.status == 400 && sibling.detail.contains("outside"))
+    }
+    // '*' restores the reference's unrestricted behavior explicitly.
+    withFlatFileRoots("*") {
+      val all = Engine.executeQuery(spark, s"SELECT * FROM read_csv('$dir/t.csv')", cfg)
+      assert(all.rows == Seq(Seq(1)))
+    }
+  }
+
+  test("duckdb len works on strings AND lists; bracket slices on both too") {
+    // len: string length for varchar, cardinality for lists — the
+    // type-dispatching DuckLen registration, not a blind rename.
+    val r = Engine.executeQuery(spark,
+      "SELECT len('abcde') AS ls, len(string_split('a,b,c', ',')) AS ll", cfg)
+    assert(r.rows == Seq(Seq(5, 3)))
+    // a[i:j] is 1-based and inclusive on both ends, like DuckDB; the
+    // rewrite targets identifier bases (column refs), arrays and strings
+    // both dispatching through duck_slice.
+    val s = Engine.executeQuery(spark,
+      "SELECT a[2:3] AS mid, t[2:4] AS sub, a[3:] AS tl " +
+        "FROM (SELECT string_split('a,b,c,d', ',') AS a, 'abcdef' AS t)", cfg)
+    assert(s.rows == Seq(Seq(Seq("b", "c"), "bcd", Seq("c", "d"))))
   }
 }
