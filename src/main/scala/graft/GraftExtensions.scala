@@ -41,8 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
       (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))
     ext.injectFunction((
-      FunctionIdentifier("len"),
-      new ExpressionInfo(classOf[graft.functions.DuckLen].getName, "len"),
+      FunctionIdentifier("duck_len"),
+      new ExpressionInfo(classOf[graft.functions.DuckLen].getName, "duck_len"),
       (exprs: Seq[Expression]) => graft.functions.DuckCompat.lenForArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("duck_slice"),

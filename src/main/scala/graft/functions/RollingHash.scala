@@ -51,19 +51,25 @@ object RollingHash {
 /** SQL registration for graft's custom expressions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_shingles", NgramShingles.forArgs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_hashes", WinnowHashes.forArgs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_dot_long", SortedDotLong.forArgs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "len", DuckCompat.lenForArgs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "duck_slice", DuckCompat.sliceForArgs, "built-in")
+    // Skip names already present: `newSession()` clones the parent's
+    // registry, so a blind createOrReplace on every gateway request would
+    // log a "function replaced" warning per query for the same builder.
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val fr = spark.sessionState.functionRegistry
+      if (!fr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        fr.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    reg("rolling_hash", exprs => RollingHash(exprs.head))
+    reg("vec_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    reg("ngram_shingles", NgramShingles.forArgs)
+    reg("winnow_hashes", WinnowHashes.forArgs)
+    reg("sorted_dot_long", SortedDotLong.forArgs)
+    // Named duck_len, not len: Spark 4 ships a string-only `len` builtin
+    // (alias of length), and overriding it per session would both shadow
+    // a builtin and log a "function replaced" warning on every gateway
+    // request. The dialect pre-pass renames DuckDB's len calls to
+    // duck_len instead.
+    reg("duck_len", DuckCompat.lenForArgs)
+    reg("duck_slice", DuckCompat.sliceForArgs)
   }
 }

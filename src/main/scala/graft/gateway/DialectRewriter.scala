@@ -344,10 +344,13 @@ object DialectRewriter {
     */
   private val DuckRenames: Map[String, String] = Map(
     "unnest" -> "explode",
-    // `len` is deliberately NOT renamed: DuckDB's len is string length AND
-    // list cardinality, which no single Spark builtin covers. The gateway
-    // registers graft.functions.DuckLen as `len` per session (Engine), a
-    // RuntimeReplaceable that dispatches on the resolved argument type.
+    // DuckDB's len is string length AND list cardinality; Spark's own
+    // `len` builtin is string-only, so a rename to it (or to `length`)
+    // breaks len(list_col). The target is graft's duck_len
+    // (functions.DuckLen, registered per gateway session by Engine), a
+    // RuntimeReplaceable dispatching on the resolved argument type —
+    // identical to the builtin for strings, Size for arrays/maps.
+    "len" -> "duck_len",
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "generate_series" -> "sequence",

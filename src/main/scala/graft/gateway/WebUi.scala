@@ -53,6 +53,7 @@ object WebUi {
       |  <label>Endpoint <input id="endpoint" value="http://localhost:9000"></label>
       |  <label>Access key <input id="accessKey"></label>
       |  <label>Secret key <input id="secretKey" type="password"></label>
+      |  <label>Session token (STS, optional) <input id="sessionToken" type="password"></label>
       |  <label>Region <input id="region" value="us-east-1"></label>
       |  <label>Table path (s3://...) <input id="tablePath"></label>
       |  <p>
@@ -60,8 +61,12 @@ object WebUi {
       |    <button id="demoBtn">Load demo</button>
       |  </p>
       |  <div id="connStatus"></div>
+      |  <h1>Recent connections</h1>
+      |  <div id="recent"></div>
       |  <h1>Sample queries</h1>
       |  <div id="samples"></div>
+      |  <h1>Query history</h1>
+      |  <div id="history"></div>
       |</aside>
       |<main>
       |  <div class="editor">
@@ -125,8 +130,60 @@ object WebUi {
       |  // by iceberg_scan('<local path>') in the SQL instead.
       |  const tp = $('tablePath').value;
       |  if (tp && tp.startsWith('s3://')) c.tablePath = tp;
+      |  // STS temporary credentials ride along only when present, like the
+      |  // reference's optional session-token field.
+      |  if ($('sessionToken').value) c.sessionToken = $('sessionToken').value;
       |  return c;
       |}
+      |// Query history + recent connections, localStorage-backed like the
+      |// reference frontend. Credentials NEVER land in localStorage: recent
+      |// connections keep only the addressable parts (type, endpoint,
+      |// region, table path) — keys and tokens must be re-entered.
+      |function listButtons(el, items) {
+      |  el.replaceChildren(...items.map(([label, title, fn]) => {
+      |    const b = document.createElement('button');
+      |    b.textContent = label; b.title = title;
+      |    b.style.cssText = 'display:block;margin:2px 0;width:100%;text-align:left;' +
+      |      'overflow:hidden;text-overflow:ellipsis;white-space:nowrap';
+      |    b.onclick = fn;
+      |    return b;
+      |  }));
+      |}
+      |function loadHistory() {
+      |  const h = JSON.parse(localStorage.getItem('graftQueryHistory') || '[]');
+      |  listButtons($('history'), h.slice(0, 10).map(item =>
+      |    [item.query, new Date(item.timestamp).toLocaleString() + '\n' + item.query,
+      |      () => setSql(item.query)]));
+      |}
+      |function addHistory(q) {
+      |  const h = JSON.parse(localStorage.getItem('graftQueryHistory') || '[]')
+      |    .filter(i => i.query !== q);
+      |  h.unshift({ query: q, timestamp: Date.now() });
+      |  if (h.length > 20) h.length = 20;
+      |  localStorage.setItem('graftQueryHistory', JSON.stringify(h));
+      |  loadHistory();
+      |}
+      |function loadRecent() {
+      |  const r = JSON.parse(localStorage.getItem('graftRecentConnections') || '[]');
+      |  listButtons($('recent'), r.map(c =>
+      |    [c.storageType.toUpperCase() + ': ' + c.endpoint,
+      |      new Date(c.timestamp).toLocaleString(),
+      |      () => {
+      |        $('storageType').value = c.storageType; $('endpoint').value = c.endpoint;
+      |        if (c.region) $('region').value = c.region;
+      |        $('tablePath').value = c.tablePath || '';
+      |      }]));
+      |}
+      |function addRecent(c) {
+      |  const r = JSON.parse(localStorage.getItem('graftRecentConnections') || '[]')
+      |    .filter(x => x.endpoint !== c.endpoint);
+      |  r.unshift({ storageType: c.storageType, endpoint: c.endpoint,
+      |    region: c.region, tablePath: c.tablePath || '', timestamp: Date.now() });
+      |  if (r.length > 5) r.length = 5;
+      |  localStorage.setItem('graftRecentConnections', JSON.stringify(r));
+      |  loadRecent();
+      |}
+      |loadHistory(); loadRecent();
       |async function api(path, body) {
       |  const r = await fetch(path, { method: 'POST',
       |    headers: { 'Content-Type': 'application/json' }, body: JSON.stringify(body) });
@@ -151,6 +208,7 @@ object WebUi {
       |  try {
       |    render(await api('/api/query',
       |      { sql: $('sql').value, connection: conn(), rowLimit: +$('rowLimit').value }));
+      |    addHistory($('sql').value); addRecent(conn());
       |  } catch (e) { $('error').textContent = e.message; }
       |};
       |$('formatBtn').onclick = async () => {
@@ -176,6 +234,7 @@ object WebUi {
       |    const j = await api('/api/connect/test', { connection: conn() });
       |    $('connStatus').textContent = j.message + (j.tableInfo ? ' — ' + j.tableInfo.path : '');
       |    if (j.tableInfo && j.tableInfo.suggestedQuery) setSql(j.tableInfo.suggestedQuery);
+      |    addRecent(conn());
       |  } catch (e) { $('connStatus').textContent = e.message; }
       |};
       |$('demoBtn').onclick = async () => {

@@ -59,11 +59,11 @@ class DialectRewriterSpec extends AnyFunSuite {
   }
 
   test("duckdb function renames: len, list_transform, list_filter, generate_series") {
-    // len is NOT renamed: DuckDB's len covers strings AND lists, so the
-    // gateway resolves it via the type-dispatching DuckLen registration
-    // (a rename to `length` would break len(list_col) with an error
-    // naming a function the user never wrote).
-    assert(duck("SELECT len(x) FROM t") == "SELECT len(x) FROM t")
+    // len renames to graft's duck_len (type-dispatching DuckLen), not to
+    // Spark's string-only `len`/`length` builtins — a blind rename there
+    // would break len(list_col) with an error naming a function the user
+    // never wrote.
+    assert(duck("SELECT len(x) FROM t") == "SELECT duck_len(x) FROM t")
     assert(duck("SELECT LIST_TRANSFORM(a, x -> x + 1) FROM t") ==
       "SELECT transform(a, x -> x + 1) FROM t")
     assert(duck("SELECT list_filter(a, x -> x > 0) FROM t") ==

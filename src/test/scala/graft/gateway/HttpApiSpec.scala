@@ -68,6 +68,15 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     // an offline deployment).
     assert(!html.contains("https://"))
     assert(!html.contains("<script src") && !html.contains("<link"))
+    // Reference-parity affordances: the STS session-token input posts
+    // through conn(), and query history / recent connections persist in
+    // localStorage (credentials excluded — only addressable fields are
+    // stored).
+    assert(html.contains("id=\"sessionToken\"")
+      && html.contains("c.sessionToken = $('sessionToken').value"))
+    assert(html.contains("graftQueryHistory") && html.contains("graftRecentConnections"))
+    assert(html.contains("id=\"history\"") && html.contains("id=\"recent\""))
+    assert(!html.contains("secretKey: c.secretKey")) // nothing persists secrets
   }
 
   test("GET /health returns engine version") {
@@ -87,6 +96,23 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(o.get("rows").exists { case JArr(rows) => rows.length == 3; case _ => false })
     assert(o.get("truncated").contains(JBool(true)))
     assert(o.obj("stats").flatMap(_.get("rowsReturned")).contains(JNum(BigDecimal(3))))
+  }
+
+  test("POST /api/query accepts STS temporary credentials (sessionToken)") {
+    // The UI's connection form posts sessionToken when present; the whole
+    // chain (JSON parse -> ConnectionConfig -> validation -> session
+    // settings) must accept it — S3A would consume it as the temporary-
+    // credentials provider's token on a real deployment.
+    val stsConn =
+      """{"storageType":"s3","endpoint":"https://s3.amazonaws.com",
+        |"accessKey":"AKIDEXAMPLE","secretKey":"s",
+        |"sessionToken":"FwoGZXIvYXdzEBYaDEXAMPLETOKEN123"}""".stripMargin
+    val sql = s"SELECT r_name FROM parquet.`$sf0001/region.parquet` ORDER BY r_name LIMIT 1"
+    val r = post("/api/query", s"""{"sql":"$sql","connection":$stsConn}""")
+    assert(r.statusCode() == 200)
+    assert(obj(r).get("rows").exists {
+      case JArr(rows) => rows == Vector(JArr(Vector(JStr("AFRICA")))); case _ => false
+    })
   }
 
   test("POST /api/query rejects mutations with 400 + detail") {
