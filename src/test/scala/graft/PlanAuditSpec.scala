@@ -170,4 +170,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("map_entries"), "interpreted map fold reappeared")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("approx-stats verdicts avoid the multi-distinct Expand blowup") {
+    // p21 computes two exact distinct counts and the sketch verdicts as
+    // SEPARATE 1-row aggregates cross-joined: folding them into one agg
+    // makes Catalyst's multi-distinct rewrite Expand-replicate the scan
+    // 4x and push the sketch buffers through it (5x slower measured).
+    // The Expand node reappearing means someone re-fused the aggregates.
+    val p = plan("p21_approx_stats")
+    assert(!p.contains("Expand"), p.linesIterator.take(12).mkString("\n"))
+    // The 1-row relations join as broadcasts; the corpus scan must never
+    // be on the build side of anything.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
 }
