@@ -366,6 +366,52 @@ object TextOps {
     merges.result().toDF("step", "p1", "p2", "cnt")
   }
 
+  /** BPE ENCODE — the tokenizer-APPLY step that completes the BPE story
+    * ([[bpePairCounts]] counts one pass, [[bpeMerges]] trains the merge
+    * table, this tokenizes the corpus with it): every doc's words are
+    * re-segmented by the trained merges in training order and the per-doc
+    * token count reported — the number a token-budget mixer or sequence
+    * packer actually consumes after tokenizer training.
+    *
+    * Scale shape: training collapses the corpus to the vocabulary once
+    * ([[bpeMerges]]; the merge table itself is `nMerges` rows on the
+    * driver); encoding is then ONE map-only pass with no shuffle — each
+    * word is separator-framed (every piece as  piece , so a
+    * literal replace of a framed pair is exactly BPE's left-to-right
+    * non-overlapping merge scan, safe under adjacent repeats because a
+    * match consumes BOTH frames and emits one), the M merges apply as M
+    * chained codegen'd replaces, and the token count is the count of
+    * piece terminators. Words keep all non-empty tokens (training's
+    * length>=2 filter applies to LEARNING, not encoding; a single-char
+    * word is one token).
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val F = "\u001F" // unit separator: frames each piece start
+    val E = "\u001E" // record separator: frames each piece end
+    val merges = bpeMerges(docs, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def frame(w: Column): Column = array_join(
+      transform(sequence(lit(1), length(w)),
+        i => concat(lit(F), w.substr(i, lit(1)), lit(E))), "")
+    def applyMerges(enc: Column): Column = merges.foldLeft(enc) {
+      case (c, (p1, p2)) =>
+        regexp_replace(c,
+          lit(java.util.regex.Pattern.quote(F + p1 + E + F + p2 + E)),
+          lit(java.util.regex.Matcher.quoteReplacement(F + p1 + p2 + E)))
+    }
+    // Token count = occurrences of the piece terminator; translate drops
+    // every U+001E so the length delta counts them (codegen'd, no split).
+    def nPieces(enc: Column): Column =
+      (length(enc) - length(translate(enc, E, ""))).cast("long")
+    val toks = filter(words(lower(col("text"))), w => w =!= "")
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L),
+        (acc, w) => acc + nPieces(applyMerges(frame(w)))).as("n_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * char k-gram, then keep the MINIMUM hash of each w-window of
     * consecutive positions — the guarantee is that any match of length

@@ -87,6 +87,34 @@ object PipelineOps {
       |cb AS (SELECT cb0.cs, cb0.j, COALESCE(cbm.cv, cb0.cv) AS cv
       |  FROM cb0 LEFT JOIN cbm ON cb0.cs = cbm.cs AND cb0.j = cbm.j)""".stripMargin
 
+  /** BPE training CTE chain (shared by p62 merges + p70 encode): corpus →
+    * (word, freq) vocabulary, char-level framed segmentation (each piece
+    * as chr(31) piece chr(30), so a framed-pair replace() is exactly
+    * BPE's left-to-right non-overlapping merge scan), then 3 unrolled
+    * greedy iterations — pairsN counts over the current segmentation,
+    * topN the (count desc, pair asc) winner, segN the re-segmentation.
+    */
+  private val bpeTrainCtes: String =
+    ("""vocab AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY 1),
+      |seg0 AS (SELECT freq, array_to_string(list_transform(generate_series(1, length(word)),
+      |    i -> chr(31) || substr(word, i, 1) || chr(30)), '') AS enc FROM vocab),
+      |""" + (1 to 3).map { n =>
+      s"""pairs$n AS (
+      |  SELECT p.p1 AS p1, p.p2 AS p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(generate_series(1, len(pcs) - 1),
+      |      i -> {'p1': pcs[i], 'p2': pcs[i+1]})) AS p
+      |    FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2),
+      |        chr(30) || chr(31)) AS pcs FROM seg${n - 1})
+      |  ) GROUP BY 1, 2),
+      |top$n AS (SELECT p1, p2, cnt FROM pairs$n ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      |seg$n AS (SELECT freq, replace(enc,
+      |    (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top$n),
+      |    (SELECT chr(31) || p1 || p2 || chr(30) FROM top$n)) AS enc FROM seg${n - 1})"""
+    }.mkString(",\n")).stripMargin
+
   private val embCtes =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
@@ -1259,29 +1287,48 @@ object PipelineOps {
     // never re-merges).
     Q.df(
       "p62_bpe_merges",
-      ("""WITH vocab AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-        |  WHERE length(word) >= 2 GROUP BY 1),
-        |seg0 AS (SELECT freq, array_to_string(list_transform(generate_series(1, length(word)),
-        |    i -> chr(31) || substr(word, i, 1) || chr(30)), '') AS enc FROM vocab),
-        |""" + (1 to 3).map { n =>
-        s"""pairs$n AS (
-        |  SELECT p.p1 AS p1, p.p2 AS p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(generate_series(1, len(pcs) - 1),
-        |      i -> {'p1': pcs[i], 'p2': pcs[i+1]})) AS p
-        |    FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2),
-        |        chr(30) || chr(31)) AS pcs FROM seg${n - 1})
-        |  ) GROUP BY 1, 2),
-        |top$n AS (SELECT p1, p2, cnt FROM pairs$n ORDER BY cnt DESC, p1, p2 LIMIT 1),
-        |seg$n AS (SELECT freq, replace(enc,
-        |    (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top$n),
-        |    (SELECT chr(31) || p1 || p2 || chr(30) FROM top$n)) AS enc FROM seg${n - 1})"""
-      }.mkString(",\n") + """
+      ("WITH " + bpeTrainCtes + """
         |SELECT CAST(1 AS INT) AS step, p1, p2, cnt FROM top1
         |UNION ALL SELECT CAST(2 AS INT), p1, p2, cnt FROM top2
         |UNION ALL SELECT CAST(3 AS INT), p1, p2, cnt FROM top3""").stripMargin) { (s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), 3)
+    },
+
+    // BPE ENCODE — the tokenizer-apply step closing the loop on p53/p62:
+    // the corpus is re-tokenized by the merge table just trained on it
+    // and per-doc post-BPE token counts reported (what a token-budget
+    // mixer or packer consumes after tokenizer training). Same framed-
+    // piece replace() technique as the training oracle, applied per WORD
+    // of every document this time; the merge strings ride along as
+    // columns from a 1-row CTE (scalar subqueries can't appear inside
+    // DuckDB lambdas). Spark side is one map-only pass: M chained
+    // codegen'd replaces per word, token count = piece-terminator count
+    // via translate, summed by a row-local fold — no shuffle beyond the
+    // training's own vocabulary collapse.
+    Q.df(
+      "p70_bpe_encode",
+      ("WITH " + bpeTrainCtes + """,
+        |m AS (SELECT
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top1) AS f1,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top1) AS t1,
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top2) AS f2,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top2) AS t2,
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top3) AS f3,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top3) AS t3),
+        |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(toks) AS n_words,
+        |  list_transform(toks, w -> array_to_string(list_transform(generate_series(1, length(w)),
+        |    i -> chr(31) || substr(w, i, 1) || chr(30)), '')) AS encs
+        |  FROM d),
+        |r AS (SELECT doc_id, n_words,
+        |  list_transform(encs, s -> replace(replace(replace(s, f1, t1), f2, t2), f3, t3)) AS encs
+        |  FROM e CROSS JOIN m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(encs,
+        |    s -> length(s) - length(replace(s, chr(30), '')))), 0) AS BIGINT) AS n_tokens
+        |FROM r""").stripMargin) { (s, dir) =>
+      TextOps.bpeEncode(t(s, dir, "documents"), 3)
     },
 
     // Winnowing fingerprints: per-position char-8-gram hashes, keep each

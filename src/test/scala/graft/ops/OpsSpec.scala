@@ -795,6 +795,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == expect, s"got ${got.toSeq}, want $expect")
   }
 
+  test("bpe encode matches an independent single-node tokenizer apply") {
+    // Reference apply: train 3 merges (same algorithm the merges test
+    // validated), then tokenize EVERY non-empty word of every doc —
+    // including the length-1 words training excludes — by the same
+    // left-to-right non-overlapping scan, in merge order.
+    val merges = TextOps.bpeMerges(docs, 3).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var pieces: Seq[String] = w.map(_.toString)
+      merges.foreach { case (p1, p2) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        pieces.foreach { x =>
+          if (out.nonEmpty && out.last == p1 && x == p2) out(out.length - 1) = p1 + p2
+          else out += x
+        }
+        pieces = out.toSeq
+      }
+      pieces.length
+    }
+    val collected = docs.collect()
+    val expect = collected.map { r =>
+      val toks = r.getAs[String]("text").toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      (r.getAs[Long]("doc_id"), toks.length.toLong, toks.map(encode(_).toLong).sum)
+    }.sortBy(_._1)
+    val got = TextOps.bpeEncode(docs, 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+    // Merging must actually compress: fewer tokens than word characters,
+    // never fewer than one token per word.
+    got.foreach { case (_, nWords, nTokens) => assert(nTokens >= nWords) }
+    val totalWordChars = collected
+      .map(_.getAs[String]("text").toLowerCase.count(_ != ' ').toLong).sum
+    assert(got.map(_._3).sum < totalWordChars)
+  }
+
   test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
     import spark.implicits._
     val shared = "zqxwvutsrqponml" // 15 chars >= w + k - 1 = 11
