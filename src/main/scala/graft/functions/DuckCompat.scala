@@ -35,16 +35,19 @@ case class DuckSlice(child: Expression, from: Expression, to: Expression)
     extends RuntimeReplaceable {
   override def children: Seq[Expression] = Seq(child, from, to)
   override lazy val replacement: Expression = {
+    // DuckDB treats a 0 lower bound as "from the start" (x[0:2] == x[1:2]);
+    // Spark's Slice errors on start=0, so clamp before dispatching.
+    val start = Greatest(Seq(Cast(from, IntegerType), Literal(1)))
     val len = Cast(
       Least(Seq(
         Literal(Int.MaxValue.toLong),
         Greatest(Seq(
           Literal(0L),
-          Add(Subtract(Cast(to, LongType), Cast(from, LongType)), Literal(1L)))))),
+          Add(Subtract(Cast(to, LongType), Cast(start, LongType)), Literal(1L)))))),
       IntegerType)
     child.dataType match {
-      case _: ArrayType => Slice(child, from, len)
-      case _ => Substring(child, from, len)
+      case _: ArrayType => Slice(child, start, len)
+      case _ => Substring(child, start, len)
     }
   }
   override def prettyName: String = "duck_slice"

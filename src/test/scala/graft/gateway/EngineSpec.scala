@@ -243,8 +243,9 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     // rewrite targets identifier bases (column refs), arrays and strings
     // both dispatching through duck_slice.
     val s = Engine.executeQuery(spark,
-      "SELECT a[2:3] AS mid, t[2:4] AS sub, a[3:] AS tl " +
+      "SELECT a[2:3] AS mid, t[2:4] AS sub, a[3:] AS tl, a[0:2] AS z " +
         "FROM (SELECT string_split('a,b,c,d', ',') AS a, 'abcdef' AS t)", cfg)
-    assert(s.rows == Seq(Seq(Seq("b", "c"), "bcd", Seq("c", "d"))))
+    // a[0:2]: DuckDB treats a 0 lower bound as "from the start".
+    assert(s.rows == Seq(Seq(Seq("b", "c"), "bcd", Seq("c", "d"), Seq("a", "b"))))
   }
 }
