@@ -90,7 +90,8 @@ object Bench {
     // is judged on steady-state while cold carries the round-over-round
     // trend. Default 2 so the official driver artifact records the pair
     // in one invocation; set 1 for the quickest dev loop.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { i =>
         val t0 = System.nanoTime()

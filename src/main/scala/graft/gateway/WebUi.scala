@@ -139,6 +139,13 @@ object WebUi {
       |// reference frontend. Credentials NEVER land in localStorage: recent
       |// connections keep only the addressable parts (type, endpoint,
       |// region, table path) — keys and tokens must be re-entered.
+      |// A corrupted stored value must not kill the whole script at
+      |// startup — fall back to empty and let the next write repair it.
+      |function readStore(key) {
+      |  try { const v = JSON.parse(localStorage.getItem(key) || '[]');
+      |    return Array.isArray(v) ? v : []; }
+      |  catch (e) { return []; }
+      |}
       |function listButtons(el, items) {
       |  el.replaceChildren(...items.map(([label, title, fn]) => {
       |    const b = document.createElement('button');
@@ -150,21 +157,20 @@ object WebUi {
       |  }));
       |}
       |function loadHistory() {
-      |  const h = JSON.parse(localStorage.getItem('graftQueryHistory') || '[]');
+      |  const h = readStore('graftQueryHistory');
       |  listButtons($('history'), h.slice(0, 10).map(item =>
       |    [item.query, new Date(item.timestamp).toLocaleString() + '\n' + item.query,
       |      () => setSql(item.query)]));
       |}
       |function addHistory(q) {
-      |  const h = JSON.parse(localStorage.getItem('graftQueryHistory') || '[]')
-      |    .filter(i => i.query !== q);
+      |  const h = readStore('graftQueryHistory').filter(i => i.query !== q);
       |  h.unshift({ query: q, timestamp: Date.now() });
       |  if (h.length > 20) h.length = 20;
       |  localStorage.setItem('graftQueryHistory', JSON.stringify(h));
       |  loadHistory();
       |}
       |function loadRecent() {
-      |  const r = JSON.parse(localStorage.getItem('graftRecentConnections') || '[]');
+      |  const r = readStore('graftRecentConnections');
       |  listButtons($('recent'), r.map(c =>
       |    [c.storageType.toUpperCase() + ': ' + c.endpoint,
       |      new Date(c.timestamp).toLocaleString(),
@@ -175,8 +181,7 @@ object WebUi {
       |      }]));
       |}
       |function addRecent(c) {
-      |  const r = JSON.parse(localStorage.getItem('graftRecentConnections') || '[]')
-      |    .filter(x => x.endpoint !== c.endpoint);
+      |  const r = readStore('graftRecentConnections').filter(x => x.endpoint !== c.endpoint);
       |  r.unshift({ storageType: c.storageType, endpoint: c.endpoint,
       |    region: c.region, tablePath: c.tablePath || '', timestamp: Date.now() });
       |  if (r.length > 5) r.length = 5;
