@@ -1153,6 +1153,51 @@ object PipelineOps {
       Dedup.editDistancePairs(t(s, dir, "documents"), 40, 200)
     },
 
+    // Supervised probe TRAINING (the step before p56's scoring): one
+    // full-batch gradient-descent step of a linear probe predicting
+    // English membership from integer text features. Label and features
+    // are integers, weights/lr exact decimals, no division anywhere —
+    // residuals, gradient sums, and updated weights are exact decimal
+    // arithmetic (order-independent, unlike double sums) and reproduce
+    // bit-identically in any engine; only the output casts to double.
+    // Gradient sums re-cast to DECIMAL(24,6) before the lr product so no
+    // intermediate exceeds decimal(38) in either engine. One map-side-
+    // combinable aggregate — a gradient step at 100 TB is a single scan.
+    Q.df(
+      "p71_linear_probe_step",
+      """WITH f AS (SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','and','to'))) AS x1,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('le','la','les','de','et'))) AS x2,
+        |    len(string_split(lower(text), ' ')) AS x3
+        |  FROM documents),
+        |r AS (SELECT y, x1, x2, x3,
+        |    CAST(0.010000 AS DECIMAL(12,6)) + CAST(0.020000 AS DECIMAL(12,6)) * x1
+        |      + CAST(-0.010000 AS DECIMAL(12,6)) * x2
+        |      + CAST(0.000100 AS DECIMAL(12,6)) * x3 - y AS res
+        |  FROM f),
+        |g AS (SELECT
+        |    CAST(SUM(res) AS DECIMAL(24,6)) AS g0,
+        |    CAST(SUM(res * x1) AS DECIMAL(24,6)) AS g1,
+        |    CAST(SUM(res * x2) AS DECIMAL(24,6)) AS g2,
+        |    CAST(SUM(res * x3) AS DECIMAL(24,6)) AS g3
+        |  FROM r),
+        |w AS (SELECT * FROM (VALUES
+        |    (0, CAST(0.010000 AS DECIMAL(12,6))),
+        |    (1, CAST(0.020000 AS DECIMAL(12,6))),
+        |    (2, CAST(-0.010000 AS DECIMAL(12,6))),
+        |    (3, CAST(0.000100 AS DECIMAL(12,6)))) AS t(k, w0))
+        |SELECT CAST(w.k AS INT) AS k,
+        |  CAST(w.w0 AS DOUBLE) AS w_before,
+        |  CAST(CASE w.k WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2 ELSE g3 END AS DOUBLE) AS grad,
+        |  CAST(w.w0 - CAST(0.000000001 AS DECIMAL(10,9))
+        |    * (CASE w.k WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2 ELSE g3 END) AS DOUBLE) AS w_after
+        |FROM w CROSS JOIN g""".stripMargin) { (s, dir) =>
+      graft.ops.Probe.linearProbeStep(t(s, dir, "documents"))
+    },
+
     // Feature-hashing linear classifier (fastText-style quality-filter
     // shape): hashing-trick bucket weights summed per doc, mean weight as
     // the score. Map-only; deterministic stand-in weights make the score

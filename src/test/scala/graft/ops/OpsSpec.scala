@@ -830,6 +830,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._3).sum < totalWordChars)
   }
 
+  test("linear probe gradient step matches an exact BigDecimal reimplementation") {
+    val w0 = Seq("0.010000", "0.020000", "-0.010000", "0.000100").map(BigDecimal(_))
+    val lr = BigDecimal("0.000000001")
+    val stopsEn = Set("the", "a", "of", "and", "to")
+    val stopsFr = Set("le", "la", "les", "de", "et")
+    var g = Array.fill(4)(BigDecimal(0))
+    docs.collect().foreach { r =>
+      val toks = r.getAs[String]("text").toLowerCase.split(" ", -1)
+      val y = if (r.getAs[String]("lang") == "en") 1 else 0
+      val x = Array(BigDecimal(1),
+        BigDecimal(toks.count(stopsEn)), BigDecimal(toks.count(stopsFr)),
+        BigDecimal(toks.length))
+      val res = w0.zip(x).map { case (wi, xi) => wi * xi }.sum - y
+      (0 to 3).foreach(k => g(k) += res * x(k))
+    }
+    val expect = (0 to 3).map(k =>
+      (k, w0(k).toDouble, g(k).toDouble, (w0(k) - lr * g(k)).toDouble))
+    val got = graft.ops.Probe.linearProbeStep(docs).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nwant $expect")
+  }
+
   test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
     import spark.implicits._
     val shared = "zqxwvutsrqponml" // 15 chars >= w + k - 1 = 11
