@@ -171,6 +171,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("probe gradient step is one partial-combinable aggregate pass") {
+    // The 100 TB claim for probe training is "a gradient step is a single
+    // scan": one hash aggregate with map-side partials, no window, no
+    // join, no second pass over the corpus.
+    val p = plan("p71_linear_probe_step")
+    assert(p.contains("partial"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // Exactly one aggregation (partial+final pair), not one per coefficient.
+    assert(p.linesIterator.count(_.contains("HashAggregate")) <= 2, p)
+  }
+
   test("approx-stats verdicts avoid the multi-distinct Expand blowup") {
     // p21 computes two exact distinct counts and the sketch verdicts as
     // SEPARATE 1-row aggregates cross-joined: folding them into one agg
