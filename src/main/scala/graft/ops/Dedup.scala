@@ -196,25 +196,94 @@ object Dedup {
     * band bucket are candidates. Join key is (band index, band value) — a
     * plain hash-partitioned equi-join, linear in corpus size.
     */
-  def minhashLshCandidates(
-      docs: DataFrame, numHashes: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+  /** (doc_id, band) relation: the doc's signature split into `bands`
+    * bucket keys. The band value is ONLY a join key — a native struct of
+    * the band's min-hash longs rather than a concat_ws string (no per-row
+    * string building/hashing; candidate pairs identical either way).
+    */
+  private def bandedSignature(
+      docs: DataFrame, numHashes: Int, bands: Int, n: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(docs, numHashes, n)
-    // The band value is ONLY a join key — keep it a native struct of the
-    // band's min-hash longs rather than a concat_ws string (no per-row
-    // string building/hashing; candidate pairs identical either way).
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(k => col(s"h${b * rowsPerBand + k}").as(s"v$k"))
       struct((lit(b).as("b") +: parts): _*)
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  def minhashLshCandidates(
+      docs: DataFrame, numHashes: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val banded = bandedSignature(docs, numHashes, bands, n)
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
+  }
+
+  /** INCREMENTAL dedup — the production shape: a new crawl batch is
+    * deduplicated against the ALREADY-CURATED corpus without touching the
+    * corpus itself. Per incoming doc: LSH-banded candidates against (a)
+    * the existing corpus and (b) smaller-id incoming docs, each verified
+    * by exact n-gram Jaccard >= threshold; the doc is kept iff it has no
+    * verified duplicate in either set (the non-recursive min-id-keeps
+    * rule every batch operator here uses). Emits EVERY incoming doc with
+    * its duplicate counts and the keep verdict, so the drop reasons are
+    * auditable.
+    *
+    * Scale shape: the existing side contributes only its banded signature
+    * relation and its shingle sets for candidate verification — exactly
+    * the two relations a production pipeline PERSISTS alongside the
+    * corpus (recomputed here for self-containment); the incoming side is
+    * batch-sized. Candidate joins are hash-partitioned equi-joins on the
+    * band key; verification is row-local array_intersect over candidate
+    * pairs only. Pairs naturally with incremental Iceberg reads: the
+    * incoming frame is an `iceberg_changes` snapshot diff.
+    */
+  def incrementalKeep(existing: DataFrame, incoming: DataFrame,
+      numHashes: Int = 8, bands: Int = 4, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val exBand = bandedSignature(existing, numHashes, bands, n)
+      .select(col("doc_id").as("j"), col("band"))
+    val incBand = bandedSignature(incoming, numHashes, bands, n)
+    val candEx = incBand.select(col("doc_id").as("i"), col("band"))
+      .join(exBand, "band").select(col("i"), col("j")).distinct()
+    val candIn = incBand.as("x")
+      .join(incBand.as("y"), col("x.band") === col("y.band") &&
+        col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    def sets(d: DataFrame): DataFrame =
+      shingles(d, n, distinct = false)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("shingle")).as("set"))
+        .select(col("doc_id"), col("set"),
+          size(col("set")).cast("long").as("n_sh"))
+    val exSets = sets(existing)
+    val incSets = sets(incoming)
+    def dupCounts(cand: DataFrame, right: DataFrame): DataFrame = cand
+      .join(incSets.select(
+        col("doc_id").as("i"), col("set").as("sa"), col("n_sh").as("na")), "i")
+      .join(right.select(
+        col("doc_id").as("j"), col("set").as("sb"), col("n_sh").as("nb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
+      .groupBy(col("i")).agg(count(lit(1)).as("nd"))
+    val he = dupCounts(candEx, exSets)
+      .select(col("i").as("doc_id"), col("nd").as("he"))
+    val hi = dupCounts(candIn, incSets)
+      .select(col("i").as("doc_id"), col("nd").as("hi"))
+    incoming.select(col("doc_id"))
+      .join(he, Seq("doc_id"), "left")
+      .join(hi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("he"), lit(0L)).as("n_dup_existing"),
+        coalesce(col("hi"), lit(0L)).as("n_dup_prior"),
+        (coalesce(col("he"), lit(0L)) === 0 &&
+          coalesce(col("hi"), lit(0L)) === 0).as("keep"))
   }
 
   /** 32-bit SimHash from per-word 32-bit hashes (md5-hex prefix -> int).

@@ -35,6 +35,24 @@ object PipelineOps {
        |band AS ($bandSel)""".stripMargin
   }
 
+  /** Parameterized minhash signature + band CTEs over a `<prefix>_sh`
+    * (doc_id, shingle) CTE — the two-relation analog of [[minhashCtes]]
+    * for the incremental-dedup oracle (existing vs incoming sides).
+    */
+  private def minhashCtesFor(prefix: String): String = {
+    val sigCols = (0 until 8).map(s => s"MIN(a1 + $s * a2) AS h$s").mkString(", ")
+    val bandSel = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS b, CAST(h${2 * b} AS VARCHAR) || '|' || " +
+        s"CAST(h${2 * b + 1} AS VARCHAR) AS v FROM ${prefix}_sig")
+      .mkString(" UNION ALL ")
+    s"""${prefix}_hsh AS (SELECT doc_id,
+       |  CAST('0x' || substr(d, 1, 14) AS BIGINT) AS a1,
+       |  CAST('0x' || substr(d, 17, 14) AS BIGINT) AS a2
+       |  FROM (SELECT doc_id, md5(shingle) AS d FROM ${prefix}_sh) z),
+       |${prefix}_sig AS (SELECT doc_id, $sigCols FROM ${prefix}_hsh GROUP BY doc_id),
+       |${prefix}_band AS ($bandSel)""".stripMargin
+  }
+
   private val simhashCtes: String = {
     val sums = (0 until 32)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1196,6 +1214,53 @@ object PipelineOps {
         |    * (CASE w.k WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2 ELSE g3 END) AS DOUBLE) AS w_after
         |FROM w CROSS JOIN g""".stripMargin) { (s, dir) =>
       graft.ops.Probe.linearProbeStep(t(s, dir, "documents"))
+    },
+
+    // INCREMENTAL dedup — the production shape: the doc_id%5=0 slice
+    // plays the incoming crawl batch, the rest the already-curated
+    // corpus. LSH-banded candidates against existing + earlier-incoming,
+    // exact-Jaccard verification, min-id-keeps; every incoming doc is
+    // emitted with its duplicate counts so drop reasons are auditable.
+    // The existing side contributes only its banded signatures + shingle
+    // sets — the relations a production pipeline persists.
+    Q.df(
+      "p72_incremental_dedup",
+      (s"""WITH ${shingleCteN(3, "documents WHERE doc_id % 5 <> 0", "ex_sh")},
+         |${shingleCteN(3, "documents WHERE doc_id % 5 = 0", "inc_sh")},
+         |${minhashCtesFor("ex")},
+         |${minhashCtesFor("inc")},
+         |ex_cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex_sh GROUP BY 1),
+         |inc_cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM inc_sh GROUP BY 1),
+         |cand_ex AS (SELECT DISTINCT a.doc_id AS i, e.doc_id AS j
+         |  FROM inc_band a JOIN ex_band e ON a.b = e.b AND a.v = e.v),
+         |cand_in AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM inc_band a JOIN inc_band c ON a.b = c.b AND a.v = c.v AND c.doc_id < a.doc_id),
+         |int_ex AS (SELECT c.i, c.j, COUNT(*) AS inter FROM cand_ex c
+         |  JOIN inc_sh sa ON sa.doc_id = c.i
+         |  JOIN ex_sh sb ON sb.doc_id = c.j AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |ver_ex AS (SELECT i, COUNT(*) AS nd FROM (
+         |  SELECT x.i FROM int_ex x JOIN inc_cnt ca ON ca.doc_id = x.i
+         |    JOIN ex_cnt cb ON cb.doc_id = x.j
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8) v GROUP BY 1),
+         |int_in AS (SELECT c.i, c.j, COUNT(*) AS inter FROM cand_in c
+         |  JOIN inc_sh sa ON sa.doc_id = c.i
+         |  JOIN inc_sh sb ON sb.doc_id = c.j AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |ver_in AS (SELECT i, COUNT(*) AS nd FROM (
+         |  SELECT x.i FROM int_in x JOIN inc_cnt ca ON ca.doc_id = x.i
+         |    JOIN inc_cnt cb ON cb.doc_id = x.j
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8) v GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ve.nd, 0) AS BIGINT) AS n_dup_existing,
+         |  CAST(COALESCE(vi.nd, 0) AS BIGINT) AS n_dup_prior,
+         |  (COALESCE(ve.nd, 0) = 0 AND COALESCE(vi.nd, 0) = 0) AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN ver_ex ve ON ve.i = d.doc_id
+         |LEFT JOIN ver_in vi ON vi.i = d.doc_id""").stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalKeep(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
     },
 
     // Feature-hashing linear classifier (fastText-style quality-filter

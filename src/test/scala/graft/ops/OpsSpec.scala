@@ -830,6 +830,33 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._3).sum < totalWordChars)
   }
 
+  test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different corpus content about databases and engines at scale")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base), // dup of existing doc 1 -> dropped
+      (11L, "a genuinely novel incoming document with fresh words nobody wrote before"),
+      (12L, "twin incoming payload sentence repeated across the batch exactly verbatim"),
+      (13L, "twin incoming payload sentence repeated across the batch exactly verbatim")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalKeep(existing, incoming)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 4)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(10L)._2 >= 1 && !byId(10L)._4, s"dup-of-existing: ${byId(10L)}")
+    assert(byId(11L) == ((11L, 0L, 0L, true)), s"novel: ${byId(11L)}")
+    // Twin pair: the SMALLER id keeps (no earlier match), the larger drops
+    // with a prior-duplicate count.
+    assert(byId(12L)._3 == 0L && byId(12L)._4, s"first twin keeps: ${byId(12L)}")
+    assert(byId(13L)._3 >= 1 && !byId(13L)._4, s"second twin drops: ${byId(13L)}")
+  }
+
   test("linear probe gradient step matches an exact BigDecimal reimplementation") {
     val w0 = Seq("0.010000", "0.020000", "-0.010000", "0.000100").map(BigDecimal(_))
     val lr = BigDecimal("0.000000001")
