@@ -1263,6 +1263,27 @@ object PipelineOps {
         docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
     },
 
+    // Corpus data-card report: the per-source summary a dataset release
+    // publishes. Integer aggregates + a deterministic dominant-language
+    // argmax (highest count, ties to the smallest code); ratios left to
+    // the reader so no division can diverge across engines.
+    Q.df(
+      "p73_corpus_report",
+      """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |lc AS (SELECT source, lang, COUNT(*) AS ln FROM documents GROUP BY 1, 2),
+        |tl AS (SELECT source, lang AS top_lang FROM (
+        |  SELECT source, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY ln DESC, lang) AS rn FROM lc) x
+        |  WHERE rn = 1)
+        |SELECT t.source, n_docs, n_distinct_texts, n_ws_tokens, n_chars, top_lang
+        |FROM t JOIN tl ON tl.source = t.source""".stripMargin) { (s, dir) =>
+      graft.ops.Report.corpusReport(t(s, dir, "documents"))
+    },
+
     // Feature-hashing linear classifier (fastText-style quality-filter
     // shape): hashing-trick bucket weights summed per doc, mean weight as
     // the score. Map-only; deterministic stand-in weights make the score

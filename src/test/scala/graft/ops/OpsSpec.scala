@@ -830,6 +830,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._3).sum < totalWordChars)
   }
 
+  test("corpus report: exact counts, dup detection, deterministic top language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "en", "web"),
+      (2L, "alpha beta", "en", "web"), // exact dup of 1 within web
+      (3L, "gamma delta epsilon", "fr", "web"),
+      (4L, "zeta", "fr", "books"),
+      (5L, "eta theta", "en", "books") // en/fr tie in books -> 'en' (lexicographic)
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Report.corpusReport(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      ("books", 2L, 2L, 3L, 13L, "en"),
+      ("web", 3L, 2L, 7L, 39L, "en")))
+  }
+
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
