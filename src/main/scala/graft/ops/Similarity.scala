@@ -325,6 +325,37 @@ object Similarity {
         (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
           / size(col("arr"))).as("c"))
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embeddings with the coarse quantizer,
+    * then drop any vector whose WITHIN-CLUSTER cosine to a smaller-id
+    * vector reaches the threshold — paraphrase-level duplication that no
+    * shingle or simhash scheme sees. The min-id survivor rule matches the
+    * exact/MinHash dedup family (the paper keeps the lowest
+    * centroid-similarity example; survivor choice doesn't change WHICH
+    * groups collapse, and min-id keeps the rule engine-reproducible).
+    *
+    * Scale shape — the paper's core trick, preserved: candidate pairs are
+    * generated per CELL (one equi-join on the cell key), so the quadratic
+    * cost is Σ|cell|², not |corpus|²; at 100 TB the cell count grows with
+    * the corpus so cells stay bounded and the join stays linear-ish. The
+    * only corpus-wide ops are the assignment aggregate and one hash
+    * shuffle on cell; the drop-set anti-join is a shuffle on vec_id.
+    * Returns (vec_id, cell) of the survivors.
+    */
+  def semDedupKeep(emb: DataFrame, cells: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    val withCell = normalized(emb).join(ivfAssign(emb, cells), "vec_id")
+    val dropped = withCell.as("a")
+      .join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    withCell.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Same-bucket candidate pairs — the ANN pre-filter at scale. */
   def lshCandidates(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val b = lshBuckets(emb, numPlanes, dim)

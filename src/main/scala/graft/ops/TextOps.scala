@@ -119,6 +119,36 @@ object TextOps {
         count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"))
 
+  /** Integerized unigram-surprisal quality score — the CCNet-style
+    * language-model filter (docs whose tokens are improbable under a
+    * corpus LM are boilerplate/garbage candidates), made cross-engine
+    * bit-exact: a token's surprisal is floor(log2(n_docs / df)) computed
+    * PURELY in integers as `length(bin(n_docs div df)) - 1` (the bit
+    * length of the integer ratio), so no transcendental log ever runs.
+    * Emits (doc_id, n_tokens, surprisal_bits); the mean-bits-per-token
+    * division is left to the reader, like [[graft.ops.Report]].
+    *
+    * Scale shape: token explode → one (doc_id, term) aggregate → df join
+    * keyed on the term → one per-doc aggregate. Both aggregates are
+    * map-side combinable; the df relation is vocabulary-sized, not
+    * corpus-sized, and n_docs is a 1-row broadcast.
+    */
+  def surprisalScore(docs: DataFrame): DataFrame = {
+    val tf = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * (length(bin(expr("n_docs div df"))) - 1))
+          .cast("long").as("surprisal_bits"))
+  }
+
   /** PII scrubbing patterns, written with the portable regex subset ([.]
     * instead of escaped dots, [0-9] instead of perl classes) so one
     * pattern string behaves identically in Spark, DuckDB, and RE2-style

@@ -1284,6 +1284,47 @@ object PipelineOps {
       graft.ops.Report.corpusReport(t(s, dir, "documents"))
     },
 
+    // SemDeDup: paraphrase-level dedup by within-cluster embedding
+    // cosine — cluster with the coarse quantizer, drop any vector with a
+    // smaller-id neighbor at cosine >= 0.35 in its cell, keep the rest.
+    // The oracle replays the identical assignment and pair predicate.
+    Q.df(
+      "p74_semdedup",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM n, cent) x
+         |WHERE r = 1),
+         |wc AS (SELECT n.vec_id, v, nrm, cell FROM n JOIN asg USING (vec_id)),
+         |drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k] * b.v[k])) / (a.nrm * b.nrm) >= 0.35)
+         |SELECT vec_id, cell FROM wc
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin) { (s, dir) =>
+      Similarity.semDedupKeep(t(s, dir, "embeddings"))
+    },
+
+    // Integerized unigram surprisal (CCNet-style LM quality filter):
+    // per-token floor(log2(n_docs/df)) as a pure bit-length, summed per
+    // doc — no transcendental log, so any engine reproduces it exactly.
+    Q.df(
+      "p75_surprisal_score",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf * (length(bin(n_docs // df)) - 1)) AS BIGINT) AS surprisal_bits
+        |FROM tf JOIN dfq USING (word), nd
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.surprisalScore(t(s, dir, "documents"))
+    },
+
     // Feature-hashing linear classifier (fastText-style quality-filter
     // shape): hashing-trick bucket weights summed per doc, mean weight as
     // the score. Map-only; deterministic stand-in weights make the score

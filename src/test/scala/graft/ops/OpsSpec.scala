@@ -847,6 +847,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       ("web", 3L, 2L, 7L, 39L, "en")))
   }
 
+  test("semdedup: drops within-cluster near-parallel vectors, keeps across clusters") {
+    import spark.implicits._
+    // cells=2 -> centroids are vectors 0 and 1 (the axes).
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),      // centroid/cell 0
+      (1L, Seq(0f, 1f)),      // centroid/cell 1
+      (2L, Seq(3f, 0.3f)),    // cell 0, cos(v0,v2)=0.995 -> dropped
+      (3L, Seq(1f, 1f)),      // tie -> cell 0; cos vs v0/v2 < 0.95 -> kept
+      (4L, Seq(0f, 5f))       // cell 1, cos(v1,v4)=1 -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.semDedupKeep(emb, cells = 2, threshold = 0.95)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 1L), (3L, 0L)))
+  }
+
+  test("surprisal: rare tokens cost bits, universal tokens cost none, all-integer") {
+    import spark.implicits._
+    // 4 docs; "the" appears in all (df=4, ratio 1, 0 bits), "cat" in one
+    // (df=1, ratio 4, 2 bits), "dog" in two (df=2, ratio 2, 1 bit).
+    val d = Seq(
+      (1L, "the cat cat"), (2L, "the dog"), (3L, "the dog"), (4L, "the")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.surprisalScore(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 4L),  // the:0 + 2*cat:2
+      (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 0L)))
+  }
+
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
