@@ -182,6 +182,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.contains("HashAggregate")) <= 2, p)
   }
 
+  test("corpus report: one-distinct aggregate path, no Expand, broadcast join") {
+    // One countDistinct among plain aggs must plan as the two-level
+    // single-distinct aggregate, NOT the multi-distinct Expand rewrite
+    // (which would replicate the corpus scan per aggregate); the two
+    // source-keyed relations are handfuls of rows and must broadcast-join.
+    val p = plan("p73_corpus_report")
+    assert(!p.contains("Expand"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semdedup: per-cell pair join, broadcast centroids, no cartesian") {
+    // The quadratic cost must stay bounded per cell: pair generation is an
+    // equi-join keyed on the cell (never a cartesian over the corpus), the
+    // 16-row codebook broadcasts, and the survivor set comes from an
+    // anti-join — no window anywhere.
+    val p = plan("p74_semdedup")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("surprisal: map-side-combinable aggregates, n_docs broadcasts") {
+    // Both aggregates (per-(doc,term) tf and the per-doc sum) must have
+    // map-side partials, and the 1-row n_docs relation must reach the
+    // plan as a broadcast — the corpus is never on a build side.
+    val p = plan("p75_surprisal_score")
+    assert(p.contains("partial"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("approx-stats verdicts avoid the multi-distinct Expand blowup") {
     // p21 computes two exact distinct counts and the sketch verdicts as
     // SEPARATE 1-row aggregates cross-joined: folding them into one agg
