@@ -62,4 +62,48 @@ object Funnels {
       .groupBy(col("cohort_week"), col("activity_week"))
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
+
+  /** Volume-anomaly (spike/drop) detection over daily event counts: a
+    * (event_type, day) is flagged when its count deviates from the
+    * type's mean daily count by at least two standard deviations — the
+    * classic z-score monitor, made engine-exact by clearing every
+    * denominator: |c - S/n| >= 2*sqrt(SS/n - (S/n)²) is multiplied
+    * through by n² into (n·c - S)² >= 4·(n·SS - S²), ALL integer
+    * arithmetic on counts (widened to decimal so a petabyte-scale count
+    * can't wrap a square; DuckDB reaches the same values through its
+    * HUGEINT promotion). No sqrt, no division, no float — the flag is
+    * bit-identical in any engine.
+    *
+    * The day key is a TIMESTAMP (date_trunc), not a DATE: parquet date32
+    * decodes as generic objects in arrow/pandas consumers while DuckDB
+    * dates decode as datetimes, so a DATE key trips dtype-strict result
+    * comparators even when the values agree (same pattern as the
+    * retention triangle's week columns).
+    *
+    * Scale shape: one (type, day) count aggregate, one per-type stats
+    * aggregate over the DAILY relation (days × types rows, not events),
+    * and a broadcast-sized join back — the raw event log is scanned
+    * exactly once.
+    */
+  def eventSpikes(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("ss"))
+    val dec = "decimal(38,0)"
+    daily.join(stats, "event_type")
+      .withColumn("lhs", {
+        val d = (col("n_days") * col("n_events") - col("s")).cast(dec)
+        d * d
+      })
+      .withColumn("rhs",
+        (lit(4).cast(dec) * (col("n_days").cast(dec) * col("ss").cast(dec)
+          - col("s").cast(dec) * col("s").cast(dec))))
+      .select(col("event_type"), col("day"),
+        col("n_events").cast("long").as("n_events"),
+        (col("lhs") >= col("rhs")).as("is_spike"))
+  }
 }

@@ -149,6 +149,60 @@ object TextOps {
           .cast("long").as("surprisal_bits"))
   }
 
+  /** Gopher/C4-style quality-rule flags (Rae et al. 2021 §A1.1; Raffel
+    * et al. 2020 §2.2) — the named rule-based filter battery every web
+    * corpus runs before model training, each rule stated as an INTEGER
+    * inequality so no division or float ever enters a verdict:
+    *
+    *  - ok_word_count:    minWords <= n_words <= maxWords
+    *  - ok_mean_word_len: 3 <= mean token length <= 10, tested as
+    *                      3*n_words <= sum_len && sum_len <= 10*n_words
+    *  - ok_repetition:    dominant token under 1/8 of the doc
+    *                      (max_tf * 8 <= n_words) — the duplicate-text
+    *                      symptom Gopher's repetition rules target
+    *  - ok_stopwords:     >= 2 distinct common words present (Gopher's
+    *                      "stop word" requirement)
+    *  - ends_punct / has_brace: C4's terminal-punctuation and code-like
+    *                      `{` signals, reported but NOT gating `keep`
+    *                      (constant on a punctuation-free corpus)
+    *
+    * `keep` is the AND of the four Gopher-core rules. Scale shape: one
+    * (doc_id, token) aggregate → one per-doc aggregate (both map-side
+    * combinable) joined with a map-only char-flag branch on doc_id — the
+    * aggregate output is already hash-partitioned on doc_id, so the join
+    * adds no extra corpus shuffle.
+    */
+  def gopherC4Flags(docs: DataFrame, minWords: Int = 20,
+      maxWords: Int = 100000, stops: Seq[String] = StopEn): DataFrame = {
+    val tf = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("doc_id")).agg(
+      sum(col("tf")).cast("long").as("n_words"),
+      max(col("tf")).cast("long").as("max_tf"),
+      sum(col("tf") * length(col("w"))).cast("long").as("sum_len"),
+      sum(when(col("w").isin(stops: _*), 1L).otherwise(0L))
+        .cast("long").as("stop_distinct"))
+    val charFlags = docs.select(
+      col("doc_id"),
+      col("text").rlike("[.!?]$").as("ends_punct"),
+      col("text").contains("{").as("has_brace"))
+    stats.join(charFlags, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"), col("max_tf"), col("stop_distinct"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_word_count"),
+        (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words")).as("ok_mean_word_len"),
+        (col("max_tf") * 8 <= col("n_words")).as("ok_repetition"),
+        (col("stop_distinct") >= 2).as("ok_stopwords"),
+        col("ends_punct"), col("has_brace"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_repetition") && col("ok_stopwords"))
+  }
+
   /** PII scrubbing patterns, written with the portable regex subset ([.]
     * instead of escaped dots, [0-9] instead of perl classes) so one
     * pattern string behaves identically in Spark, DuckDB, and RE2-style

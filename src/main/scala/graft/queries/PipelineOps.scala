@@ -1325,6 +1325,32 @@ object PipelineOps {
       TextOps.surprisalScore(t(s, dir, "documents"))
     },
 
+    // Gopher/C4 rule-based quality flags: every rule an integer
+    // inequality (no division), char-level C4 signals reported alongside.
+    Q.df(
+      "p76_gopher_flags",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+        |    CAST(MAX(tf) AS BIGINT) AS max_tf,
+        |    CAST(SUM(tf * length(w)) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_distinct
+        |  FROM tf GROUP BY 1),
+        |cf AS (SELECT doc_id, regexp_matches(text, '[.!?]$') AS ends_punct,
+        |    contains(text, '{') AS has_brace FROM documents)
+        |SELECT st.doc_id, n_words, max_tf, stop_distinct,
+        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+        |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS ok_mean_word_len,
+        |  (max_tf * 8 <= n_words) AS ok_repetition,
+        |  (stop_distinct >= 2) AS ok_stopwords,
+        |  ends_punct, has_brace,
+        |  ((n_words >= 20 AND n_words <= 100000)
+        |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+        |    AND (max_tf * 8 <= n_words) AND (stop_distinct >= 2)) AS keep
+        |FROM st JOIN cf ON cf.doc_id = st.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.gopherC4Flags(t(s, dir, "documents"))
+    },
+
     // Feature-hashing linear classifier (fastText-style quality-filter
     // shape): hashing-trick bucket weights summed per doc, mean weight as
     // the score. Map-only; deterministic stand-in weights make the score
@@ -1568,6 +1594,24 @@ object PipelineOps {
         |WHERE activity_week >= cohort_week
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       graft.ops.Funnels.cohortRetention(t(s, dir, "events"), "signup")
+    },
+
+    // Volume-anomaly detection: daily event counts >= 2 standard
+    // deviations from the type's mean, the z-score test cleared of every
+    // denominator into pure integer arithmetic — (n·c − S)² vs
+    // 4(n·SS − S²) — so the flag is bit-identical in any engine.
+    Q.df(
+      "p77_event_spikes",
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n_days, SUM(n_events) AS s,
+        |    SUM(n_events * n_events) AS ss FROM daily GROUP BY 1)
+        |SELECT daily.event_type, day, CAST(n_events AS BIGINT) AS n_events,
+        |  (CAST(n_days * n_events - s AS HUGEINT) * CAST(n_days * n_events - s AS HUGEINT)
+        |    >= 4 * (CAST(n_days AS HUGEINT) * CAST(ss AS HUGEINT)
+        |            - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))) AS is_spike
+        |FROM daily JOIN st USING (event_type)""".stripMargin) { (s, dir) =>
+      graft.ops.Funnels.eventSpikes(t(s, dir, "events"))
     },
 
     // Deterministic negative sampling: 3 pseudo-random corpus negatives

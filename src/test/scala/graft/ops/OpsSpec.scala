@@ -876,6 +876,46 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 0L)))
   }
 
+  test("gopher flags: each rule trips on its own violation, keep is the AND") {
+    import spark.implicits._
+    val good = (Seq("the", "a") ++ (1 to 30).map(i => s"word$i")).mkString(" ")
+    val d = Seq(
+      (1L, good),                                  // passes all four
+      (2L, "the a tiny"),                          // too short
+      (3L, good.replace("word1", "w") + " " + (1 to 40).map(_ => "ab").mkString(" ")), // repetition: 'ab' dominates
+      (4L, (1 to 30).map(i => s"word$i").mkString(" ")), // no stop words
+      (5L, good + " {end.")                        // char flags fire, still kept
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.gopherC4Flags(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("keep")),
+        r.getBoolean(r.fieldIndex("ends_punct")), r.getBoolean(r.fieldIndex("has_brace"))))
+    assert(out.toSeq == Seq(
+      (1L, true, false, false), (2L, false, false, false),
+      (3L, false, false, false), (4L, false, false, false),
+      (5L, true, true, true)))
+  }
+
+  test("event spikes: flags the 2-sigma day, integer math matches hand calc") {
+    import spark.implicits._
+    // type 'a': counts 10,10,10,10,40 over 5 days -> mean 16, var 144,
+    // std 12; |40-16|=24 >= 2*12 -> day 5 is a spike, the 10s are not
+    // (|10-16|=6 < 24). Type 'b': flat -> var 0, every day |c-mean|=0
+    // >= 0 -> all flagged (degenerate, documents the >= semantics).
+    def day(d: Int, n: Int, tpe: String) = (1 to n).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 12:00:00"), tpe))
+    val ev = ((1 to 4).flatMap(d => day(d, 10, "a")) ++ day(5, 40, "a") ++
+      (1 to 3).flatMap(d => day(d, 7, "b")))
+      .toDF("ts", "event_type")
+    val out = graft.ops.Funnels.eventSpikes(ev)
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.count(_._1 == "a") == 5)
+    assert(out.filter(_._1 == "a").map(_._4).toSeq ==
+      Seq(false, false, false, false, true))
+    assert(out.filter(_._1 == "b").forall(_._4))
+  }
+
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
