@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Report {
 
+  /** ANALYZE-style column profile in ONE corpus scan: per listed column,
+    * (col_name, n_rows, n_nulls, n_distinct). The row is stacked into a
+    * (col_name, value-as-string) map-explode so every column's stats come
+    * out of a single aggregate keyed on col_name — NOT one
+    * COUNT(DISTINCT) aggregate per column, which would either scan the
+    * table once per column or trip the multi-distinct Expand rewrite
+    * (scan replicated per column).
+    *
+    * Callers pass integer/string/date-like columns only: the string cast
+    * unifies the stacked value type, and for those types it is injective
+    * and format-stable across engines. Floats are excluded by contract —
+    * shortest-round-trip float formatting is an engine implementation
+    * detail, so a float's stringified distinct count is not portable.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    df.select(explode(map(kvs: _*)).as(Seq("col_name", "value")))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
+        countDistinct(col("value")).as("n_distinct"))
+  }
+
   /** (source, n_docs, n_distinct_texts, n_ws_tokens, n_chars, top_lang):
     * exact-dup rate = 1 - n_distinct_texts/n_docs, left to the reader.
     */

@@ -203,6 +203,40 @@ object TextOps {
           col("ok_repetition") && col("ok_stopwords"))
   }
 
+  /** Bigram language-model training (the KenLM-style counting pass) plus
+    * the greedy next-token table: adjacent-token pair counts over the
+    * corpus, and for each of the `topContexts` highest-volume contexts
+    * the argmax continuation — (context, n_total, top_next, top_cnt).
+    * Count ties go to the lexicographically LARGEST continuation: one
+    * struct max supplies both fields consistently, and a fixed rule
+    * either way keeps the table deterministic.
+    *
+    * Scale shape: pair generation is ROW-LOCAL (a transform over the
+    * token array — no self-join of the token relation on position, which
+    * would shuffle the corpus twice); then ONE (w1, w2) count aggregate,
+    * one per-context max_by/sum aggregate (both map-side combinable) and
+    * a top-k TakeOrdered on the context relation — vocabulary²-bounded,
+    * never corpus-bounded.
+    */
+  def bigramLm(docs: DataFrame, topContexts: Int = 20): DataFrame = {
+    val pairs = withToks(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("context"), col("p.w2").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.groupBy(col("context"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_total"),
+        max_by(col("next"), struct(col("cnt"), col("next"))).as("top_next"),
+        max(struct(col("cnt"), col("next"))).getField("cnt")
+          .cast("long").as("top_cnt"))
+      .orderBy(col("n_total").desc, col("context"))
+      .limit(topContexts)
+  }
+
   /** PII scrubbing patterns, written with the portable regex subset ([.]
     * instead of escaped dots, [0-9] instead of perl classes) so one
     * pattern string behaves identically in Spark, DuckDB, and RE2-style

@@ -1614,6 +1614,45 @@ object PipelineOps {
       graft.ops.Funnels.eventSpikes(t(s, dir, "events"))
     },
 
+    // Bigram LM training + greedy next-token table: the KenLM-style
+    // counting pass with a deterministic argmax per context. Pair
+    // generation is row-local; both aggregates map-side combinable.
+    Q.df(
+      "p78_bigram_lm",
+      """WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |k AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tok WHERE len(w) >= 2),
+        |bc AS (SELECT w[i] AS context, w[i + 1] AS next, COUNT(*) AS cnt FROM k GROUP BY 1, 2),
+        |ctx AS (SELECT context, CAST(SUM(cnt) AS BIGINT) AS n_total FROM bc GROUP BY 1),
+        |top AS (SELECT context, next AS top_next, CAST(cnt AS BIGINT) AS top_cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY context ORDER BY cnt DESC, next DESC) AS rn
+        |  FROM bc)
+        |SELECT ctx.context, n_total, top_next, top_cnt
+        |FROM ctx JOIN top USING (context)
+        |WHERE rn = 1
+        |ORDER BY n_total DESC, ctx.context
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.bigramLm(t(s, dir, "documents"))
+    },
+
+    // ANALYZE-style column profile: per-column row/null/distinct counts
+    // out of ONE stacked scan (no scan-per-column, no multi-distinct
+    // Expand). Float columns excluded by contract — their stringified
+    // distinct count is an engine formatting detail.
+    Q.df(
+      "p79_profile", {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+      graft.ops.Report.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate"))
+    },
+
     // Deterministic negative sampling: 3 pseudo-random corpus negatives
     // per anchor, position = h56(anchor:slot) mod n against the rank
     // index. Reproducible draws; self-draws filtered.

@@ -916,6 +916,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(_._1 == "b").forall(_._4))
   }
 
+  test("bigram lm: counts adjacent pairs, argmax continuation, tie to largest") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a c"),  // a->b x2, b->a x2, a->c x1
+      (2L, "a c"),          // a->c x1  => a: b=2, c=2 tie -> 'c' (largest)
+      (3L, "z")             // single token: no pairs
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.bigramLm(d, topContexts = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 4L, "c", 2L), ("b", 2L, "a", 2L)))
+  }
+
+  test("profile: one row per column with exact null and distinct counts") {
+    import spark.implicits._
+    val d = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("x")))
+      .toDF("id", "tag")
+    val out = graft.ops.Report.profile(d, Seq("id", "tag"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("id", 4L, 0L, 4L), ("tag", 4L, 1L, 2L)))
+  }
+
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
