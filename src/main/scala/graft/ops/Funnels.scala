@@ -89,14 +89,19 @@ object Funnels {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
+    val dec = "decimal(38,0)"
+    // Each FACTOR widens BEFORE its multiply (the tf-idf lesson): a
+    // billion-events day squared wraps int64 inside the sum, and casting
+    // the wrapped product would be too late.
+    val ne = col("n_events").cast(dec)
     val stats = daily.groupBy(col("event_type")).agg(
       count(lit(1)).as("n_days"),
-      sum(col("n_events")).as("s"),
-      sum(col("n_events") * col("n_events")).as("ss"))
-    val dec = "decimal(38,0)"
+      sum(ne).as("s"),
+      sum(ne * ne).as("ss"))
     daily.join(stats, "event_type")
       .withColumn("lhs", {
-        val d = (col("n_days") * col("n_events") - col("s")).cast(dec)
+        val d = (col("n_days").cast(dec) * col("n_events").cast(dec)) -
+          col("s").cast(dec)
         d * d
       })
       .withColumn("rhs",

@@ -38,13 +38,22 @@ object Report {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, "duplicate column in profile list")
     val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    df.select(explode(map(kvs: _*)).as(Seq("col_name", "value")))
+    val stats = df
+      .select(explode(map(kvs: _*)).as(Seq("col_name", "value")))
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
         countDistinct(col("value")).as("n_distinct"))
+    // Left-join from the static column list so an EMPTY table still
+    // reports one all-zero row per column (what per-column COUNT(*) SQL
+    // yields) instead of an empty relation from the vanished groups.
+    import df.sparkSession.implicits._
+    cols.toDF("col_name")
+      .join(stats, Seq("col_name"), "left")
+      .na.fill(0L, Seq("n_rows", "n_nulls", "n_distinct"))
   }
 
   /** (source, n_docs, n_distinct_texts, n_ws_tokens, n_chars, top_lang):

@@ -903,8 +903,12 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // >= 0 -> all flagged (degenerate, documents the >= semantics).
     def day(d: Int, n: Int, tpe: String) = (1 to n).map(i =>
       (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 12:00:00"), tpe))
+    // Type 'c' distinguishes (n·c − S)² from a dropped-subtraction (n·c)²:
+    // counts 100,101 give |n·c − S| = 1, lhs 1 < rhs 4 -> NOT a spike,
+    // while the unsubtracted square (200²) would flag it.
     val ev = ((1 to 4).flatMap(d => day(d, 10, "a")) ++ day(5, 40, "a") ++
-      (1 to 3).flatMap(d => day(d, 7, "b")))
+      (1 to 3).flatMap(d => day(d, 7, "b")) ++
+      day(1, 100, "c") ++ day(2, 101, "c"))
       .toDF("ts", "event_type")
     val out = graft.ops.Funnels.eventSpikes(ev)
       .orderBy("event_type", "day").collect()
@@ -914,6 +918,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(_._1 == "a").map(_._4).toSeq ==
       Seq(false, false, false, false, true))
     assert(out.filter(_._1 == "b").forall(_._4))
+    assert(out.filter(_._1 == "c").map(_._4).toSeq == Seq(false, false))
   }
 
   test("bigram lm: counts adjacent pairs, argmax continuation, tie to largest") {
@@ -936,6 +941,12 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .orderBy("col_name").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("id", 4L, 0L, 4L), ("tag", 4L, 1L, 2L)))
+    // Empty input still reports one all-zero row per column, matching
+    // what a per-column COUNT(*) emits on an empty table.
+    val empty = graft.ops.Report.profile(d.limit(0), Seq("id", "tag"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(empty.toSeq == Seq(("id", 0L, 0L, 0L), ("tag", 0L, 0L, 0L)))
   }
 
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
