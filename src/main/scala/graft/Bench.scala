@@ -75,6 +75,43 @@ object Bench {
           sort_array(collect_list(struct(col("p"), col("dot")))).as("arr"))
         .withColumn("agg2", expr("aggregate(transform(arr, x -> x.dot), 0D, (a, b) -> a + b)"))
         .queryExecution.toRdd.count()
+      // Third wave: machinery the round-9 additions lean on that the first
+      // two waves miss — the stacked map-explode + countDistinct profile
+      // shape, widened-decimal arithmetic, date_trunc keyed aggregation,
+      // bin()/bit-length sums, struct-max argmax, and the anti-join path.
+      // Synthetic ranges only, as above.
+      import org.apache.spark.sql.functions.{broadcast => _, _}
+      val w3 = spark.range(50000).select(
+        col("id"), (col("id") % 5).cast("string").as("g"),
+        (col("id") % 1000).as("k"),
+        timestamp_micros(col("id") * 1000000L).as("ts"))
+      w3.select(explode(map(
+          lit("a"), col("id").cast("string"), lit("b"), col("g")))
+          .as(Seq("cn", "v")))
+        .groupBy(col("cn"))
+        .agg(count(lit(1)).as("nr"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("nn"),
+          countDistinct(col("v")).as("nd"))
+        .queryExecution.toRdd.count()
+      val dec = "decimal(38,0)"
+      val daily = w3.groupBy(col("g"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val nDec = col("n").cast(dec)
+      val stats = daily.groupBy(col("g")).agg(
+        count(lit(1)).as("ndy"), sum(nDec).as("s"), sum(nDec * nDec).as("ss"))
+      daily.join(stats, "g")
+        .select(((col("ndy").cast(dec) * col("n").cast(dec)) -
+          col("s").cast(dec)).as("d2"))
+        .select((col("d2") * col("d2") >= lit(4).cast(dec)).as("f"))
+        .queryExecution.toRdd.count()
+      w3.groupBy(col("k")).agg(
+          max_by(col("g"), struct(col("id"), col("g"))).as("mb"),
+          max(struct(col("id"), col("g"))).getField("id").as("mx"),
+          sum(length(bin(col("id") + 1)) - 1).as("sb"))
+        .queryExecution.toRdd.count()
+      w3.select(col("id"))
+        .join(w3.filter(col("id") % 3 === 0).select(col("id")), Seq("id"), "left_anti")
+        .queryExecution.toRdd.count()
     }
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=p03,p12 times just those queries
     // (prefix match); unset = the full corpus, as the driver runs it.
