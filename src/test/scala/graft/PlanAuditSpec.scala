@@ -215,6 +215,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("event spikes: daily-relation stats, no window, no cartesian") {
+    // The event log is scanned once into the (type, day) aggregate; the
+    // per-type stats aggregate runs on that DAILY relation and joins
+    // back — no window over raw events, no cartesian anywhere.
+    val p = plan("p77_event_spikes")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+  }
+
+  test("bigram lm: top-k contexts via TakeOrdered, not a global sort") {
+    val p = plan("p78_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("profiler: one stacked scan, no Expand, no per-column scans") {
+    // The whole point of the stacked form: exactly ONE FileScan of the
+    // profiled table (not one per column), one Generate, and the
+    // single-distinct aggregate path (no Expand replication).
+    val p = plan("p79_profile")
+    assert(!p.contains("Expand"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+    assert(p.linesIterator.count(_.contains("Generate")) == 1, p)
+  }
+
   test("approx-stats verdicts avoid the multi-distinct Expand blowup") {
     // p21 computes two exact distinct counts and the sketch verdicts as
     // SEPARATE 1-row aggregates cross-joined: folding them into one agg
