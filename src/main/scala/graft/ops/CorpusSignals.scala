@@ -214,4 +214,37 @@ object CorpusSignals {
         ((col("n_ab").cast("double") * col("nn").cast("double"))
           / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
+
+  /** Coverage-targeted vocabulary truncation — the tokenizer/embedding
+    * vocab-building rule "keep the smallest frequency-ranked vocabulary
+    * covering >= covNum/covDen of all token occurrences" (the classic
+    * 95%-coverage cut of subword/word-vector pipelines). Terms are
+    * admitted in (count desc, term) rank order while the coverage BEFORE
+    * the term is still short of the target — the same exclusive-prefix
+    * admission as the token-budget mixer, so exactly the crossing term is
+    * the last one in. The test is the cleared-denominator integer
+    * inequality (cum_before * covDen < covNum * total): no division, no
+    * float, bit-identical in any engine.
+    *
+    * Scale shape: the corpus is touched ONCE by the explode + count
+    * hash aggregate (map-side combinable); everything after runs on the
+    * vocabulary-sized relation — [[GlobalRank.prefixSum]] range-
+    * repartitions the vocab, never the corpus, and the 1-row total
+    * broadcasts. No single-reducer window at any scale.
+    */
+  def vocabCoverage(docs: DataFrame, covNum: Int = 95,
+      covDen: Int = 100): DataFrame = {
+    require(covNum > 0 && covNum <= covDen, "coverage must be in (0, 1]")
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+    GlobalRank.prefixSum(vocab, Seq(col("cnt").desc, col("word")),
+        col("cnt"), "cum_count")
+      .withColumn("cum_count", col("cum_count").cast("long"))
+      .crossJoin(broadcast(total))
+      .filter((col("cum_count") - col("cnt")) * covDen < lit(covNum) * col("total"))
+      .select(col("word"), col("cnt"), col("cum_count"))
+  }
 }

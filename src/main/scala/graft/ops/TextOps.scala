@@ -237,6 +237,49 @@ object TextOps {
       .limit(topContexts)
   }
 
+  /** Bigram-LM document scoring — the APPLY step of the CCNet-style LM
+    * quality filter (Wenzek et al. 2020 §4.3 score with a corpus-trained
+    * LM; p78 is the training pass, this is the per-document perplexity
+    * proxy). Each adjacent pair contributes its integerized surprisal
+    * floor(log2(n_ctx / n_pair)) — a pure bit-length over an integer
+    * quotient like p75, so no transcendental log and the score is
+    * bit-identical in any engine. Emitted as (doc_id, n_pairs,
+    * bigram_bits): high bits-per-pair = improbable continuations =
+    * likely-noisy text; the division into a rate is left to the reader.
+    * Every doc pair exists in the corpus counts (the doc contributes its
+    * own pairs), so the quotient is always >= 1 and the join never drops
+    * a row.
+    *
+    * Scale shape: pair generation is ROW-LOCAL (same transform as p78);
+    * one (doc_id, w1, w2) count aggregate bounds everything downstream
+    * by per-doc distinct pairs; the corpus pair/context tables derive
+    * from it and are vocabulary²-bounded, so their joins back broadcast
+    * under AQE at any corpus size. All three aggregates are map-side
+    * combinable; nothing is corpus-quadratic.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val docPairs = withToks(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val pairCounts = docPairs.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).cast("long").as("n_pair"))
+    val ctxCounts = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("n_pair")).cast("long").as("n_ctx"))
+    docPairs
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_pairs"),
+        sum(col("c") * (length(bin(expr("n_ctx div n_pair"))) - 1))
+          .cast("long").as("bigram_bits"))
+  }
+
   /** PII scrubbing patterns, written with the portable regex subset ([.]
     * instead of escaped dots, [0-9] instead of perl classes) so one
     * pattern string behaves identically in Spark, DuckDB, and RE2-style

@@ -1653,6 +1653,44 @@ object PipelineOps {
           "l_returnflag", "l_linestatus", "l_shipdate"))
     },
 
+    // Bigram-LM document scoring (the APPLY step of the CCNet-style LM
+    // filter; p78 trains, this scores): per-pair integerized surprisal
+    // floor(log2(n_ctx / n_pair)) as a bit length, summed per doc. Pair
+    // generation row-local; corpus tables vocabulary²-bounded.
+    Q.df(
+      "p80_bigram_surprisal",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |  FROM tok WHERE len(toks) >= 2) u),
+        |dp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2, 3),
+        |pc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS n_pair FROM dp GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(c * (length(bin(n_ctx // n_pair)) - 1)) AS BIGINT) AS bigram_bits
+        |FROM dp JOIN pc USING (w1, w2) JOIN cc USING (w1)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.bigramSurprisal(t(s, dir, "documents"))
+    },
+
+    // Coverage-targeted vocabulary truncation: smallest frequency-ranked
+    // vocab covering >= 95% of token occurrences — exclusive-prefix
+    // admission over the distributed prefix sum, integer inequality only.
+    // The oracle's global window IS the single-reducer shape the op
+    // avoids (it runs on the vocab relation either way, but graft's form
+    // stays distributed when the vocab itself is large).
+    Q.df(
+      "p81_vocab_coverage",
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT word, cnt, CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) AS cum_count FROM v),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v)
+        |SELECT word, cnt, cum_count FROM r, t
+        |WHERE (cum_count - cnt) * 100 < 95 * total""".stripMargin) { (s, dir) =>
+      graft.ops.CorpusSignals.vocabCoverage(t(s, dir, "documents"))
+    },
+
     // Deterministic negative sampling: 3 pseudo-random corpus negatives
     // per anchor, position = h56(anchor:slot) mod n against the rank
     // index. Reproducible draws; self-draws filtered.

@@ -241,6 +241,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.contains("Generate")) == 1, p)
   }
 
+  test("bigram surprisal: row-local pairs, partial aggs, no cartesian") {
+    // Pair generation must stay a Generate over the token array (no
+    // positional self-join of the corpus), every count aggregate keeps
+    // its map-side partial, and the vocabulary-bounded pair/context
+    // tables join back without a cartesian or a window.
+    val p = plan("p80_bigram_surprisal")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("vocab coverage: no single-reducer window, total broadcasts") {
+    // The prefix sum must run as the range-partitioned GlobalRank form:
+    // every window in the plan partitions by __pid — a windowspec with no
+    // __pid would be the global ORDER BY single-reducer shape the op
+    // exists to avoid. The 1-row total reaches the filter as a broadcast
+    // and nothing is cartesian. (The vocab aggregate subtree appears
+    // under both the prefix-sum persist and the total branch; at
+    // execution ReuseExchange materializes that shuffle once.)
+    val p = plan("p81_vocab_coverage")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("approx-stats verdicts avoid the multi-distinct Expand blowup") {
     // p21 computes two exact distinct counts and the sketch verdicts as
     // SEPARATE 1-row aggregates cross-joined: folding them into one agg

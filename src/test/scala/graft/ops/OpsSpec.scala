@@ -933,6 +933,38 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq(("a", 4L, "c", 2L), ("b", 2L, "a", 2L)))
   }
 
+  test("bigram surprisal: per-doc bits match hand-computed bit lengths") {
+    import spark.implicits._
+    // Corpus pair counts: (a,b)=2, (b,a)=2, (a,c)=2; contexts a=4, b=2.
+    // doc 1: (a,b)x2 -> floor(log2(4/2))=1 each = 2; (b,a)x2 -> 2/2 -> 0;
+    //        (a,c)x1 -> 4/2 -> 1.  total 3 bits over 5 pairs.
+    // doc 2: (a,c)x1 -> 1 bit over 1 pair.  doc 3: no pairs -> absent.
+    val d = Seq((1L, "a b a b a c"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.bigramSurprisal(d)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("vocab coverage: exclusive-prefix admission at the exact boundary") {
+    import spark.implicits._
+    // Counts a=4, b=3, d=2, c=1 (total 10); rank cums 4, 7, 9, 10.
+    val d = Seq((1L, "a a a a"), (2L, "b b b c"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    def run(num: Int) = graft.ops.CorpusSignals.vocabCoverage(d, num, 100)
+      .orderBy(col("cnt").desc, col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 80%: admission stops once coverage-before reaches 8/10 — the term
+    // crossing the line (d, cum_before 7) is in, the next (c, 9) is out.
+    assert(run(80).toSeq == Seq(("a", 4L, 4L), ("b", 3L, 7L), ("d", 2L, 9L)))
+    // 70%: d's cum_before is exactly the target (7*100 == 70*10) -> out;
+    // the strict < is what "smallest covering vocabulary" means.
+    assert(run(70).toSeq == Seq(("a", 4L, 4L), ("b", 3L, 7L)))
+    // 100%: everything admitted.
+    assert(run(100).length == 4)
+  }
+
   test("profile: one row per column with exact null and distinct counts") {
     import spark.implicits._
     val d = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("x")))
