@@ -117,10 +117,18 @@ object Bench {
     // (prefix match); unset = the full corpus, as the driver runs it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = only match {
+    val base = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // Dev hook: SPARK_GRAFT_BENCH_BREAK=1 injects a query that always
+    // throws, to exercise the fail-honest path below (the broken query
+    // must show up flagged and be excluded from the totals).
+    val selected =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_BREAK"))
+        base + ("zz_dev_broken" -> ((s: SparkSession, _: String) =>
+          s.range(1).selectExpr("assert_true(id > 0, 'deliberately broken')", "id")))
+      else base
     // SPARK_GRAFT_BENCH_REPEAT=N times each query N times. Every run is
     // timed: run 1 is the COLD time (fresh plan + codegen/JIT), run N the
     // STEADY time — both totals land in the artifact, because the 2x gate
@@ -130,14 +138,26 @@ object Bench {
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to repeat).map { i =>
         val t0 = System.nanoTime()
         // Execute the already-compiled physical plan end to end. A DataFrame
         // .count() would let Catalyst prune the projections away; toRdd keeps
         // every output column materialized, matching the DuckDB fetchall
         // comparison in tools/bench_duckdb.py without driver serialization.
+        // A query that throws must NOT be timed as ~0 s and silently shrink
+        // the totals (a broken corpus would then LOWER the headline number):
+        // record the error, flag it in the artifact, and exclude the query
+        // from the cold/steady sums below.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(160)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            err = Some(msg)
+            System.err.println(s"[bench] $name FAILED run $i: $msg")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         if (i < repeat) {
           System.err.println(s"[bench] $name run $i: $dt")
@@ -145,14 +165,18 @@ object Bench {
         }
         dt
       }
-      name -> times
+      (name, times, err)
     }
+    val (failed, ok) = results.partition(_._3.isDefined)
     // Per-query detail reports the LAST (steady) run; with repeat=1 the
-    // single cold run is both.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.last }
-      .mkString("{", ",", "}")
-    val cold = results.map(_._2.head).sum
-    val steady = results.map(_._2.last).sum
+    // single cold run is both. Failed queries carry an {"err": ...} object
+    // instead of a number so the artifact is self-honest.
+    val qs = results.map {
+      case (k, _, Some(msg)) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
+      case (k, v, None) => s"\"" + k + "\":" + v.last
+    }.mkString("{", ",", "}")
+    val cold = ok.map(_._2.head).sum
+    val steady = ok.map(_._2.last).sum
     // "value" stays the cold total: that is what rounds 1-8's artifacts
     // recorded, so the trend line remains comparable.
     val total = cold
@@ -173,7 +197,8 @@ object Bench {
       }
     // workers is quoted: SPARK_GRAFT_CPUS may legitimately be "*".
     val env = s""""loadavg":$loadAvg,"cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""workers":"$cpus","repeat":$repeat,"cold":$cold,"steady":$steady"""
+      s""""workers":"$cpus","repeat":$repeat,"errors":${failed.size},""" +
+      s""""cold":$cold,"steady":$steady"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The driver parses this from the log tail; sbt prefixes and truncation
@@ -190,8 +215,8 @@ object Bench {
     // The driver recovers the result from a bounded log tail; the full
     // per-query dict above overflows it. Emit a compact summary as the very
     // last line: totals plus the slowest queries, full detail in `outPath`.
-    val top = results.sortBy(-_._2.last).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v.last * 100) / 100.0) }
+    val top = ok.sortBy(-_._2.last).take(5)
+      .map { case (k, v, _) => s"\"" + k + "\":" + (math.round(v.last * 100) / 100.0) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$top,"sf":"$sfDir",$env,"detail":"$outPath"}""")

@@ -185,13 +185,21 @@ object DialectRewriter {
         "gateway with -Dgraft.gateway.flatFileRoot=<root[,root2]> (or " +
         "GRAFT_FLATFILE_ROOT; '*' for no restriction) to enable them"))
     if (!roots.contains("*")) {
-      val norm =
-        try java.nio.file.Paths.get(path).normalize().toString
-        catch { case _: Exception => path }
+      // Lexical normalization blocks `..` traversal but not symlinks: a
+      // link under an allowed root pointing outside it would pass a purely
+      // lexical prefix test. When the path exists on this filesystem,
+      // resolve it (and each root) to its canonical form first; glob
+      // patterns and not-yet-existing paths fall back to the lexical
+      // check, which is still `..`-safe.
+      def canonical(p: String): String =
+        try {
+          val jp = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(jp)) jp.toRealPath().toString
+          else jp.normalize().toString
+        } catch { case _: Exception => p }
+      val norm = canonical(path)
       val allowed = roots.exists { r =>
-        val rn =
-          try java.nio.file.Paths.get(r).normalize().toString
-          catch { case _: Exception => r }
+        val rn = canonical(r)
         // Exact match or a "/"-separated descendant — a plain prefix test
         // would let /data-evil slip past an allowed root of /data.
         norm == rn || norm.startsWith(rn + "/")

@@ -181,7 +181,12 @@ object WebUi {
       |      }]));
       |}
       |function addRecent(c) {
-      |  const r = readStore('graftRecentConnections').filter(x => x.endpoint !== c.endpoint);
+      |  // Dedupe on the full address (type, endpoint, table path) — keying
+      |  // on endpoint alone would overwrite a sibling table on the same
+      |  // store, so two tables on one MinIO endpoint could never coexist.
+      |  const r = readStore('graftRecentConnections').filter(x =>
+      |    !(x.storageType === c.storageType && x.endpoint === c.endpoint &&
+      |      (x.tablePath || '') === (c.tablePath || '')));
       |  r.unshift({ storageType: c.storageType, endpoint: c.endpoint,
       |    region: c.region, tablePath: c.tablePath || '', timestamp: Date.now() });
       |  if (r.length > 5) r.length = 5;

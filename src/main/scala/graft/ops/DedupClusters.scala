@@ -52,20 +52,21 @@ object DedupClusters {
         // early, but here the upstream is a full pair-generation pipeline
         // whose shuffles have already run, so each extra wave is pure
         // scheduling overhead. Pin the initial partition count high FOR
-        // THIS ACTION ONLY so the bounded collect is one job; the setting
-        // must not leak to gateway queries, whose injected LIMITs rely on
-        // early-stopping over raw scans.
-        val conf = pairs.sparkSession.conf
-        val key = "spark.sql.limit.initialNumPartitions"
-        val prev = conf.getOption(key)
-        conf.set(key, Int.MaxValue)
-        try
-          Some(pairs.select(col("i").cast("long"), col("j").cast("long"))
-            .limit(capped + 1).collect())
-        finally prev match {
-          case Some(v) => conf.set(key, v)
-          case None => conf.unset(key)
-        }
+        // THIS ACTION ONLY so the bounded collect is one job. The pin
+        // lives on a thread-local CLONE of the session's SQLConf
+        // (executeTake reads SQLConf.get, which prefers the thread-local
+        // override) — the shared session conf is never mutated, so
+        // concurrent queries on this session and sessions cloned via
+        // newSession() (the gateway does this per request, and its
+        // injected LIMITs rely on early-stopping over raw scans) cannot
+        // observe or inherit the setting.
+        val pinned = org.apache.spark.sql.internal.SQLConf.get.clone()
+        pinned.setConfString("spark.sql.limit.initialNumPartitions",
+          Int.MaxValue.toString)
+        Some(org.apache.spark.sql.internal.SQLConf.withExistingConf(pinned) {
+          pairs.select(col("i").cast("long"), col("j").cast("long"))
+            .limit(capped + 1).collect()
+        })
       } else None
 
     collected match {

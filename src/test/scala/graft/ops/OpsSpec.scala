@@ -295,6 +295,45 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ccDist.exceptAll(cc).isEmpty && cc.exceptAll(ccDist).isEmpty)
   }
 
+  test("cc fast-path collect is one job and never touches the session conf") {
+    val key = "spark.sql.limit.initialNumPartitions"
+    // getOption surfaces the registered default ("1") even when unset —
+    // the leak check below is value-unchanged, not key-absent.
+    val before = spark.conf.getOption(key)
+    assert(!before.contains(Int.MaxValue.toString), "precondition: not pinned")
+    // 8-partition no-shuffle edge relation with fewer rows than the cap:
+    // the bounded limit(cap+1) cannot stop early, so without the pinned
+    // initial partition count the collect ramps 1 -> 4 -> 8 partitions
+    // across several jobs; pinned, it is exactly one.
+    val edges = spark.range(0, 200, 1, 8)
+      .selectExpr("id as i", "id + 1 as j")
+    val nodes = spark.range(0, 201).selectExpr("id as doc_id")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cc = DedupClusters.connectedComponents(nodes, edges)
+      // Listener events post asynchronously: wait for the first job event,
+      // then a settling beat to catch any extra ramp-up jobs.
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(jobs == 1, s"fast-path probe launched $jobs jobs, expected 1")
+      // One chain 0-1-...-200: every node labels to 0.
+      assert(cc.filter(col("cluster_id") =!= 0L).isEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // The pin lives on a thread-local clone; the shared session conf (and
+    // any session cloned from it, as the gateway does per request) must
+    // never observe the value.
+    assert(spark.conf.getOption(key) == before, "session conf leaked the pin")
+    assert(!spark.newSession().conf.getOption(key).contains(Int.MaxValue.toString),
+      "cloned session inherited the pin")
+  }
+
   test("quantized ANN recovers most of the exact top-k") {
     val q = emb.filter(col("vec_id") < 4)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
