@@ -35,10 +35,35 @@ object Report {
     * and format-stable across engines. Floats are excluded by contract —
     * shortest-round-trip float formatting is an engine implementation
     * detail, so a float's stringified distinct count is not portable.
+    * The contract is ENFORCED here, not just documented: a float-typed
+    * column (including one nested in an array/struct/map) fails loudly
+    * instead of returning silently-portable-looking numbers that would
+    * hash-mismatch on another engine, and an unknown column name gets a
+    * precise error rather than an analysis exception from the stacked
+    * plan.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct == cols, "duplicate column in profile list")
+    def hasFloat(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _) => hasFloat(et)
+      case MapType(kt, vt, _) => hasFloat(kt) || hasFloat(vt)
+      case StructType(fields) => fields.exists(f => hasFloat(f.dataType))
+      case _ => false
+    }
+    cols.foreach { c =>
+      val field = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"profile: unknown column '$c' (table has: " +
+            df.schema.fieldNames.mkString(", ") + ")"))
+      if (hasFloat(field.dataType)) throw new IllegalArgumentException(
+        s"profile: column '$c' is ${field.dataType.simpleString} — float " +
+          "columns are excluded by contract (shortest-round-trip float " +
+          "formatting is engine-specific, so a stringified distinct count " +
+          "would not be portable); cast to decimal or exclude the column")
+    }
     val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val stats = df
       .select(explode(map(kvs: _*)).as(Seq("col_name", "value")))

@@ -546,12 +546,23 @@ object TextOps {
     * length>=2 filter applies to LEARNING, not encoding; a single-char
     * word is one token).
     */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+  def bpeEncode(docs: DataFrame, nMerges: Int = 3): DataFrame =
+    encodeWithMerges(docs,
+      bpeMerges(docs, nMerges).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** BPE encode with a GIVEN merge table (training-order (p1, p2) pairs)
+    * — how production tokenizer-apply actually runs: the tokenizer is
+    * trained once, frozen, and applied to every later batch, so the
+    * expensive [[bpeMerges]] pass amortizes across pipeline runs instead
+    * of re-running per encode ([[bpeEncode]] composes the two for the
+    * self-contained oracle form). Map-only, no shuffle, same framed
+    * chained-replace plan as [[bpeEncode]].
+    */
+  def encodeWithMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val F = "\u001F" // unit separator: frames each piece start
     val E = "\u001E" // record separator: frames each piece end
-    val merges = bpeMerges(docs, nMerges).collect()
-      .sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
     def frame(w: Column): Column = array_join(
       transform(sequence(lit(1), length(w)),
         i => concat(lit(F), w.substr(i, lit(1)), lit(E))), "")

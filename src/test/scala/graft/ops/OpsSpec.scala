@@ -869,6 +869,31 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._3).sum < totalWordChars)
   }
 
+  test("encodeWithMerges: frozen merge table reproduces the composed encode") {
+    // Production shape: train ONCE, freeze the table, apply to any batch.
+    // With the table bpeMerges trained, the apply-only path must be
+    // byte-identical to the self-contained bpeEncode composition.
+    val frozen = TextOps.bpeMerges(docs, 3).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val applied = TextOps.encodeWithMerges(docs, frozen).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val composed = TextOps.bpeEncode(docs, 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(applied.toSeq == composed.toSeq)
+    // An empty table is the identity tokenizer: one token per character.
+    val none = TextOps.encodeWithMerges(docs, Seq.empty).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    docs.collect().foreach { r =>
+      val chars = r.getAs[String]("text").toLowerCase.count(_ != ' ').toLong
+      assert(none(r.getAs[Long]("doc_id")) == chars)
+    }
+    // The frozen table applies to a batch it was NOT trained on.
+    import spark.implicits._
+    val fresh = Seq((100L, "unseen batch wording")).toDF("doc_id", "text")
+    val out = TextOps.encodeWithMerges(fresh, frozen).collect()
+    assert(out.length == 1 && out(0).getLong(2) >= 3L)
+  }
+
   test("corpus report: exact counts, dup detection, deterministic top language") {
     import spark.implicits._
     val d = Seq(
@@ -1018,6 +1043,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .orderBy("col_name").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(empty.toSeq == Seq(("id", 0L, 0L, 0L), ("tag", 0L, 0L, 0L)))
+  }
+
+  test("profile: float columns and unknown columns fail loudly") {
+    import spark.implicits._
+    val d = Seq((1L, 0.5, Seq(0.5f), "x")).toDF("id", "dbl", "farr", "tag")
+    // Top-level double, float nested in an array, and a misspelled name
+    // must all fail at the edge — not return engine-specific numbers.
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Report.profile(d, Seq("id", "dbl"))
+    }
+    assert(e1.getMessage.contains("float") && e1.getMessage.contains("dbl"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Report.profile(d, Seq("farr"))
+    }
+    assert(e2.getMessage.contains("farr"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Report.profile(d, Seq("id", "nope"))
+    }
+    assert(e3.getMessage.contains("nope") && e3.getMessage.contains("tag"))
+    // The allowed types still work untouched.
+    assert(graft.ops.Report.profile(d, Seq("id", "tag")).count() == 2)
   }
 
   test("incremental dedup: keeps novel incoming docs, drops dups of existing and earlier-incoming") {
