@@ -26,18 +26,26 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    // as a timestamp. Read it as raw nanos and truncate to micros — the
-    // same conversion DuckDB applies when scanning nanos into its
-    // microsecond TIMESTAMP, so oracle results line up.
+    // events.ts layout varies across fixture generations: TIMESTAMP(NANOS)
+    // (which Spark 4 refuses to read as a timestamp — the legacy conf reads
+    // it as raw nanos instead) or naive TIMESTAMP(MICROS) (inferred as
+    // TIMESTAMP_NTZ). Both normalize to the session-UTC TimestampType the
+    // corpus operates on, truncating nanos exactly as DuckDB's scan does,
+    // so oracle results line up under either layout.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent(
       (path, new java.io.File(path).lastModified()),
       _ => spark.read.parquet(path).schema)
     val base = spark.read.schema(schema).parquet(path)
-    if (name == "events") base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else base
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      schema("ts").dataType match {
+        case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => base.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => base
+      }
+    } else base
   }
 
   /** Register every table as a temp view so spark.sql corpus queries and

@@ -19,10 +19,12 @@ import graft.Num.dec
   */
 object EventStreams {
 
-  /** Read schema: ts is declared as long because the driver's parquet
-    * carries TIMESTAMP(NANOS), which Spark 4 only reads via the
-    * nanos-as-long legacy mode; readEvents converts to a micros timestamp
-    * (the same truncation DuckDB applies).
+  /** Read schema with ts's type left open: the fixture layout varies
+    * across generations — TIMESTAMP(NANOS) (readable in Spark 4 only via
+    * the nanos-as-long legacy mode) or naive TIMESTAMP(MICROS) (inferred
+    * TIMESTAMP_NTZ). readEvents fills in the actual footer type and
+    * normalizes to a session-UTC micros timestamp either way, the same
+    * truncation DuckDB applies.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -32,13 +34,21 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files. A
+    * streaming reader needs an explicit schema, so the ts layout is probed
+    * with one batch footer read of the same directory first.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val base = spark.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => base
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
