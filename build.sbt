@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: a 127-query repeat=2 bench accumulates listener/aggregate heap
+  // across runs; at 8g the tail of the run GC-thrashes (measured: p79
+  // repeat-3 degraded 5.5 -> 25.6 s at 8g, steady 1.8-3.1 s at 24g on
+  // the same data) and load-inflates the recorded numbers. The machine
+  // budget is 128 GiB; size the one JVM like an executor would be.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -68,25 +68,34 @@ object CorpusSignals {
     * data-mixing decisions. Integer counts plus one IEEE division, so
     * any engine reproduces it exactly.
     *
-    * Scale shape: distinct (doc, gram) in one hash aggregate, gram df in
-    * a second, join back on the gram, per-doc count — the same
-    * vocabulary-sized shuffles as [[rarestTerm]], nothing quadratic.
+    * Scale shape: a doc's distinct grams are ROW-LOCAL (array_distinct
+    * over its own shingle array), so the per-doc denominator needs no
+    * shuffle at all; and a df==1 gram belongs to exactly ONE doc, so a
+    * single gram-keyed aggregate (count + min doc_id, both map-side
+    * combinable) pins each unique gram to its owner and the numerator is
+    * a doc-keyed count over unique grams only. One corpus-sized shuffle
+    * total — the (doc,gram)-keyed distinct shuffle, the gram-keyed join
+    * back, and the final corpus-sized per-doc regroup of the naive form
+    * never happen.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val docGrams = docs
-      .select(col("doc_id"),
-        explode(expr(s"ngram_shingles(lower(text), $n)")).as("g"))
-      .distinct()
-    val dfreq = docGrams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    docGrams.join(dfreq, "g")
+    def distinctGrams = array_distinct(expr(s"ngram_shingles(lower(text), $n)"))
+    val perDoc = docs
+      .select(col("doc_id"), size(distinctGrams).cast("long").as("n_distinct_grams"))
+      .filter(col("n_distinct_grams") > 0)
+    val uniquePerDoc = docs
+      .select(col("doc_id"), explode(distinctGrams).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("gdf"), min(col("doc_id")).as("doc_id"))
+      .filter(col("gdf") === 1)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_distinct_grams"),
-        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique_grams"))
-      .select(col("doc_id"), col("n_distinct_grams"), col("n_unique_grams"),
-        (col("n_unique_grams").cast("double") / col("n_distinct_grams").cast("double"))
-          .as("novelty"))
+      .agg(count(lit(1)).as("n_unique_grams"))
+    perDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct_grams"),
+        coalesce(col("n_unique_grams"), lit(0L)).as("n_unique_grams"),
+        (coalesce(col("n_unique_grams"), lit(0L)).cast("double")
+          / col("n_distinct_grams").cast("double")).as("novelty"))
   }
 
   /** Out-of-vocabulary rate against a frequency-truncated vocabulary: the

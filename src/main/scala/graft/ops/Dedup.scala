@@ -245,39 +245,73 @@ object Dedup {
   def incrementalKeep(existing: DataFrame, incoming: DataFrame,
       numHashes: Int = 8, bands: Int = 4, n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val exBand = bandedSignature(existing, numHashes, bands, n)
-      .select(col("doc_id").as("j"), col("band"))
-    val incBand = bandedSignature(incoming, numHashes, bands, n)
-    val candEx = incBand.select(col("doc_id").as("i"), col("band"))
-      .join(exBand, "band").select(col("i"), col("j")).distinct()
-    val candIn = incBand.as("x")
-      .join(incBand.as("y"), col("x.band") === col("y.band") &&
-        col("y.doc_id") < col("x.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    // Each side's shingle sets are built in ONE aggregate and the KM
+    // minhash signature then derives ROW-LOCALLY from the set array (md5
+    // once per shingle into (h1, h2), then a per-seed array_min) — the
+    // separate exploded-shingle signature pass of [[minhashSignature]],
+    // a second full shingle scan + 8-way min shuffle per side, never
+    // runs. Signatures are identical: min(h1 + s*h2) over the shingle
+    // multiset equals the min over its distinct set.
     def sets(d: DataFrame): DataFrame =
       shingles(d, n, distinct = false)
         .groupBy(col("doc_id"))
         .agg(collect_set(col("shingle")).as("set"))
         .select(col("doc_id"), col("set"),
           size(col("set")).cast("long").as("n_sh"))
+    val rowsPerBand = numHashes / bands
+    def banded(s: DataFrame): DataFrame = {
+      val hp = transform(
+        transform(col("set"), x => md5(x)),
+        d => struct(
+          conv(d.substr(lit(1), lit(14)), 16, 10).cast("long").as("h1"),
+          conv(d.substr(lit(17), lit(14)), 16, 10).cast("long").as("h2")))
+      val withHp = s.select(col("doc_id"), hp.as("hp"))
+      val sig = (0 until numHashes).map(seed =>
+        array_min(transform(col("hp"),
+          p => p.getField("h1") + lit(seed.toLong) * p.getField("h2"))).as(s"h$seed"))
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(k => col(s"h${b * rowsPerBand + k}").as(s"v$k"))
+        struct((lit(b).as("b") +: parts): _*)
+      }
+      withHp.select((col("doc_id") +: sig): _*)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    }
     val exSets = sets(existing)
     val incSets = sets(incoming)
-    def dupCounts(cand: DataFrame, right: DataFrame): DataFrame = cand
+    val exBand = banded(exSets).select(col("doc_id").as("j"), col("band"))
+    val incBand = banded(incSets)
+    val candEx = incBand.select(col("doc_id").as("i"), col("band"))
+      .join(exBand, "band").select(col("i"), col("j")).distinct()
+    val candIn = incBand.as("x")
+      .join(incBand.as("y"), col("x.band") === col("y.band") &&
+        col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    // BOTH candidate families verify in ONE pass: candidates union with a
+    // side tag, the i-side set array joins once (not once per family),
+    // the j side comes from the side-tagged union of both set relations,
+    // and one aggregate splits the verified counts back out by tag. The
+    // verification joins ship the per-doc shingle arrays — the wide
+    // payload here — exactly half as often as the per-family form.
+    val candAll = candEx.withColumn("side", lit("ex"))
+      .unionByName(candIn.withColumn("side", lit("in")))
+    val rightSets = exSets.withColumn("side", lit("ex"))
+      .unionByName(incSets.withColumn("side", lit("in")))
+    val counts = candAll
       .join(incSets.select(
         col("doc_id").as("i"), col("set").as("sa"), col("n_sh").as("na")), "i")
-      .join(right.select(
-        col("doc_id").as("j"), col("set").as("sb"), col("n_sh").as("nb")), "j")
+      .join(rightSets.select(
+        col("side"), col("doc_id").as("j"),
+        col("set").as("sb"), col("n_sh").as("nb")), Seq("side", "j"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
-      .groupBy(col("i")).agg(count(lit(1)).as("nd"))
-    val he = dupCounts(candEx, exSets)
-      .select(col("i").as("doc_id"), col("nd").as("he"))
-    val hi = dupCounts(candIn, incSets)
-      .select(col("i").as("doc_id"), col("nd").as("hi"))
+      .groupBy(col("i").as("doc_id"))
+      .agg(
+        sum(when(col("side") === "ex", 1L).otherwise(0L)).as("he"),
+        sum(when(col("side") === "in", 1L).otherwise(0L)).as("hi"))
     incoming.select(col("doc_id"))
-      .join(he, Seq("doc_id"), "left")
-      .join(hi, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("he"), lit(0L)).as("n_dup_existing"),

@@ -22,25 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Report {
 
-  /** ANALYZE-style column profile in ONE corpus scan: per listed column,
-    * (col_name, n_rows, n_nulls, n_distinct). The row is stacked into a
-    * (col_name, value-as-string) map-explode so every column's stats come
-    * out of a single aggregate keyed on col_name — NOT one
-    * COUNT(DISTINCT) aggregate per column, which would either scan the
-    * table once per column or trip the multi-distinct Expand rewrite
-    * (scan replicated per column).
+  /** ANALYZE-style column profile: per listed column, (col_name, n_rows,
+    * n_nulls, n_distinct), as one single-column aggregate per column
+    * unioned together. Against a COLUMNAR source this is the minimal-I/O
+    * shape: each per-column scan prunes to exactly that column, so the C
+    * scans together read every profiled byte once — same bytes as a
+    * single stacked scan — while each aggregate stays on the
+    * one-distinct two-phase path (partial by value, map-side combined;
+    * no multi-distinct Expand) over NATIVE values. The previously-used
+    * stacked map-explode form reads the same bytes but multiplies the
+    * row stream by C and boxes every value into a string before the
+    * shuffle — a pure constant-factor tax that measured 13x against the
+    * per-column engine baseline at the 10x slice.
     *
-    * Callers pass integer/string/date-like columns only: the string cast
-    * unifies the stacked value type, and for those types it is injective
-    * and format-stable across engines. Floats are excluded by contract —
+    * Callers pass integer/string/date-like columns only: for those types
+    * the native distinct count equals the string-cast distinct count the
+    * oracle states (the cast is injective), so no stringification is
+    * needed anywhere. Floats are excluded by contract —
     * shortest-round-trip float formatting is an engine implementation
     * detail, so a float's stringified distinct count is not portable.
     * The contract is ENFORCED here, not just documented: a float-typed
     * column (including one nested in an array/struct/map) fails loudly
     * instead of returning silently-portable-looking numbers that would
     * hash-mismatch on another engine, and an unknown column name gets a
-    * precise error rather than an analysis exception from the stacked
-    * plan.
+    * precise error rather than an analysis exception downstream.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
@@ -64,21 +69,20 @@ object Report {
           "formatting is engine-specific, so a stringified distinct count " +
           "would not be portable); cast to decimal or exclude the column")
     }
-    val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    val stats = df
-      .select(explode(map(kvs: _*)).as(Seq("col_name", "value")))
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("value").isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
-        countDistinct(col("value")).as("n_distinct"))
-    // Left-join from the static column list so an EMPTY table still
-    // reports one all-zero row per column (what per-column COUNT(*) SQL
-    // yields) instead of an empty relation from the vanished groups.
-    import df.sparkSession.implicits._
-    cols.toDF("col_name")
-      .join(stats, Seq("col_name"), "left")
-      .na.fill(0L, Seq("n_rows", "n_nulls", "n_distinct"))
+    // A global aggregate emits its one row even over an empty table
+    // (count 0, null sum coalesced to 0), so the empty-table contract —
+    // one all-zero row per column, what per-column COUNT(*) SQL yields —
+    // holds with no join.
+    cols.map { c =>
+      df.select(col(c).as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }.reduce(_ union _)
   }
 
   /** (source, n_docs, n_distinct_texts, n_ws_tokens, n_chars, top_lang):

@@ -251,33 +251,39 @@ object TextOps {
     * a row.
     *
     * Scale shape: pair generation is ROW-LOCAL (same transform as p78);
-    * one (doc_id, w1, w2) count aggregate bounds everything downstream
-    * by per-doc distinct pairs; the corpus pair/context tables derive
-    * from it and are vocabulary²-bounded, so their joins back broadcast
-    * under AQE at any corpus size. All three aggregates are map-side
-    * combinable; nothing is corpus-quadratic.
+    * the corpus pair/context counts are vocabulary²-bounded map-side
+    * combinable aggregates, and their per-pair bit lengths are pre-joined
+    * on that SMALL relation — so the corpus-sized pair stream crosses the
+    * wire exactly twice (once combined into the pair counts, once
+    * re-keyed for the single bits join), and the final per-doc aggregate
+    * partial-combines before its shuffle. The two-join form (pair counts,
+    * then context counts) would re-shuffle the corpus-sized relation once
+    * per join; pre-reducing bits to one lookup table halves that.
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val docPairs = withToks(docs)
+    val pairs = withToks(docs)
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(toks) - 1),
           |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
           .stripMargin)).as("p"))
-      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-    val pairCounts = docPairs.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c")).cast("long").as("n_pair"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("n_pair"))
     val ctxCounts = pairCounts.groupBy(col("w1"))
       .agg(sum(col("n_pair")).cast("long").as("n_ctx"))
-    docPairs
-      .join(pairCounts, Seq("w1", "w2"))
-      .join(ctxCounts, Seq("w1"))
+    val bits = pairCounts.join(ctxCounts, "w1")
+      .select(col("w1"), col("w2"),
+        (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
+    // shuffle_hash: the corpus-sized pair stream must not pay a
+    // sort-merge sort — the vocabulary²-bounded bits side builds the
+    // hash table, the stream probes.
+    pairs
+      .join(bits.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("c")).cast("long").as("n_pairs"),
-        sum(col("c") * (length(bin(expr("n_ctx div n_pair"))) - 1))
-          .cast("long").as("bigram_bits"))
+        count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("bits")).cast("long").as("bigram_bits"))
   }
 
   /** PII scrubbing patterns, written with the portable regex subset ([.]
@@ -566,11 +572,20 @@ object TextOps {
     def frame(w: Column): Column = array_join(
       transform(sequence(lit(1), length(w)),
         i => concat(lit(F), w.substr(i, lit(1)), lit(E))), "")
+    // The whole doc frames into ONE string (framed words joined by a bare
+    // space) and each merge applies as a single LITERAL replace over it —
+    // legal because a merge pattern needs its two framed pieces ADJACENT
+    // (piece terminator immediately followed by the next frame start),
+    // and across a word boundary the joining space sits between them, so
+    // no pattern can span words; within a word it is exactly BPE's
+    // left-to-right non-overlapping scan. One codegen'd StringReplace
+    // pass per merge per DOC (no regex engine) replaces the per-WORD fold
+    // of regexp_replaces — M regex setups per word — that dominated the
+    // encode at corpus scale.
     def applyMerges(enc: Column): Column = merges.foldLeft(enc) {
       case (c, (p1, p2)) =>
-        regexp_replace(c,
-          lit(java.util.regex.Pattern.quote(F + p1 + E + F + p2 + E)),
-          lit(java.util.regex.Matcher.quoteReplacement(F + p1 + p2 + E)))
+        call_function("replace", c,
+          lit(F + p1 + E + F + p2 + E), lit(F + p1 + p2 + E))
     }
     // Token count = occurrences of the piece terminator; translate drops
     // every U+001E so the length delta counts them (codegen'd, no split).
@@ -580,8 +595,8 @@ object TextOps {
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_words"),
-      aggregate(toks, lit(0L),
-        (acc, w) => acc + nPieces(applyMerges(frame(w)))).as("n_tokens"))
+      nPieces(applyMerges(array_join(transform(toks, frame(_)), " ")))
+        .as("n_tokens"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every

@@ -231,14 +231,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p)
   }
 
-  test("profiler: one stacked scan, no Expand, no per-column scans") {
-    // The whole point of the stacked form: exactly ONE FileScan of the
-    // profiled table (not one per column), one Generate, and the
-    // single-distinct aggregate path (no Expand replication).
+  test("profiler: pruned per-column scans, single-distinct path, no Expand") {
+    // Per-column union form over a columnar source: one FileScan per
+    // profiled column, each pruned to EXACTLY that column (together they
+    // read every profiled byte once — same bytes as a stacked scan,
+    // without multiplying the row stream by the column count or boxing
+    // values to strings), and every aggregate stays on the one-distinct
+    // two-phase path (no multi-distinct Expand replication).
     val p = plan("p79_profile")
     assert(!p.contains("Expand"), p.linesIterator.take(12).mkString("\n"))
-    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
-    assert(p.linesIterator.count(_.contains("Generate")) == 1, p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.size == 7, p)
+    // Each scan reads a single column: the ReadSchema struct has no comma.
+    reads.foreach(r => assert(
+      !r.substring(r.indexOf("ReadSchema")).contains(","), r))
   }
 
   test("bigram surprisal: row-local pairs, partial aggs, no cartesian") {
