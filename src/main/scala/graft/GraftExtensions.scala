@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[graft.functions.SqDist].getName, "vec_sqdist"),
+      (exprs: Seq[Expression]) => graft.functions.SqDist(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
       (exprs: Seq[Expression]) => NgramShingles.forArgs(exprs)))

@@ -61,6 +61,7 @@ object GraftFunctions {
     }
     reg("rolling_hash", exprs => RollingHash(exprs.head))
     reg("vec_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    reg("vec_sqdist", exprs => SqDist(exprs(0), exprs(1)))
     reg("ngram_shingles", NgramShingles.forArgs)
     reg("winnow_hashes", WinnowHashes.forArgs)
     reg("sorted_dot_long", SortedDotLong.forArgs)

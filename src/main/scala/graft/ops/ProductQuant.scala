@@ -35,16 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuant {
 
-  /** Exact squared L2 distance as a sequential left-fold (bit-reproducible
-    * in any engine that folds left-to-right, e.g. DuckDB list_sum).
+  /** Exact squared L2 distance as a sequential left-fold — the codegen'd
+    * [[graft.functions.SqDist]] expression, bit-identical to the
+    * interpreted `aggregate(zip_with(...))` form and to DuckDB's
+    * list_sum left fold, so centroid argmins stay oracle-stable.
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
+    call_function("vec_sqdist", a, b)
 
-  private def doubled(emb: DataFrame): DataFrame =
+  private def doubled(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
 
   /** (vec_id, sub, sv): each vector split into m contiguous subvectors.
     * Row-local (map-only) — the explode happens before any exchange.
@@ -109,15 +112,19 @@ object ProductQuant {
     * fanout per subvector, and ONE hash aggregate (min_by with map-side
     * combine) — no window, no corpus shuffle beyond the aggregate's.
     */
-  def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64,
-      trainIters: Int = 1): DataFrame = {
-    require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val sub = subvectors(doubled(emb), m, dim)
-    sub.join(broadcast(codebook(emb, m, ks, dim, trainIters)), col("sub") === col("cs"))
+  private def assignWith(emb: DataFrame, cb: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    subvectors(doubled(emb), m, dim)
+      .join(broadcast(cb), col("sub") === col("cs"))
       .withColumn("d2", sqDist(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
       .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
+
+  def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64,
+      trainIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    assignWith(emb, codebook(emb, m, ks, dim, trainIters), m, dim)
   }
 
   /** ADC top-k: per query, exact distances from each query subvector to
@@ -133,10 +140,15 @@ object ProductQuant {
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
       m: Int = 16, ks: Int = 64, dim: Int = 64, trainIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val codes = pqAssign(emb, m, ks, dim, trainIters)
+    // ONE trained codebook feeds both the corpus assignment and the query
+    // LUT: the two broadcast subtrees share the identical plan object, so
+    // the Lloyd-iteration DAG materializes once (ReuseExchange), not once
+    // per consumer.
+    val cb = codebook(emb, m, ks, dim, trainIters)
+    val codes = assignWith(emb, cb, m, dim)
     val lut = subvectors(doubled(queries), m, dim)
       .select(col("vec_id").as("q_id"), col("sub").as("qs"), col("sv").as("qsv"))
-      .join(broadcast(codebook(emb, m, ks, dim, trainIters)), col("qs") === col("cs"))
+      .join(broadcast(cb), col("qs") === col("cs"))
       .withColumn("d2", sqDist(col("qsv"), col("cv")))
       .select(col("q_id"), col("qs"), col("j"), col("d2"))
     val scored = codes
