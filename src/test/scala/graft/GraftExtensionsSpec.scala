@@ -46,9 +46,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture with BeforeAndAf
       """SELECT rolling_hash('abc') AS rh,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
         |  ngram_shingles('a b c d', 3) AS sh,
-        |  winnow_hashes('abcdefghij', 8, 4) AS wf""".stripMargin).collect()(0)
+        |  winnow_hashes('abcdefghij', 8, 4) AS wf,
+        |  vec_sqdist(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS sq,
+        |  vec_sqdist(array(CAST(1.5 AS FLOAT)), array(0.5D)) AS sqf""".stripMargin)
+      .collect()(0)
     assert(row.getLong(0) == graft.functions.RollingHash.hash("abc"))
     assert(row.getDouble(1) == 11.0)
+    // (1-3)^2 + (2-5)^2, and the mixed float/double widening path.
+    assert(row.getDouble(4) == 13.0)
+    assert(row.getDouble(5) == 1.0)
     assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
     // 3 grams < w=4 -> one window: the min of the three 8-gram hashes.
     assert(row.getSeq[Long](3) ==
