@@ -98,14 +98,90 @@ object MediaHeaders {
     Some((le32(b, 24), le16(b, 34), le16(b, 22)))
   }
 
+  // ---- ISO BMFF (MP4) box walk -------------------------------------------
+
+  /** Iterate the (type, boxStart, boxEnd) triples of the boxes laid out in
+    * b[from, to). Stops at the first malformed size (including the 64-bit
+    * `largesize` form, which the synthetic fixtures never emit).
+    */
+  private def mp4Boxes(b: Array[Byte], from: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var i = from
+      def hasNext: Boolean = i + 8 <= end && {
+        val size = be32(b, i)
+        size >= 8 && i + size <= end
+      }
+      def next(): (String, Int, Int) = {
+        val size = be32(b, i)
+        val t = new String(b, i + 4, 4, "US-ASCII")
+        val r = (t, i, i + size)
+        i += size
+        r
+      }
+    }
+
+  private def findMp4Box(b: Array[Byte], from: Int, to: Int,
+      tpe: String): Option[(Int, Int)] =
+    mp4Boxes(b, from, to).collectFirst { case (`tpe`, s, e) => (s, e) }
+
+  /** MP4/ISO-BMFF: requires a leading `ftyp` box, then reads the `moov`
+    * tree — first `trak`'s `tkhd` 16.16-fixed presentation width/height
+    * (v0 and v1 layouts) and the trak count (returned in the channels
+    * slot). Pure box-size arithmetic; no sample data is touched.
+    */
+  private def parseMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 16) return None
+    if (new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    val (moovS, moovE) = findMp4Box(b, 0, b.length, "moov").getOrElse(return None)
+    var traks = 0
+    var w = -1
+    var h = -1
+    mp4Boxes(b, moovS + 8, moovE).foreach {
+      case ("trak", s, e) =>
+        traks += 1
+        if (w < 0) findMp4Box(b, s + 8, e, "tkhd").foreach { case (ts, te) =>
+          val off = if ((b(ts + 8) & 0xff) == 1) ts + 96 else ts + 84
+          if (off + 8 <= te) {
+            w = be32(b, off) >>> 16
+            h = be32(b, off + 4) >>> 16
+          }
+        }
+      case _ => ()
+    }
+    if (traks == 0) None else Some((w, h, traks))
+  }
+
+  /** Total sample (frame) count of an MP4 payload: the sum of every
+    * trak's `stsz` sample_count, read straight from the
+    * moov→trak→mdia→minf→stbl→stsz box path — a REAL frame count from
+    * real container bytes, no demuxer or codec involved (the count is
+    * container metadata; only pixel DECODE needs a codec).
+    */
+  def mp4SampleCount(b: Array[Byte]): Option[Long] = {
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    val (moovS, moovE) = findMp4Box(b, 0, b.length, "moov").getOrElse(return None)
+    val counts = mp4Boxes(b, moovS + 8, moovE).collect { case ("trak", s, e) =>
+      for {
+        (mdS, mdE) <- findMp4Box(b, s + 8, e, "mdia")
+        (mnS, mnE) <- findMp4Box(b, mdS + 8, mdE, "minf")
+        (sbS, sbE) <- findMp4Box(b, mnS + 8, mnE, "stbl")
+        (szS, szE) <- findMp4Box(b, sbS + 8, sbE, "stsz")
+        if szS + 20 <= szE
+      } yield (be32(b, szS + 16).toLong & 0xffffffffL)
+    }.flatten.toSeq
+    if (counts.isEmpty) None else Some(counts.sum)
+  }
+
   /** Sniff + parse: (fmt, width, height, channels), fmt "unknown" (with
-    * -1 dimensions) when no container signature matches.
+    * -1 dimensions) when no container signature matches. For mp4 the
+    * channels slot carries the trak count.
     */
   def parse(id: Long, payload: Array[Byte]): ContainerMeta = {
     parsePng(payload).map { case (w, h, c) => ContainerMeta(id, "png", w, h, c) }
       .orElse(parseJpeg(payload).map { case (w, h, c) => ContainerMeta(id, "jpeg", w, h, c) })
       .orElse(parseGif(payload).map { case (w, h, c) => ContainerMeta(id, "gif", w, h, c) })
       .orElse(parseWav(payload).map { case (sr, bits, ch) => ContainerMeta(id, "wav", sr, bits, ch) })
+      .orElse(parseMp4(payload).map { case (w, h, t) => ContainerMeta(id, "mp4", w, h, t) })
       .getOrElse(ContainerMeta(id, "unknown", -1, -1, -1))
   }
 
@@ -185,20 +261,80 @@ object MediaHeaders {
     out.toByteArray
   }
 
+  private def be32Bytes(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4Box(tpe: String, payloads: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payloads.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(len)
+    out.write(be32Bytes(len), 0, 4)
+    out.write(tpe.getBytes("US-ASCII"), 0, 4)
+    payloads.foreach(p => out.write(p, 0, p.length))
+    out.toByteArray
+  }
+
+  /** Minimal spec-valid MP4 (ISO BMFF) bytes: ftyp, then a moov tree with
+    * a v0 mvhd, one trak whose tkhd carries the 16.16-fixed
+    * width/height, and an mdia→minf→stbl→stsz with CONSTANT sample size
+    * (so the per-sample table is legally absent) and `nFrames` as the
+    * sample count — every size field is the real nested box length, so
+    * any conforming box walker (not just ours) reads the same values.
+    */
+  def synthMp4(width: Int, height: Int, nFrames: Int,
+      timescale: Int = 600): Array[Byte] = {
+    val zero = Array.fill[Byte](4)(0)
+    val unityMatrix =
+      be32Bytes(0x00010000) ++ zero ++ zero ++
+        zero ++ be32Bytes(0x00010000) ++ zero ++
+        zero ++ zero ++ be32Bytes(0x40000000)
+    val mvhd = mp4Box("mvhd",
+      zero, // version + flags
+      zero, zero, // creation, modification
+      be32Bytes(timescale), be32Bytes(nFrames), // timescale, duration
+      be32Bytes(0x00010000), // rate 1.0
+      Array(0x01.toByte, 0x00.toByte, 0, 0), // volume 1.0 + reserved
+      Array.fill[Byte](8)(0), // reserved
+      unityMatrix,
+      Array.fill[Byte](24)(0), // pre_defined
+      be32Bytes(2)) // next_track_ID
+    val tkhd = mp4Box("tkhd",
+      Array(0, 0, 0, 7.toByte), // version 0, flags: enabled|in_movie|in_preview
+      zero, zero, // creation, modification
+      be32Bytes(1), zero, // track_ID, reserved
+      be32Bytes(nFrames), // duration
+      Array.fill[Byte](8)(0), // reserved
+      Array.fill[Byte](8)(0), // layer, alternate_group, volume, reserved
+      unityMatrix,
+      be32Bytes(width << 16), be32Bytes(height << 16))
+    val stsz = mp4Box("stsz",
+      zero, // version + flags
+      be32Bytes(1), // constant sample_size (table legally absent)
+      be32Bytes(nFrames)) // sample_count
+    val trak = mp4Box("trak", tkhd,
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stsz))))
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII"), zero, "isom".getBytes("US-ASCII"))
+    ftyp ++ mp4Box("moov", mvhd, trak)
+  }
+
   /** Demo media source over `documents`: per doc, a REAL container header
-    * (png/gif/jpeg cycling on doc_id) whose dimensions are derived from
-    * (n_chars, doc_id) — so an external oracle can state the parsed
-    * result arithmetically while the parse itself runs on actual bytes.
+    * (png/gif/jpeg/mp4 cycling on doc_id) whose dimensions — and for mp4
+    * the stsz frame count — derive from (n_chars, doc_id), so an external
+    * oracle can state the parsed result arithmetically while the parse
+    * itself runs on actual bytes.
     */
   def synthesizeContainers(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .map { case (id, n) =>
-        val payload = (id % 3) match {
+        val payload = (id % 4) match {
           case 0 => synthPng((n % 640 + 1).toInt, (id % 480 + 1).toInt)
           case 1 => synthGif((n % 320 + 1).toInt, (id % 240 + 1).toInt)
-          case _ => synthJpeg((n % 1024 + 1).toInt, (id % 768 + 1).toInt)
+          case 2 => synthJpeg((n % 1024 + 1).toInt, (id % 768 + 1).toInt)
+          case _ => synthMp4((n % 1920 + 1).toInt, (id % 1080 + 1).toInt,
+            ((n + id) % 120 + 1).toInt)
         }
         (id, payload)
       }

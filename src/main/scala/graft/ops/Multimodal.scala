@@ -21,10 +21,11 @@ final case class MediaMeta(
   *
   * Metadata extraction is REAL byte-level container-header parsing
   * ([[MediaHeaders]]: PNG IHDR, JPEG SOF walk, GIF screen descriptor, WAV
-  * fmt chunk) — no codec library needed. Only pixel/sample DECODE (and
-  * hence true video frame demux) is out of reach in this container; where
-  * a frame count is needed, [[sampleFrames]] derives it deterministically
-  * from the parsed header and says so.
+  * fmt chunk, MP4 box walk incl. the stsz frame count) — no codec library
+  * needed. Only pixel/sample DECODE is out of reach in this container;
+  * where a still-image format carries no frame table, [[sampleFrames]]
+  * derives a deterministic stand-in count from the parsed header and
+  * says so.
   *
   * Plan shape: `mapPartitions` over a typed Dataset — one parser/decoder
   * context per partition, streaming iterator (the same batch shape a JNI
@@ -66,12 +67,15 @@ object Multimodal {
 
   /** Frame sampling: every `step`-th frame of each media payload, with a
     * per-frame fingerprint and half-resolution "resize" dimensions taken
-    * from the REAL parsed header. The frame COUNT is the one honest stub
-    * left (no demuxer in this container): it is a deterministic function
-    * of the parsed dimensions, (width*height) % 30 + 1, documented here
-    * so the oracle can state it. Plumbing is the real shape —
-    * per-partition parse, one output row per sampled frame, no shuffle
-    * (map-side explode).
+    * from the REAL parsed header. For MP4 payloads the frame count is
+    * REAL container metadata — the `stsz` sample count read by
+    * [[MediaHeaders.mp4SampleCount]]'s box walk, no demuxer needed. For
+    * the still-image formats (whose containers carry no frame table) the
+    * count is the documented deterministic stand-in
+    * (width*height) % 30 + 1, stated here so the oracle can replay it;
+    * pixel DECODE remains the only step a codec library would add.
+    * Plumbing is the real shape — per-partition parse, one output row
+    * per sampled frame, no shuffle (map-side explode).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, step: Int = 5): DataFrame = {
     import spark.implicits._
@@ -81,7 +85,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         val cm = MediaHeaders.parse(id, payload)
-        val nFrames = (cm.width.toLong * cm.height.toLong) % 30 + 1
+        val nFrames =
+          if (cm.fmt == "mp4")
+            MediaHeaders.mp4SampleCount(payload).getOrElse(1L)
+          else (cm.width.toLong * cm.height.toLong) % 30 + 1
         (0L until nFrames by step.toLong).map { i =>
           FrameMeta(
             doc_id = id,

@@ -496,13 +496,17 @@ object PipelineOps {
     Q.df(
       "p16_multimodal_meta",
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 21 END AS BIGINT) AS byte_len,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
-        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
-        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height,
-        |  3 AS channels
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'jpeg' ELSE 'mp4' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13
+        |       WHEN 2 THEN 21 ELSE 280 END AS BIGINT) AS byte_len,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 WHEN 2 THEN n_chars % 1024 + 1
+        |       ELSE n_chars % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 WHEN 2 THEN doc_id % 768 + 1
+        |       ELSE doc_id % 1080 + 1 END AS INT) AS height,
+        |  CASE WHEN CAST(doc_id % 4 AS INT) = 3 THEN 1 ELSE 3 END AS channels
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.extractMeta(s,
         graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")))
@@ -793,11 +797,23 @@ object PipelineOps {
     Q.df(
       "p22_frame_sample",
       """WITH m AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
-        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
-        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'jpeg' ELSE 'mp4' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 WHEN 2 THEN n_chars % 1024 + 1
+        |       ELSE n_chars % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 WHEN 2 THEN doc_id % 768 + 1
+        |       ELSE doc_id % 1080 + 1 END AS INT) AS height,
+        |  -- mp4: the synthesized stsz sample count (real container
+        |  -- metadata graft reads back via the box walk); still images:
+        |  -- the documented deterministic stand-in.
+        |  CASE WHEN CAST(doc_id % 4 AS INT) = 3 THEN (n_chars + doc_id) % 120 + 1
+        |       ELSE (CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |              WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS BIGINT)
+        |             * CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |              WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS BIGINT)) % 30 + 1
+        |  END AS n_frames
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(frame_idx AS INT) AS frame_idx,
@@ -806,7 +822,7 @@ object PipelineOps {
         |  md5(fmt || ':' || CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
         |    || '#' || CAST(frame_idx AS VARCHAR)) AS frame_fp
         |FROM (SELECT doc_id, fmt, width, height,
-        |  unnest(range(0, (width * height) % 30 + 1, 5)) AS frame_idx FROM m) f""".stripMargin) {
+        |  unnest(range(0, n_frames, 5)) AS frame_idx FROM m) f""".stripMargin) {
       (s, dir) =>
         Multimodal.sampleFrames(s,
           graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")), 5)
@@ -1022,12 +1038,15 @@ object PipelineOps {
     Q.df(
       "p47_media_headers",
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 640 + 1
-        |       WHEN 1 THEN n_chars % 320 + 1 ELSE n_chars % 1024 + 1 END AS INT) AS width,
-        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
-        |       WHEN 1 THEN doc_id % 240 + 1 ELSE doc_id % 768 + 1 END AS INT) AS height,
-        |  3 AS channels
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'jpeg' ELSE 'mp4' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN n_chars % 640 + 1
+        |       WHEN 1 THEN n_chars % 320 + 1 WHEN 2 THEN n_chars % 1024 + 1
+        |       ELSE n_chars % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 WHEN 2 THEN doc_id % 768 + 1
+        |       ELSE doc_id % 1080 + 1 END AS INT) AS height,
+        |  CASE WHEN CAST(doc_id % 4 AS INT) = 3 THEN 1 ELSE 3 END AS channels
         |FROM documents""".stripMargin) { (s, dir) =>
       graft.ops.MediaHeaders.parseHeaders(s,
         graft.ops.MediaHeaders.synthesizeContainers(s, t(s, dir, "documents")))

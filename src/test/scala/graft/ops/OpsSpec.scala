@@ -149,14 +149,15 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // Parsed from actual container bytes: format cycles on doc_id, and the
     // byte length is the format's exact header size.
     rows.foreach { r =>
-      val expectFmt = (r.getLong(0) % 3) match {
-        case 0 => "png"; case 1 => "gif"; case _ => "jpeg"
+      val expectFmt = (r.getLong(0) % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "jpeg"; case _ => "mp4"
       }
       assert(r.getString(1) == expectFmt)
       assert(r.getLong(2) == (expectFmt match {
-        case "png" => 33L; case "gif" => 13L; case _ => 21L
+        case "png" => 33L; case "gif" => 13L; case "jpeg" => 21L; case _ => 280L
       }))
-      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1 && r.getInt(5) == 3)
+      val expectChannels = if (expectFmt == "mp4") 1 else 3
+      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1 && r.getInt(5) == expectChannels)
     }
     // Fingerprint is the true md5 of the payload bytes.
     val png = MediaHeaders.synthPng(17, 9)
@@ -519,6 +520,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       == "unknown")
     // Truncated signatures don't crash the parser.
     assert(MediaHeaders.parse(7L, Array[Byte](0x89.toByte, 'P')).fmt == "unknown")
+  }
+
+  test("mp4 box walk: tkhd dims, trak count, and the REAL stsz frame count") {
+    val mp4 = MediaHeaders.synthMp4(1280, 720, 37)
+    // tkhd 16.16-fixed dims and the single-trak count via the moov walk.
+    assert(MediaHeaders.parse(8L, mp4) == ContainerMeta(8L, "mp4", 1280, 720, 1))
+    // The frame count is read back from the stsz box, not derived.
+    assert(MediaHeaders.mp4SampleCount(mp4).contains(37L))
+    // Every box size is the true nested length: the payload ends exactly
+    // where the last box says it does, so a conforming walker sees no
+    // trailing garbage and a truncated copy fails the walk safely.
+    assert(MediaHeaders.mp4SampleCount(mp4.dropRight(1)).isEmpty)
+    assert(MediaHeaders.parse(9L, mp4.take(20)).fmt == "unknown")
+    // sampleFrames consumes the stsz count for mp4 payloads: 37 frames at
+    // step 5 -> indices 0,5,...,35.
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(spark,
+      spark.createDataFrame(Seq((8L, mp4))).toDF("doc_id", "payload"), 5)
+    assert(frames.select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
+      == (0 to 35 by 5).toSeq)
   }
 
   test("rank-quantile band: integer cutoffs at ceil(p*n) and band filter") {
