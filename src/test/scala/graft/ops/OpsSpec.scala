@@ -915,6 +915,24 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.length == 1 && out(0).getLong(2) >= 3L)
   }
 
+  test("encodeWithMerges: doc-level replaces never span a word boundary") {
+    import spark.implicits._
+    // The encode applies merges over ONE framed string per doc; the
+    // joining space must break frame adjacency, or the b|a contact
+    // ACROSS "ab ab"'s boundary would merge and undercount.
+    val d = Seq((1L, "ab ab"), (2L, "aaaa"), (3L, "ba")).toDF("doc_id", "text")
+    val ba = TextOps.encodeWithMerges(d, Seq(("b", "a")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ba(1L) == ((2L, 4L))) // no intra-word (b,a); boundary must not merge
+    assert(ba(3L) == ((1L, 1L))) // intra-word b|a merges to one token
+    // Left-to-right non-overlapping on adjacent repeats: aaaa + (a,a)
+    // -> aa|aa (a just-merged token never re-merges).
+    val aa = TextOps.encodeWithMerges(d, Seq(("a", "a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(aa(2L) == 2L)
+    assert(aa(1L) == 4L)
+  }
+
   test("corpus report: exact counts, dup detection, deterministic top language") {
     import spark.implicits._
     val d = Seq(
