@@ -159,10 +159,17 @@ object Bench {
             System.err.println(s"[bench] $name FAILED run $i: $msg")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (i < repeat) {
-          System.err.println(s"[bench] $name run $i: $dt")
-          spark.catalog.clearCache() // repeats must re-materialize persists
-        }
+        // Clear persisted blocks OUTSIDE the timed region after EVERY run
+        // (not just between repeats): operators that persist for
+        // correctness (GlobalRank's pinned range partitioning in
+        // q22/p30/p57/p81) never unpersist — their blocks otherwise
+        // accumulate across the corpus run and later queries pay
+        // eviction/GC for data they never read (p58 measured 4.0–4.5 s
+        // mid-corpus vs 0.7 s standalone). Each query is measured from
+        // the same clean block-manager state its standalone measurement
+        // has; repeats also re-materialize persists, as before.
+        spark.catalog.clearCache()
+        if (i < repeat) System.err.println(s"[bench] $name run $i: $dt")
         dt
       }
       (name, times, err)
