@@ -169,6 +169,12 @@ object Bench {
         // the same clean block-manager state its standalone measurement
         // has; repeats also re-materialize persists, as before.
         spark.catalog.clearCache()
+        // Dev probe: SPARK_GRAFT_BENCH_GC=1 additionally forces a GC
+        // outside the timed region, letting ContextCleaner reap the
+        // broadcast blocks earlier queries leaked into storage memory —
+        // isolates heap-accumulation effects from plan costs when a
+        // query measures slower mid-corpus than standalone.
+        if (sys.env.contains("SPARK_GRAFT_BENCH_GC")) System.gc()
         if (i < repeat) System.err.println(s"[bench] $name run $i: $dt")
         dt
       }
