@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
       (exprs: Seq[Expression]) => WinnowHashes.forArgs(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("winnow_anchors"),
+      new ExpressionInfo(classOf[graft.functions.WinnowAnchors].getName, "winnow_anchors"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowAnchors.forArgs(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("sorted_dot_long"),
       new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
       (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))

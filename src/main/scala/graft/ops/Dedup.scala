@@ -485,4 +485,66 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Cross-document EXACT substring sharing via winnowing anchors — the
+    * train-set-dedup flavor that targets verbatim spans (licenses, quoted
+    * passages, memorized benchmark items) rather than whole-document
+    * similarity: suffix-array exact-substring dedup re-expressed in the
+    * candidate→verify shape every other near-dup path here uses.
+    *
+    * Per doc, [[graft.functions.WinnowAnchors]] selects one char-k-gram
+    * anchor per w-window in ONE codegen'd O(len) pass (the winnowing
+    * guarantee: ANY shared run of >= w+k-1 chars puts the same k-gram
+    * hash in both docs' anchor sets, at ~1/w the rows of full per-position
+    * shingling). Anchors whose hash lands in 2..maxDf distinct docs are
+    * joined on (hash, gram) — the gram is the k literal chars cut out at
+    * anchor time, so verification is exact CHARACTER equality riding the
+    * join key and no document text ever ships. The df cap is the MOSS
+    * "drop over-common fingerprints" rule: it bounds per-hash fan-out to
+    * maxDf docs (<= maxDf^2 pairs per hash) and throws away boilerplate
+    * grams that say nothing about pairwise duplication.
+    *
+    * Scale shape: the winnowed-anchor pass runs twice — once to learn the
+    * df cap, once to pair (a pipeline materializing anchors pays one) —
+    * never per join side; then one (hash, gram) aggregate collecting the
+    * <= maxDf matching doc ids, ROW-LOCAL pair expansion (<= C(maxDf, 2)
+    * structs per anchor — no self-join, so nothing broadcasts or
+    * shuffles the anchor relation whole), one partial-combinable
+    * count-distinct per pair. Every stage is corpus- or candidate-linear.
+    *
+    * Returns (doc_a, doc_b, n_anchors): pairs sharing >= minAnchors
+    * distinct verified anchor hashes, i.e. at least that many distinct
+    * exact k-char runs in common.
+    */
+  def exactSubstringPairs(docs: DataFrame, k: Int = 20, w: Int = 8,
+      maxDf: Int = 10, minAnchors: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val anchors = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"winnow_anchors(text, $k, $w)")).as("packed"))
+      .select(col("doc_id"),
+        expr("shiftright(packed, 32)").as("hash"),
+        // packed % 2^32 is the 1-based gram position; cut the k literal
+        // chars here so the verify payload is k chars, not the document.
+        expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
+      .distinct()
+    val rare = anchors
+      .groupBy(col("hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
+      .select(col("hash"))
+    anchors.join(rare, "hash")
+      // Docs carrying the same verified gram, gathered once: the sorted
+      // id array is df-capped, so expanding its ordered pairs row-locally
+      // replaces the anchor self-join (which would rebuild the winnowed
+      // corpus per side and broadcast or shuffle it whole).
+      .groupBy(col("hash"), col("gram"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("hash"), explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))")).as("pr"))
+      .groupBy(col("pr.a").as("doc_a"), col("pr.b").as("doc_b"))
+      .agg(countDistinct(col("hash")).as("n_anchors"))
+      .filter(col("n_anchors") >= minAnchors)
+  }
 }

@@ -1828,6 +1828,56 @@ object PipelineOps {
           t(s, dir, "documents"), col("lang"), col("doc_id"))
           .select(col("doc_id"), col("lang"))
     },
+
+    // Cross-document EXACT substring sharing (the suffix-array train-set
+    // dedup flavor, re-shaped candidate→verify): winnowing selects one
+    // char-20-gram anchor per 8-window — any shared run >= 27 chars puts
+    // the same anchor hash in both docs — anchors in 2..10 docs join on
+    // (hash, literal gram), so verification is exact char equality riding
+    // the join key and no document text ships. The oracle mirrors the
+    // selection exactly: leftmost window argmin via first-occurrence
+    // list_indexof, hash = sum(cp_j * 31^(20-j)) mod 1e9+7 with the 20
+    // coefficients unrolled (the window-minima pass, not the hash, is
+    // DuckDB's cost; the mins-once form below is ~35% faster than
+    // sliced-thrice and identical).
+    Q.df(
+      "p82_exact_substring_pairs",
+      """WITH co AS (SELECT [783945459, 799482117, 864499429, 447241920, 853136842, 188810867,
+        |    522219709, 274910315, 718545499, 281243405, 621975598, 891031477, 512613922,
+        |    887503681, 28629151, 923521, 29791, 961, 31, 1] AS c),
+        |cps AS (SELECT doc_id, text, length(text) AS n,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
+        |  FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  CASE WHEN n >= 20 THEN list_transform(generate_series(1, n - 19),
+        |      i -> CAST((cp[i+0]*783945459 + cp[i+1]*799482117 + cp[i+2]*864499429
+        |        + cp[i+3]*447241920 + cp[i+4]*853136842 + cp[i+5]*188810867
+        |        + cp[i+6]*522219709 + cp[i+7]*274910315 + cp[i+8]*718545499
+        |        + cp[i+9]*281243405 + cp[i+10]*621975598 + cp[i+11]*891031477
+        |        + cp[i+12]*512613922 + cp[i+13]*887503681 + cp[i+14]*28629151
+        |        + cp[i+15]*923521 + cp[i+16]*29791 + cp[i+17]*961 + cp[i+18]*31
+        |        + cp[i+19]) % 1000000007 AS BIGINT))
+        |  ELSE [CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    j -> cp[j] * c[20 - n + j])), 0) % 1000000007 AS BIGINT)] END AS h
+        |  FROM cps CROSS JOIN co),
+        |mnl AS (SELECT doc_id, text, h, list_transform(generate_series(1, greatest(len(h) - 7, 1)),
+        |    i -> list_min(h[(i):(i+7)])) AS mins FROM h),
+        |aw AS (SELECT doc_id, text, unnest(list_transform(generate_series(1, len(mins)),
+        |    i -> mins[i] * 4294967296 + i + list_indexof(h[(i):(i+7)], mins[i]) - 1)) AS fp
+        |  FROM mnl),
+        |anch AS (SELECT DISTINCT doc_id, fp // 4294967296 AS hash,
+        |    substr(text, CAST(fp % 4294967296 AS INT), 20) AS gram FROM aw),
+        |rare AS (SELECT hash FROM (
+        |    SELECT hash, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1) z
+        |  WHERE nd BETWEEN 2 AND 10),
+        |a2 AS (SELECT anch.* FROM anch JOIN rare USING (hash))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(COUNT(DISTINCT x.hash) AS BIGINT) AS n_anchors
+        |FROM a2 x JOIN a2 y ON x.hash = y.hash AND x.gram = y.gram AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Dedup.exactSubstringPairs(t(s, dir, "documents"), 20, 8, 10, 1)
+    },
   )
 
   /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double

@@ -287,4 +287,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // be on the build side of anything.
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("exact-substring pairs: two winnow passes max, row-local pair expansion") {
+    // Candidate pairs come from expanding the df-capped per-(hash, gram)
+    // id array row-locally — NOT from a self-join of the anchor relation,
+    // which would rebuild the winnowed corpus PER JOIN SIDE and broadcast
+    // or shuffle it whole. The honest pass count is two (one to learn the
+    // df cap, one to pair — a pipeline materializing anchors pays one);
+    // this pins that it never regresses to the three of the self-join
+    // form, and that no cartesian/window appears.
+    val p = plan("p82_exact_substring_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    val winnowGenerates = p.linesIterator.count(l =>
+      l.contains("Generate") && l.contains("winnow_anchors"))
+    assert(winnowGenerates <= 2, s"winnow passes: $winnowGenerates\n$p")
+    assert(p.contains("partial"), p)
+  }
 }

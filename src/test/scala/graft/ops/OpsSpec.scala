@@ -1185,6 +1185,50 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(shortFps.count(_.getLong(0) == 11L) == 1)
   }
 
+  test("exact-substring pairs: a planted >= w+k-1 run surfaces; boilerplate df cap drops common grams") {
+    import spark.implicits._
+    // 30-char shared run >= w + k - 1 = 27 for (k=20, w=8): the winnowing
+    // guarantee says docs 0 and 1 select a common anchor hash inside it.
+    val run = "zq1xw2vu3ts4rq5po6nm7lk8ji9hg0"
+    val boiler = "every document carries this exact same boilerplate sentence"
+    val tiny = Seq(
+      (0L, s"alpha beta $run gamma delta $boiler"),
+      (1L, s"completely other prefix $run trailing words $boiler"),
+      (2L, s"unrelated content entirely its own here $boiler"),
+      (3L, s"quartz umber kestrel vivid nothing overlapping $boiler"),
+      (4L, s"maple ginger osprey violet wholly disjoint words $boiler")
+    ).toDF("doc_id", "text")
+    // maxDf = 3 < 5 docs: anchors from the shared boilerplate (df 5) are
+    // dropped; the planted run (df 2) survives and verifies.
+    val pairs = Dedup.exactSubstringPairs(tiny, 20, 8, maxDf = 3, minAnchors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted 30-char shared run must surface")
+    assert(!pairs.exists { case (a, b) => Set(a, b).subsetOf(Set(2L, 3L, 4L)) },
+      "docs sharing ONLY the over-common boilerplate must not pair (df cap)")
+    // Anchor selection is the oracle's rule exactly: leftmost window
+    // argmin over per-position sum-form polynomial hashes — recompute
+    // doc 0's anchors independently and compare packed values.
+    val doc0 = tiny.filter(col("doc_id") === 0L).head().getString(1)
+    val (k, w) = (20, 8)
+    val hs = (1 to math.max(doc0.length - k + 1, 1)).map { i =>
+      val kg = doc0.substring(i - 1, math.min(i + k - 1, doc0.length))
+      val cps = kg.codePoints().toArray
+      cps.zipWithIndex.map { case (cp, j) =>
+        BigInt(cp) * BigInt(31).pow(cps.length - 1 - j)
+      }.sum.mod(BigInt(1000000007L)).toLong
+    }.toIndexedSeq
+    val expected = (1 to math.max(hs.length - (w - 1), 1)).map { i =>
+      val win = hs.slice(i - 1, math.min(i - 1 + w, hs.length))
+      val mn = win.min
+      (mn << 32) | (i + win.indexOf(mn)).toLong
+    }.toSet
+    graft.functions.GraftFunctions.register(spark)
+    val got = tiny.filter(col("doc_id") === 0L)
+      .select(explode(expr(s"winnow_anchors(text, $k, $w)")).as("p"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, "winnow_anchors must match the sum-form leftmost-argmin selection")
+  }
+
   test("funnel: order matters — a click before the first view does not convert") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
