@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WinnowAnchors].getName, "winnow_anchors"),
       (exprs: Seq[Expression]) => graft.functions.WinnowAnchors.forArgs(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("bpe_frame"),
+      new ExpressionInfo(classOf[graft.functions.BpeFrame].getName, "bpe_frame"),
+      (exprs: Seq[Expression]) => graft.functions.BpeFrame(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("sorted_dot_long"),
       new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
       (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))

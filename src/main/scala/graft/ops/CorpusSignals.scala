@@ -256,4 +256,48 @@ object CorpusSignals {
       .filter((col("cum_count") - col("cnt")) * covDen < lit(covNum) * col("total"))
       .select(col("word"), col("cnt"), col("cum_count"))
   }
+
+  /** Per-source distribution drift over the top-K corpus tokens — the
+    * domain-shift check a data card publishes when one source starts
+    * dominating a mix: for each (source, top token), is the token over-
+    * or under-represented by more than `factor`× its corpus rate?
+    *
+    * The rate test is a cleared-denominator integer inequality
+    * (n_src · N_total vs factor · n_tot · N_src — products in
+    * decimal(38,0), exact past 100 TB token counts), so the flags are
+    * bit-identical in any engine: no ratio, no float, no log.
+    *
+    * Scale shape: ONE tokenize pass feeds three map-side-combinable
+    * aggregates (word totals, source totals, source×top-word counts —
+    * the last pre-filtered by a broadcast of the top-K words, so its
+    * shuffle is K·sources-bounded, not vocabulary-bounded). Top-K is a
+    * TakeOrdered, never a global sort; the (source × top-K) grid is a
+    * broadcast cross of two tiny relations. Missing (source, word)
+    * combinations surface as n_src = 0 — absence of a frequent token IS
+    * the drift signal, so the grid left-join is load-bearing.
+    */
+  def sourceDrift(docs: DataFrame, topK: Int = 50, factor: Int = 2): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val top = tok.groupBy(col("word")).agg(count(lit(1)).as("n_tot"))
+      .orderBy(col("n_tot").desc, col("word")).limit(topK)
+    val srcTotals = tok.groupBy(col("source")).agg(count(lit(1)).as("n_src_total"))
+    val grandTotal = tok.agg(count(lit(1)).as("n_total"))
+    val srcWord = tok.join(broadcast(top.select(col("word"))), "word")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n_src_raw"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    srcTotals.crossJoin(broadcast(top))
+      .join(srcWord, Seq("source", "word"), "left")
+      .crossJoin(broadcast(grandTotal))
+      .select(
+        col("source"), col("word"),
+        coalesce(col("n_src_raw"), lit(0L)).as("n_src"),
+        col("n_tot"),
+        (dec(coalesce(col("n_src_raw"), lit(0L))) * dec(col("n_total")) >
+          lit(factor) * dec(col("n_tot")) * dec(col("n_src_total"))).as("over_rep"),
+        (lit(factor) * dec(coalesce(col("n_src_raw"), lit(0L))) * dec(col("n_total")) <
+          dec(col("n_tot")) * dec(col("n_src_total"))).as("under_rep"))
+  }
 }

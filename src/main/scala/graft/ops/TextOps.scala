@@ -566,22 +566,23 @@ object TextOps {
     * self-contained oracle form). Map-only, no shuffle, same framed
     * chained-replace plan as [[bpeEncode]].
     */
-  def encodeWithMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encodeWithMerges(docs: DataFrame, merges: Seq[(String, String)],
+      keep: Seq[String] = Nil): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val F = "\u001F" // unit separator: frames each piece start
     val E = "\u001E" // record separator: frames each piece end
-    def frame(w: Column): Column = array_join(
-      transform(sequence(lit(1), length(w)),
-        i => concat(lit(F), w.substr(i, lit(1)), lit(E))), "")
-    // The whole doc frames into ONE string (framed words joined by a bare
-    // space) and each merge applies as a single LITERAL replace over it —
-    // legal because a merge pattern needs its two framed pieces ADJACENT
-    // (piece terminator immediately followed by the next frame start),
-    // and across a word boundary the joining space sits between them, so
-    // no pattern can span words; within a word it is exactly BPE's
+    // The whole doc frames into ONE string (the codegen'd bpe_frame pass:
+    // every non-space code point wrapped F..E, spaces kept as bare
+    // separators) and each merge applies as a single LITERAL replace over
+    // it — legal because a merge pattern needs its two framed pieces
+    // ADJACENT (piece terminator immediately followed by the next frame
+    // start), and across a word boundary a space sits between them, so no
+    // pattern can span words; within a word it is exactly BPE's
     // left-to-right non-overlapping scan. One codegen'd StringReplace
-    // pass per merge per DOC (no regex engine) replaces the per-WORD fold
-    // of regexp_replaces — M regex setups per word — that dominated the
-    // encode at corpus scale.
+    // pass per merge per DOC (no regex engine); bpe_frame replaced the
+    // per-word transform(sequence..substr) framing — two array
+    // allocations per word plus a UTF8String per character — that was the
+    // measured hot path of tokenizer-apply at 10x corpus scale.
     def applyMerges(enc: Column): Column = merges.foldLeft(enc) {
       case (c, (p1, p2)) =>
         call_function("replace", c,
@@ -593,10 +594,41 @@ object TextOps {
       (length(enc) - length(translate(enc, E, ""))).cast("long")
     val toks = filter(words(lower(col("text"))), w => w =!= "")
     docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      nPieces(applyMerges(array_join(transform(toks, frame(_)), " ")))
-        .as("n_tokens"))
+      col("doc_id") +:
+        size(toks).cast("long").as("n_words") +:
+        nPieces(applyMerges(expr("bpe_frame(lower(text))")))
+          .as("n_tokens") +:
+        keep.map(col): _*)
+  }
+
+  /** Per-language tokenizer fertility card — the multilingual-fairness
+    * report a tokenizer release publishes: after training nMerges BPE
+    * merges on the whole corpus, how many tokens does each language pay
+    * per word and per character? All-integer totals (docs, words,
+    * post-BPE tokens, non-space chars); the fertility and compression
+    * RATIOS are left to the reader so no division can diverge across
+    * engines — same contract as the corpus report.
+    *
+    * Scale shape: [[bpeMerges]] training (per merge: one vocab-sized
+    * aggregate + a 1-row driver top-1), then ONE map-only encode pass
+    * with lang/chars riding along, into one map-side-combinable
+    * aggregate on the handful of language rows. No join: the per-doc
+    * metadata never round-trips through a shuffle to meet its encoding.
+    */
+  def tokenizerFertility(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val merges = bpeMerges(docs, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWithMerges(
+      docs.withColumn("n_chars_ns",
+        length(translate(col("text"), " ", "")).cast("long")),
+      merges, keep = Seq("lang", "n_chars_ns"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_chars_ns")).cast("long").as("n_chars"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every

@@ -1878,6 +1878,72 @@ object PipelineOps {
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Dedup.exactSubstringPairs(t(s, dir, "documents"), 20, 8, 10, 1)
     },
+
+    // Per-source distribution drift over the top-50 corpus tokens: the
+    // domain-shift data card. Over/under flags are cleared-denominator
+    // integer inequalities (n_src·N_total vs 2·n_tot·N_src), bit-exact
+    // in any engine; a missing frequent token surfaces as n_src = 0.
+    Q.df(
+      "p83_source_drift",
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '')) AS word FROM documents),
+        |wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tot FROM tok GROUP BY 1),
+        |top AS (SELECT word, n_tot FROM wt ORDER BY n_tot DESC, word LIMIT 50),
+        |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_total FROM tok GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM tok JOIN top USING (word) GROUP BY 1, 2)
+        |SELECT g.source, g.word, CAST(coalesce(sw.n_src, 0) AS BIGINT) AS n_src,
+        |  g.n_tot,
+        |  (CAST(coalesce(sw.n_src, 0) AS HUGEINT) * n_total
+        |     > 2 * CAST(g.n_tot AS HUGEINT) * g.n_src_total) AS over_rep,
+        |  (2 * CAST(coalesce(sw.n_src, 0) AS HUGEINT) * n_total
+        |     < CAST(g.n_tot AS HUGEINT) * g.n_src_total) AS under_rep
+        |FROM (SELECT st.source, st.n_src_total, top.word, top.n_tot
+        |      FROM st CROSS JOIN top) g
+        |CROSS JOIN nt
+        |LEFT JOIN sw ON sw.source = g.source AND sw.word = g.word""".stripMargin) {
+      (s, dir) =>
+        graft.ops.CorpusSignals.sourceDrift(t(s, dir, "documents"), 50, 2)
+    },
+
+    // Per-language tokenizer fertility: after training 3 BPE merges on
+    // the corpus, each language's doc/word/token/char totals — the
+    // multilingual-fairness card (tokens-per-word and chars-per-token
+    // ratios left to the reader). Oracle = p70's training + framed
+    // encode chain with lang and non-space chars riding along into one
+    // GROUP BY.
+    Q.df(
+      "p84_tokenizer_fertility",
+      ("WITH " + bpeTrainCtes + """,
+        |m AS (SELECT
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top1) AS f1,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top1) AS t1,
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top2) AS f2,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top2) AS t2,
+        |  (SELECT chr(31) || p1 || chr(30) || chr(31) || p2 || chr(30) FROM top3) AS f3,
+        |  (SELECT chr(31) || p1 || p2 || chr(30) FROM top3) AS t3),
+        |d AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS nchars,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, lang, nchars, len(toks) AS n_words,
+        |  list_transform(toks, w -> array_to_string(list_transform(generate_series(1, length(w)),
+        |    i -> chr(31) || substr(w, i, 1) || chr(30)), '')) AS encs
+        |  FROM d),
+        |r AS (SELECT doc_id, lang, nchars, n_words,
+        |  list_transform(encs, s -> replace(replace(replace(s, f1, t1), f2, t2), f3, t3)) AS encs
+        |  FROM e CROSS JOIN m),
+        |pd AS (SELECT lang, nchars, n_words,
+        |  coalesce(list_sum(list_transform(encs,
+        |    s -> length(s) - length(replace(s, chr(30), '')))), 0) AS n_tokens
+        |  FROM r)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nchars) AS BIGINT) AS n_chars
+        |FROM pd GROUP BY 1""").stripMargin) { (s, dir) =>
+      TextOps.tokenizerFertility(t(s, dir, "documents"), 3)
+    },
   )
 
   /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double

@@ -1229,6 +1229,47 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, "winnow_anchors must match the sum-form leftmost-argmin selection")
   }
 
+  test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
+    import spark.implicits._
+    // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
+    // srcC is an even cat/dog mix (10+10). N_total = 60; corpus rate of
+    // each word is 30/60 = 1/2.
+    val tiny = Seq(
+      (0L, Seq.fill(20)("cat").mkString(" "), "srcA"),
+      (1L, Seq.fill(20)("dog").mkString(" "), "srcB"),
+      (2L, (Seq.fill(10)("cat") ++ Seq.fill(10)("dog")).mkString(" "), "srcC")
+    ).toDF("doc_id", "text", "source")
+    val rows = CorpusSignals.sourceDrift(tiny, topK = 2, factor = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rows.size == 6) // 3 sources x top-2 words, absent combos included
+    // srcA/cat: 20/20 vs corpus 1/2 -> rate 1 > 2*(1/2)? 20*60 > 2*30*20 = false
+    // (exactly 2x the corpus rate is NOT over by a strict >): pin strictness.
+    assert(rows(("srcA", "cat")) == ((20L, false, false)))
+    // srcA/dog: 0 occurrences -> under_rep (2*0*60 < 30*20), grid row exists.
+    assert(rows(("srcA", "dog")) == ((0L, false, true)))
+    assert(rows(("srcB", "cat")) == ((0L, false, true)))
+    // srcC: at exactly the corpus rate -> neither flag.
+    assert(rows(("srcC", "cat")) == ((10L, false, false)))
+    assert(rows(("srcC", "dog")) == ((10L, false, false)))
+  }
+
+  test("tokenizer fertility: hand-computed per-language totals after one trained merge") {
+    import spark.implicits._
+    // Pair counts across the corpus: (a,b) appears 3x (abab twice + ab
+    // once), (c,d) 2x — so the single trained merge is (a,b). Encoded:
+    // "abab ab" -> [ab|ab, ab] = 3 tokens; "cd cd" -> [c|d, c|d] = 4.
+    val tiny = Seq(
+      (0L, "abab ab", "aa"),
+      (1L, "cd cd", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextOps.tokenizerFertility(tiny, 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("aa") == ((1L, 2L, 3L, 6L))) // docs, words, tokens, non-space chars
+    assert(rows("bb") == ((1L, 2L, 4L, 4L)))
+  }
+
   test("funnel: order matters — a click before the first view does not convert") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
