@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BpeFrame].getName, "bpe_frame"),
       (exprs: Seq[Expression]) => graft.functions.BpeFrame(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("common_extent"),
+      new ExpressionInfo(classOf[graft.functions.CommonExtent].getName, "common_extent"),
+      (exprs: Seq[Expression]) => graft.functions.CommonExtent.forArgs(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("sorted_dot_long"),
       new ExpressionInfo(classOf[SortedDotLong].getName, "sorted_dot_long"),
       (exprs: Seq[Expression]) => SortedDotLong.forArgs(exprs)))

@@ -547,4 +547,57 @@ object Dedup {
       .agg(countDistinct(col("hash")).as("n_anchors"))
       .filter(col("n_anchors") >= minAnchors)
   }
+
+  /** Maximal exact shared-span length per near-dup pair — the statistic a
+    * verbatim-duplication report publishes (and a span-removal policy
+    * consumes): for every [[exactSubstringPairs]]-style anchor pair, the
+    * anchor is extended code point by code point in both directions until
+    * the first mismatch, a text boundary, or `cap` code points per side
+    * (the cap bounds per-row work, so two identical megadocuments cannot
+    * stall a task — their span reports as k + 2·cap, which a consumer
+    * reads as "at least"). Each doc contributes its MIN position per
+    * (hash, gram) as the deterministic representative anchor; the pair's
+    * span is the MAX extension over its shared anchors.
+    *
+    * Scale shape: [[exactSubstringPairs]]'s candidate machinery (two
+    * winnow passes, df cap, row-local pair expansion) plus two doc_id
+    * equi-joins that fetch the pair texts — candidate-bounded, the
+    * standard fetch-for-verification stage — and ONE codegen'd O(cap)
+    * [[graft.functions.CommonExtent]] call per (pair, anchor) row.
+    * Returns (doc_a, doc_b, max_span, n_anchors).
+    */
+  def exactSubstringSpans(docs: DataFrame, k: Int = 20, w: Int = 8,
+      maxDf: Int = 10, cap: Int = 60): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val anchors = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"winnow_anchors(text, $k, $w)")).as("packed"))
+      .select(col("doc_id"),
+        expr("shiftright(packed, 32)").as("hash"),
+        expr("cast(packed % 4294967296 as bigint)").as("pos"),
+        expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
+      .groupBy(col("doc_id"), col("hash"), col("gram"))
+      .agg(min(col("pos")).as("pos"))
+    val rare = anchors
+      .groupBy(col("hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
+      .select(col("hash"))
+    val pairAnchors = anchors.join(rare, "hash")
+      .groupBy(col("hash"), col("gram"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("pos")))).as("ids"))
+      .select(col("hash"), explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> named_struct('doc_a', a.doc_id, 'pa', a.pos, " +
+          "'doc_b', b.doc_id, 'pb', b.pos))))")).as("pr"))
+      .select(col("hash"), col("pr.doc_a"), col("pr.pa"), col("pr.doc_b"), col("pr.pb"))
+    pairAnchors
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hash"),
+        expr(s"common_extent(ta, pa, tb, pb, $k, $cap)").as("span"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span")).as("max_span"),
+        countDistinct(col("hash")).as("n_anchors"))
+  }
 }

@@ -304,4 +304,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(winnowGenerates <= 2, s"winnow passes: $winnowGenerates\n$p")
     assert(p.contains("partial"), p)
   }
+
+  test("substring spans: candidate-bounded text fetch, codegen'd extent, no cartesian") {
+    // The pair relation expands row-locally (as in p82) and the two text
+    // fetches are doc_id equi-joins — never a cartesian or a window —
+    // and the extension is the codegen'd common_extent call, visible in
+    // the plan rather than an interpreted lambda chain.
+    val p = plan("p85_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("common_extent"), p)
+    assert(p.contains("partial"), p)
+  }
 }

@@ -1229,6 +1229,37 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, "winnow_anchors must match the sum-form leftmost-argmin selection")
   }
 
+  test("substring spans: planted shared run measures exactly; cap bounds identical twins") {
+    import spark.implicits._
+    // 35-char run (>= 27 surfaces it) embedded with DIFFERENT chars at
+    // both junctions, so the extension must stop exactly at the run.
+    val run = "zq1xw2vu3ts4rq5po6nm7lk8ji9hg0fedcb"
+    val tiny = Seq(
+      (0L, s"aaaa X${run}Y bbbb"),
+      (1L, s"cccc dddd P${run}Q eeee"),
+      (2L, "wholly unrelated filler text here"),
+      (3L, "a1b2c3 shared tail sentence for the twins d4e5f6 g7h8i9 j0k1l2 m3n4o5 p6q7r8"),
+      (4L, "a1b2c3 shared tail sentence for the twins d4e5f6 g7h8i9 j0k1l2 m3n4o5 p6q7r8")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(tiny, 20, 8, maxDf = 10, cap = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(spans((0L, 1L)) == run.length.toLong,
+      s"planted ${run.length}-char run must measure exactly, got ${spans.get((0L, 1L))}")
+    // Identical twins: the span is the full text length but never
+    // exceeds k + 2*cap; with cap 60 the text length itself binds here.
+    val twinLen = tiny.filter(col("doc_id") === 3L).head().getString(1).length.toLong
+    assert(spans((3L, 4L)) == twinLen)
+    val capped = Dedup.exactSubstringSpans(tiny, 20, 8, maxDf = 10, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped((3L, 4L)) <= 20L + 2L * 10L)
+    // CommonExtent itself, hand-checked: anchor "bcdefghij" (k=9) at
+    // pos 2 in both; left extends 1 ('a'='a'), right stops at 'X' vs 'Y'.
+    graft.functions.GraftFunctions.register(spark)
+    val one = Seq(("abcdefghijkXm", 2L, "abcdefghijkYz", 2L)).toDF("ta", "pa", "tb", "pb")
+    val got = one.select(expr("common_extent(ta, pa, tb, pb, 9, 60)")).head().getLong(0)
+    assert(got == 9L + 1L + 1L, s"expected 11, got $got") // k + left 'a' + right 'k'
+  }
+
   test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
     import spark.implicits._
     // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
