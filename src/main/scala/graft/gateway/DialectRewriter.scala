@@ -80,6 +80,10 @@ object DialectRewriter {
     """(?i)iceberg_metadata\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val IcebergSnapshotsRe: Regex =
     """(?i)iceberg_snapshots\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val IcebergFilesRe: Regex =
+    """(?i)iceberg_files\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val IcebergPartitionsRe: Regex =
+    """(?i)iceberg_partitions\(\s*['"]([^'"]+)['"]\s*\)""".r
 
   // `iceberg_catalog.<ns>.<table>` references and the reference's
   // suggested `SHOW TABLES FROM iceberg_catalog.<ns>` probe, resolved
@@ -290,7 +294,21 @@ object DialectRewriter {
         IcebergLite.snapshotsRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withCsv = replaceOutsideLiterals(ReadCsvRe, withSnaps)(m => {
+    val withFiles = replaceOutsideLiterals(IcebergFilesRe, withSnaps)(m => {
+      val path = m.group(1)
+      val view = s"graft_iceberg_files_${viewCounter.incrementAndGet()}"
+      binders += (() =>
+        IcebergLite.filesRelation(spark, path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withParts = replaceOutsideLiterals(IcebergPartitionsRe, withFiles)(m => {
+      val path = m.group(1)
+      val view = s"graft_iceberg_partitions_${viewCounter.incrementAndGet()}"
+      binders += (() =>
+        IcebergLite.partitionsRelation(spark, path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withCsv = replaceOutsideLiterals(ReadCsvRe, withParts)(m => {
       val path = m.group(1)
       checkFlatFilePath("read_csv", path)
       val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"
