@@ -31,13 +31,7 @@ object Boilerplate {
   def removeSharedPassages(docs: DataFrame, chunkWords: Int = 3,
       maxDocs: Int = 3): DataFrame = {
     require(chunkWords > 0 && maxDocs > 0, "chunkWords and maxDocs must be positive")
-    val cw = chunkWords
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, CAST(ceil(size(ws) / $cw.0) AS INT) - 1), " +
-          s"i -> array_join(slice(ws, i * $cw + 1, $cw), ' '))"))
-        .as(Seq("cid", "chunk")))
+    val chunks = chunked(docs, chunkWords)
     val freq = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("cdf"))
     chunks.join(freq, "chunk")
@@ -53,5 +47,60 @@ object Boilerplate {
               when(col("cdf") <= maxDocs, struct(col("cid"), col("chunk"))))),
             s => s.getField("chunk")),
           " ").as("clean_text"))
+  }
+
+  /** C4-style corpus-level chunk deduplication (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set") re-expressed over fixed word chunks: a
+    * chunk that occurs more than once ANYWHERE in the corpus survives only
+    * at its globally-first occurrence — smallest (doc_id, chunk index) —
+    * and every later occurrence, in the same document or another, is cut.
+    * [[removeSharedPassages]] drops high-document-frequency boilerplate
+    * from EVERY document; this is the complementary policy that keeps
+    * exactly one copy of every span in the corpus.
+    *
+    * Plan shape at scale: chunking is a row-local map-only explode; the
+    * global first occurrence is ONE hash aggregate on the chunk text whose
+    * argmin is a plain MIN over the (doc_id << 32 | cid) encoding (so it
+    * map-side-combines — no window, no sort); the keep decision is a
+    * row-local comparison after the chunk-frequency equi-join; and
+    * reconstruction is one aggregate keyed on doc_id with per-group state
+    * bounded by document length. Integer arithmetic end to end — any
+    * engine derives the identical survivor set.
+    *
+    * Returns (doc_id, n_kept, n_removed, clean_text).
+    */
+  def dedupChunksKeepFirst(docs: DataFrame, chunkWords: Int = 5): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    val chunks = chunked(docs, chunkWords)
+    val occ = lit(4294967296L) * col("doc_id") + col("cid")
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(lit(4294967296L) * col("doc_id") + col("cid")).as("first_occ"),
+        count(lit(1)).as("n_occ"))
+    val kept = col("n_occ") === 1 || occ === col("first_occ")
+    chunks.join(first, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(kept, 1)).as("n_kept"),
+        count(when(!kept, 1)).as("n_removed"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(kept, struct(col("cid"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+  }
+
+  /** Row-local fixed-window chunking: each doc's word array cut into
+    * `chunkWords`-word pieces (last piece ragged), emitted with its
+    * 0-based chunk index.
+    */
+  private def chunked(docs: DataFrame, chunkWords: Int): DataFrame = {
+    val cw = chunkWords
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(ws) / $cw.0) AS INT) - 1), " +
+          s"i -> array_join(slice(ws, i * $cw + 1, $cw), ' '))"))
+        .as(Seq("cid", "chunk")))
   }
 }

@@ -2028,6 +2028,30 @@ object PipelineOps {
         |FROM x6 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Dedup.exactSubstringSpans(t(s, dir, "documents"), 20, 8, 10, 60)
     },
+
+    // C4-style keep-first chunk dedup: a 5-word chunk occurring more than
+    // once in the corpus survives only at its globally-first occurrence
+    // (min doc_id<<32|cid). Complementary to p45 (which drops
+    // high-document-frequency boilerplate everywhere): this keeps exactly
+    // ONE copy of every span — integer argmin, no window.
+    Q.df(
+      "p86_chunk_keep_first",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, u.s.cid AS cid, u.s.chunk AS chunk FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/5.0) AS INT)-1),
+        |    i -> struct_pack(cid := i, chunk := array_to_string(ws[(i*5+1):(i*5+5)], ' ')))) AS s
+        |  FROM w) u(doc_id, s)),
+        |f AS (SELECT chunk, MIN(4294967296 * doc_id + cid) AS first_occ,
+        |  COUNT(*) AS n_occ FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(COUNT(*) FILTER (WHERE n_occ = 1 OR 4294967296 * c.doc_id + cid = first_occ) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (WHERE n_occ > 1 AND 4294967296 * c.doc_id + cid <> first_occ) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(chunk, ' ' ORDER BY cid)
+        |    FILTER (WHERE n_occ = 1 OR 4294967296 * c.doc_id + cid = first_occ), '') AS clean_text
+        |FROM c JOIN f USING (chunk)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Boilerplate.dedupChunksKeepFirst(t(s, dir, "documents"), 5)
+    },
   )
 
   /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double

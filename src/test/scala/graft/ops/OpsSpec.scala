@@ -499,6 +499,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(91L) == ((0L, 2L, "")))
   }
 
+  test("keep-first chunk dedup keeps exactly one global copy of every chunk") {
+    import spark.implicits._
+    // Chunk "aa bb cc" occurs in docs 1 (cid 0), 2 (cid 1), and twice in 3:
+    // only doc 1's copy — the global (doc_id, cid) minimum — survives.
+    val docs = Seq(
+      (1L, "aa bb cc u1 v1 w1"),
+      (2L, "u2 v2 w2 aa bb cc"),
+      (3L, "aa bb cc aa bb cc"),
+      (4L, "zz yy xx")).toDF("doc_id", "text")
+    val out = Boilerplate.dedupChunksKeepFirst(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 0L, "aa bb cc u1 v1 w1")))
+    assert(out(2L) == ((1L, 1L, "u2 v2 w2")))
+    // Doc 3 is two copies of the already-claimed chunk: everything goes.
+    assert(out(3L) == ((0L, 2L, "")))
+    assert(out(4L) == ((1L, 0L, "zz yy xx")))
+    // Corpus-wide invariant: total kept chunks == distinct chunks (one
+    // survivor each), and kept + removed == total chunk count.
+    assert(out.values.map(_._1).sum == 4L)
+    assert(out.values.map(v => v._1 + v._2).sum == 7L)
+  }
+
   test("media headers: real byte-level parse of png/gif/jpeg/wav containers") {
     assert(MediaHeaders.parse(1L, MediaHeaders.synthPng(640, 480))
       == ContainerMeta(1L, "png", 640, 480, 3))
