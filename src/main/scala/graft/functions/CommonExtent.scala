@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * two code-point arrays (bounded by the document length).
   */
 case class CommonExtent(first: Expression, second: Expression,
-    third: Expression, fourth: Expression, k: Int, cap: Int)
+    third: Expression, fourth: Expression, k: Int, cap: Int,
+    packed: Boolean = false)
   extends QuaternaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -35,15 +36,22 @@ case class CommonExtent(first: Expression, second: Expression,
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "common_extent"
+  override def prettyName: String =
+    if (packed) "common_extent_packed" else "common_extent"
+
+  private def method: String = if (packed) "computePacked" else "compute"
 
   override protected def nullSafeEval(ta: Any, pa: Any, tb: Any, pb: Any): Any =
-    CommonExtent.compute(ta.asInstanceOf[UTF8String], pa.asInstanceOf[Long],
-      tb.asInstanceOf[UTF8String], pb.asInstanceOf[Long], k, cap)
+    if (packed)
+      CommonExtent.computePacked(ta.asInstanceOf[UTF8String], pa.asInstanceOf[Long],
+        tb.asInstanceOf[UTF8String], pb.asInstanceOf[Long], k, cap)
+    else
+      CommonExtent.compute(ta.asInstanceOf[UTF8String], pa.asInstanceOf[Long],
+        tb.asInstanceOf[UTF8String], pb.asInstanceOf[Long], k, cap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (ta, pa, tb, pb) =>
-      s"graft.functions.CommonExtent.compute($ta, $pa, $tb, $pb, $k, $cap)")
+      s"graft.functions.CommonExtent.$method($ta, $pa, $tb, $pb, $k, $cap)")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression, newFourth: Expression): CommonExtent =
@@ -53,7 +61,16 @@ case class CommonExtent(first: Expression, second: Expression,
 object CommonExtent {
 
   /** SQL-registration builder; k and cap must be foldable integer literals. */
-  def forArgs(exprs: Seq[Expression]): CommonExtent = {
+  def forArgs(exprs: Seq[Expression]): CommonExtent = forArgs(exprs, packed = false)
+
+  /** The packed variant: returns `span * 2^32 + leftExt`, so a caller that
+    * needs the span's POSITION (an excision rewrite, not just a length
+    * report) recovers `start = pb - leftExt` from the same single O(cap)
+    * scan — no second expression call, no second text fetch.
+    */
+  def forArgsPacked(exprs: Seq[Expression]): CommonExtent = forArgs(exprs, packed = true)
+
+  private def forArgs(exprs: Seq[Expression], packed: Boolean): CommonExtent = {
     if (exprs.size != 6)
       throw new IllegalArgumentException(
         s"common_extent takes (ta, pa, tb, pb, k, cap); got ${exprs.size} arguments")
@@ -67,7 +84,7 @@ object CommonExtent {
         s"common_extent: $name must be an integer literal, not a column")
     }
     CommonExtent(exprs(0), exprs(1), exprs(2), exprs(3),
-      intLit(exprs(4), "k"), intLit(exprs(5), "cap"))
+      intLit(exprs(4), "k"), intLit(exprs(5), "cap"), packed)
   }
 
   /** Referenced from generated code — keep public and stable. */
@@ -87,5 +104,24 @@ object CommonExtent {
       math.min(a.length - (ia + k), b.length - (ib + k)))
     while (right < maxRight && a(ia + k + right) == b(ib + k + right)) right += 1
     k.toLong + left + right
+  }
+
+  /** Referenced from generated code — keep public and stable. Packed form:
+    * `span * 2^32 + leftExt` (span <= k + 2*cap < 2^32 always).
+    */
+  def computePacked(ta: UTF8String, pa: Long, tb: UTF8String, pb: Long,
+      k: Int, cap: Int): Long = {
+    val a = ta.toString.codePoints().toArray
+    val b = tb.toString.codePoints().toArray
+    val ia = pa.toInt - 1
+    val ib = pb.toInt - 1
+    var left = 0
+    val maxLeft = math.min(cap, math.min(ia, ib))
+    while (left < maxLeft && a(ia - left - 1) == b(ib - left - 1)) left += 1
+    var right = 0
+    val maxRight = math.min(cap,
+      math.min(a.length - (ia + k), b.length - (ib + k)))
+    while (right < maxRight && a(ia + k + right) == b(ib + k + right)) right += 1
+    (k.toLong + left + right) * 4294967296L + left
   }
 }

@@ -67,6 +67,7 @@ object GraftFunctions {
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
     reg("common_extent", CommonExtent.forArgs)
+    reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)
     // Named duck_len, not len: Spark 4 ships a string-only `len` builtin
     // (alias of length), and overriding it per session would both shadow

@@ -600,4 +600,84 @@ object Dedup {
       .agg(max(col("span")).as("max_span"),
         countDistinct(col("hash")).as("n_anchors"))
   }
+
+  /** Exact-substring EXCISION — the span-REMOVAL policy itself (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * when a long run is duplicated across documents, keep it once and cut
+    * the other occurrences out of the text, rather than dropping whole
+    * documents that are otherwise distinct). For every document that
+    * appears as the LATER side (larger doc_id) of an exact-substring pair
+    * whose maximal shared run reaches `minSpan` code points, the single
+    * longest such run (ties: smallest start, then smallest source doc) is
+    * cut from the text; the earlier document keeps its copy.
+    *
+    * Scale shape: [[exactSubstringSpans]]'s candidate machinery end to
+    * end, with ONE [[graft.functions.CommonExtent]] call per (pair,
+    * anchor) row in PACKED form (span * 2^32 + leftExt — position and
+    * length from the same O(cap) scan, no second pass); the per-document
+    * argmax is a plain MIN over an (invSpan, start, src) struct — map-side
+    * combinable, no window — and the rewrite is one row-local substring
+    * splice. The text rides the aggregate only for documents that have a
+    * qualifying span at all.
+    *
+    * Returns (doc_id, src_doc, span_start, span, n_spans, clean_len,
+    * clean_md5): the excised span's 1-based position and length, how many
+    * qualifying (pair, anchor) spans the document had, and the
+    * post-excision length + md5 (the text itself can be megabytes; a
+    * pipeline applies the same splice where it owns the text column).
+    */
+  def excisedSpans(docs: DataFrame, k: Int = 20, w: Int = 8,
+      maxDf: Int = 10, cap: Int = 60, minSpan: Int = 30): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val anchors = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"winnow_anchors(text, $k, $w)")).as("packed"))
+      .select(col("doc_id"),
+        expr("shiftright(packed, 32)").as("hash"),
+        expr("cast(packed % 4294967296 as bigint)").as("pos"),
+        expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
+      .groupBy(col("doc_id"), col("hash"), col("gram"))
+      .agg(min(col("pos")).as("pos"))
+    val rare = anchors
+      .groupBy(col("hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
+      .select(col("hash"))
+    val pairAnchors = anchors.join(rare, "hash")
+      .groupBy(col("hash"), col("gram"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("pos")))).as("ids"))
+      .select(col("hash"), explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> named_struct('doc_a', a.doc_id, 'pa', a.pos, " +
+          "'doc_b', b.doc_id, 'pb', b.pos))))")).as("pr"))
+      .select(col("pr.doc_a"), col("pr.pa"), col("pr.doc_b"), col("pr.pb"))
+    val invBase = k + 2 * cap
+    pairAnchors
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("tb"),
+        expr(s"common_extent_packed(ta, pa, tb, pb, $k, $cap)").as("pk"),
+        col("pb"))
+      .select(col("doc_a"), col("doc_b"), col("tb"),
+        expr("shiftright(pk, 32)").as("span"),
+        (col("pb") - expr("pk % 4294967296")).as("start"))
+      .filter(col("span") >= minSpan)
+      .groupBy(col("doc_b"))
+      .agg(
+        min(struct((lit(invBase) - col("span")).as("inv"), col("start"),
+          col("doc_a").as("src"), col("tb"))).as("best"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("doc_b").as("doc_id"),
+        col("best.src").as("src_doc"),
+        col("best.start").as("span_start"),
+        (lit(invBase) - col("best.inv")).as("span"),
+        col("n_spans"),
+        (length(col("best.tb")) - (lit(invBase) - col("best.inv")))
+          .cast("long").as("clean_len"),
+        md5(concat(
+          expr("substring(best.tb, 1, cast(best.start - 1 as int))"),
+          expr(s"substring(best.tb, cast(best.start + ($invBase - best.inv) as int))")))
+          .as("clean_md5"))
+  }
 }

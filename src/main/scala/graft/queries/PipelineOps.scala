@@ -133,6 +133,80 @@ object PipelineOps {
       |    (SELECT chr(31) || p1 || p2 || chr(30) FROM top$n)) AS enc FROM seg${n - 1})"""
     }.mkString(",\n")).stripMargin
 
+  /** Shared CTE chain for the exact-substring span family (p85/p87):
+    * winnowed position-carrying anchors, df-capped candidate pairs, text
+    * fetch, and the binary-lifting left/right extension (el/er) around
+    * each anchor — everything up to the per-query policy tail.
+    */
+  private val substringSpanCtes: String =
+    """co AS (SELECT [783945459, 799482117, 864499429, 447241920, 853136842, 188810867,
+        |    522219709, 274910315, 718545499, 281243405, 621975598, 891031477, 512613922,
+        |    887503681, 28629151, 923521, 29791, 961, 31, 1] AS c),
+        |cps AS (SELECT doc_id, text, length(text) AS n,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
+        |  FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  CASE WHEN n >= 20 THEN list_transform(generate_series(1, n - 19),
+        |      i -> CAST((cp[i+0]*783945459 + cp[i+1]*799482117 + cp[i+2]*864499429
+        |        + cp[i+3]*447241920 + cp[i+4]*853136842 + cp[i+5]*188810867
+        |        + cp[i+6]*522219709 + cp[i+7]*274910315 + cp[i+8]*718545499
+        |        + cp[i+9]*281243405 + cp[i+10]*621975598 + cp[i+11]*891031477
+        |        + cp[i+12]*512613922 + cp[i+13]*887503681 + cp[i+14]*28629151
+        |        + cp[i+15]*923521 + cp[i+16]*29791 + cp[i+17]*961 + cp[i+18]*31
+        |        + cp[i+19]) % 1000000007 AS BIGINT))
+        |  ELSE [CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    j -> cp[j] * c[20 - n + j])), 0) % 1000000007 AS BIGINT)] END AS h
+        |  FROM cps CROSS JOIN co),
+        |mnl AS (SELECT doc_id, text, h, list_transform(generate_series(1, greatest(len(h) - 7, 1)),
+        |    i -> list_min(h[(i):(i+7)])) AS mins FROM h),
+        |aw AS (SELECT doc_id, text, unnest(list_transform(generate_series(1, len(mins)),
+        |    i -> mins[i] * 4294967296 + i + list_indexof(h[(i):(i+7)], mins[i]) - 1)) AS fp
+        |  FROM mnl),
+        |anch0 AS (SELECT DISTINCT doc_id, fp // 4294967296 AS hash,
+        |    CAST(fp % 4294967296 AS BIGINT) AS pos,
+        |    substr(text, CAST(fp % 4294967296 AS INT), 20) AS gram FROM aw),
+        |anch AS (SELECT doc_id, hash, gram, MIN(pos) AS pos
+        |  FROM anch0 GROUP BY 1, 2, 3),
+        |rare AS (SELECT hash FROM (
+        |    SELECT hash, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1) z
+        |  WHERE nd BETWEEN 2 AND 10),
+        |a2 AS (SELECT anch.* FROM anch JOIN rare USING (hash)),
+        |pr AS (SELECT x.hash, x.doc_id AS doc_a, x.pos AS pa, y.doc_id AS doc_b, y.pos AS pb
+        |  FROM a2 x JOIN a2 y ON x.hash = y.hash AND x.gram = y.gram AND x.doc_id < y.doc_id),
+        |tx AS (SELECT pr.*, da.text AS ta, db.text AS tb
+        |  FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+        |  JOIN documents db ON db.doc_id = pr.doc_b),
+        |x0 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb,
+        |  greatest(least(60, pa - 1, pb - 1), 0) AS ml,
+        |  greatest(least(60, length(ta) - (pa + 19), length(tb) - (pb + 19)), 0) AS mr,
+        |  0 AS el, 0 AS er FROM tx),
+        |x1 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 32 <= ml AND substr(ta, CAST(pa - el - 32 AS INT), el + 32) = substr(tb, CAST(pb - el - 32 AS INT), el + 32) THEN 32 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 32 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 32) = substr(tb, CAST(pb + 20 AS INT), er + 32) THEN 32 ELSE 0 END AS er
+        |  FROM x0),
+        |x2 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 16 <= ml AND substr(ta, CAST(pa - el - 16 AS INT), el + 16) = substr(tb, CAST(pb - el - 16 AS INT), el + 16) THEN 16 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 16 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 16) = substr(tb, CAST(pb + 20 AS INT), er + 16) THEN 16 ELSE 0 END AS er
+        |  FROM x1),
+        |x3 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 8 <= ml AND substr(ta, CAST(pa - el - 8 AS INT), el + 8) = substr(tb, CAST(pb - el - 8 AS INT), el + 8) THEN 8 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 8 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 8) = substr(tb, CAST(pb + 20 AS INT), er + 8) THEN 8 ELSE 0 END AS er
+        |  FROM x2),
+        |x4 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 4 <= ml AND substr(ta, CAST(pa - el - 4 AS INT), el + 4) = substr(tb, CAST(pb - el - 4 AS INT), el + 4) THEN 4 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 4 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 4) = substr(tb, CAST(pb + 20 AS INT), er + 4) THEN 4 ELSE 0 END AS er
+        |  FROM x3),
+        |x5 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 2 <= ml AND substr(ta, CAST(pa - el - 2 AS INT), el + 2) = substr(tb, CAST(pb - el - 2 AS INT), el + 2) THEN 2 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 2 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 2) = substr(tb, CAST(pb + 20 AS INT), er + 2) THEN 2 ELSE 0 END AS er
+        |  FROM x4),
+        |x6 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |  el + CASE WHEN el + 1 <= ml AND substr(ta, CAST(pa - el - 1 AS INT), el + 1) = substr(tb, CAST(pb - el - 1 AS INT), el + 1) THEN 1 ELSE 0 END AS el,
+        |  er + CASE WHEN er + 1 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 1) = substr(tb, CAST(pb + 20 AS INT), er + 1) THEN 1 ELSE 0 END AS er
+        |  FROM x5)""".stripMargin
+
+
   private val embCtes =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
@@ -1957,75 +2031,10 @@ object PipelineOps {
     // graft's codegen'd common_extent runs 12.5 s.
     Q.df(
       "p85_substring_spans",
-      """WITH co AS (SELECT [783945459, 799482117, 864499429, 447241920, 853136842, 188810867,
-        |    522219709, 274910315, 718545499, 281243405, 621975598, 891031477, 512613922,
-        |    887503681, 28629151, 923521, 29791, 961, 31, 1] AS c),
-        |cps AS (SELECT doc_id, text, length(text) AS n,
-        |    list_transform(generate_series(1, length(text)),
-        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
-        |  FROM documents),
-        |h AS (SELECT doc_id, text,
-        |  CASE WHEN n >= 20 THEN list_transform(generate_series(1, n - 19),
-        |      i -> CAST((cp[i+0]*783945459 + cp[i+1]*799482117 + cp[i+2]*864499429
-        |        + cp[i+3]*447241920 + cp[i+4]*853136842 + cp[i+5]*188810867
-        |        + cp[i+6]*522219709 + cp[i+7]*274910315 + cp[i+8]*718545499
-        |        + cp[i+9]*281243405 + cp[i+10]*621975598 + cp[i+11]*891031477
-        |        + cp[i+12]*512613922 + cp[i+13]*887503681 + cp[i+14]*28629151
-        |        + cp[i+15]*923521 + cp[i+16]*29791 + cp[i+17]*961 + cp[i+18]*31
-        |        + cp[i+19]) % 1000000007 AS BIGINT))
-        |  ELSE [CAST(coalesce(list_sum(list_transform(generate_series(1, n),
-        |    j -> cp[j] * c[20 - n + j])), 0) % 1000000007 AS BIGINT)] END AS h
-        |  FROM cps CROSS JOIN co),
-        |mnl AS (SELECT doc_id, text, h, list_transform(generate_series(1, greatest(len(h) - 7, 1)),
-        |    i -> list_min(h[(i):(i+7)])) AS mins FROM h),
-        |aw AS (SELECT doc_id, text, unnest(list_transform(generate_series(1, len(mins)),
-        |    i -> mins[i] * 4294967296 + i + list_indexof(h[(i):(i+7)], mins[i]) - 1)) AS fp
-        |  FROM mnl),
-        |anch0 AS (SELECT DISTINCT doc_id, fp // 4294967296 AS hash,
-        |    CAST(fp % 4294967296 AS BIGINT) AS pos,
-        |    substr(text, CAST(fp % 4294967296 AS INT), 20) AS gram FROM aw),
-        |anch AS (SELECT doc_id, hash, gram, MIN(pos) AS pos
-        |  FROM anch0 GROUP BY 1, 2, 3),
-        |rare AS (SELECT hash FROM (
-        |    SELECT hash, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1) z
-        |  WHERE nd BETWEEN 2 AND 10),
-        |a2 AS (SELECT anch.* FROM anch JOIN rare USING (hash)),
-        |pr AS (SELECT x.hash, x.doc_id AS doc_a, x.pos AS pa, y.doc_id AS doc_b, y.pos AS pb
-        |  FROM a2 x JOIN a2 y ON x.hash = y.hash AND x.gram = y.gram AND x.doc_id < y.doc_id),
-        |tx AS (SELECT pr.*, da.text AS ta, db.text AS tb
-        |  FROM pr JOIN documents da ON da.doc_id = pr.doc_a
-        |  JOIN documents db ON db.doc_id = pr.doc_b),
-        |x0 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb,
-        |  greatest(least(60, pa - 1, pb - 1), 0) AS ml,
-        |  greatest(least(60, length(ta) - (pa + 19), length(tb) - (pb + 19)), 0) AS mr,
-        |  0 AS el, 0 AS er FROM tx),
-        |x1 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 32 <= ml AND substr(ta, CAST(pa - el - 32 AS INT), el + 32) = substr(tb, CAST(pb - el - 32 AS INT), el + 32) THEN 32 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 32 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 32) = substr(tb, CAST(pb + 20 AS INT), er + 32) THEN 32 ELSE 0 END AS er
-        |  FROM x0),
-        |x2 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 16 <= ml AND substr(ta, CAST(pa - el - 16 AS INT), el + 16) = substr(tb, CAST(pb - el - 16 AS INT), el + 16) THEN 16 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 16 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 16) = substr(tb, CAST(pb + 20 AS INT), er + 16) THEN 16 ELSE 0 END AS er
-        |  FROM x1),
-        |x3 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 8 <= ml AND substr(ta, CAST(pa - el - 8 AS INT), el + 8) = substr(tb, CAST(pb - el - 8 AS INT), el + 8) THEN 8 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 8 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 8) = substr(tb, CAST(pb + 20 AS INT), er + 8) THEN 8 ELSE 0 END AS er
-        |  FROM x2),
-        |x4 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 4 <= ml AND substr(ta, CAST(pa - el - 4 AS INT), el + 4) = substr(tb, CAST(pb - el - 4 AS INT), el + 4) THEN 4 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 4 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 4) = substr(tb, CAST(pb + 20 AS INT), er + 4) THEN 4 ELSE 0 END AS er
-        |  FROM x3),
-        |x5 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 2 <= ml AND substr(ta, CAST(pa - el - 2 AS INT), el + 2) = substr(tb, CAST(pb - el - 2 AS INT), el + 2) THEN 2 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 2 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 2) = substr(tb, CAST(pb + 20 AS INT), er + 2) THEN 2 ELSE 0 END AS er
-        |  FROM x4),
-        |x6 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
-        |  el + CASE WHEN el + 1 <= ml AND substr(ta, CAST(pa - el - 1 AS INT), el + 1) = substr(tb, CAST(pb - el - 1 AS INT), el + 1) THEN 1 ELSE 0 END AS el,
-        |  er + CASE WHEN er + 1 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 1) = substr(tb, CAST(pb + 20 AS INT), er + 1) THEN 1 ELSE 0 END AS er
-        |  FROM x5)
+      ("WITH " + substringSpanCtes + """
         |SELECT doc_a, doc_b, CAST(MAX(20 + el + er) AS BIGINT) AS max_span,
         |  CAST(COUNT(DISTINCT hash) AS BIGINT) AS n_anchors
-        |FROM x6 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+        |FROM x6 GROUP BY 1, 2""").stripMargin) { (s, dir) =>
       Dedup.exactSubstringSpans(t(s, dir, "documents"), 20, 8, 10, 60)
     },
 
@@ -2051,6 +2060,27 @@ object PipelineOps {
         |FROM c JOIN f USING (chunk)
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       Boilerplate.dedupChunksKeepFirst(t(s, dir, "documents"), 5)
+    },
+
+    // Exact-substring EXCISION (Lee et al. 2022): the later document of
+    // each >=30-char verbatim-overlap pair has its single longest shared
+    // run cut out (ties: smallest start, then source id); the earlier
+    // document keeps the copy. Same candidate chain as p85; the packed
+    // common_extent carries position AND length out of one O(cap) scan.
+    Q.df(
+      "p87_span_excision",
+      ("WITH " + substringSpanCtes + """,
+        |sel AS (SELECT doc_b, doc_a, pb - el AS sstart, 20 + el + er AS span, tb
+        |  FROM x6 WHERE 20 + el + er >= 30),
+        |best AS (SELECT doc_b, doc_a, sstart, span, tb,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY span DESC, sstart, doc_a) AS rn,
+        |  COUNT(*) OVER (PARTITION BY doc_b) AS n_spans FROM sel)
+        |SELECT doc_b AS doc_id, doc_a AS src_doc, CAST(sstart AS BIGINT) AS span_start,
+        |  CAST(span AS BIGINT) AS span, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(length(tb) - span AS BIGINT) AS clean_len,
+        |  md5(substr(tb, 1, CAST(sstart - 1 AS INT)) || substr(tb, CAST(sstart + span AS INT))) AS clean_md5
+        |FROM best WHERE rn = 1""").stripMargin) { (s, dir) =>
+      Dedup.excisedSpans(t(s, dir, "documents"), 20, 8, 10, 60, 30)
     },
   )
 

@@ -1282,6 +1282,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == 9L + 1L + 1L, s"expected 11, got $got") // k + left 'a' + right 'k'
   }
 
+  test("span excision cuts the longest shared run from the later doc only") {
+    import spark.implicits._
+    val run = "zq1xw2vu3ts4rq5po6nm7lk8ji9hg0fedcb" // 35 chars
+    val tiny = Seq(
+      (0L, s"aaaa X${run}Y bbbb"),
+      (1L, s"cccc dddd P${run}Q eeee"),
+      (2L, "wholly unrelated filler text here"),
+      (3L, "a1b2c3 shared tail sentence for the twins d4e5f6 g7h8i9 j0k1l2 m3n4o5 p6q7r8"),
+      (4L, "a1b2c3 shared tail sentence for the twins d4e5f6 g7h8i9 j0k1l2 m3n4o5 p6q7r8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.excisedSpans(tiny, 20, 8, maxDf = 10, cap = 60, minSpan = 30)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getString(6)))).toMap
+    // Only the LATER side of each pair is rewritten; untouched docs absent.
+    assert(out.keySet == Set(1L, 4L))
+    val (src, start, span, cleanLen, cleanMd5) = out(1L)
+    assert(src == 0L && span == 35L)
+    assert(start == "cccc dddd P".length + 1) // 1-based start of the run
+    val expectClean = "cccc dddd PQ eeee"
+    assert(cleanLen == expectClean.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(cleanMd5 == md)
+    // Identical twins: the whole text is the shared run — excision empties it.
+    val (src4, start4, span4, cleanLen4, _) = out(4L)
+    assert(src4 == 3L && start4 == 1L && cleanLen4 == 0L)
+    assert(span4 == tiny.filter(col("doc_id") === 3L).head().getString(1).length.toLong)
+  }
+
   test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
     import spark.implicits._
     // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
