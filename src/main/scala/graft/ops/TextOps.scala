@@ -286,6 +286,60 @@ object TextOps {
         sum(col("bits")).cast("long").as("bigram_bits"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram features are under a TARGET
+    * distribution than under the raw corpus — the importance-resampling
+    * signal used to pick pretraining data that looks like a trusted
+    * high-quality set. The target here is the corpus slice with
+    * `lang = targetLang` (a pipeline substitutes any curated target
+    * relation); features are word bigrams hashed into `buckets` buckets
+    * (the paper's hashed n-gram generative model).
+    *
+    * Integerized like the surprisal family: each bigram occurrence
+    * contributes bits(n_target[bucket]) − bits(n_raw[bucket]) with
+    * bits(x) = ⌊log2 x⌋ + 1 (the BIT LENGTH, so a count of 0 and a count
+    * of 1 stay distinguishable — unlike the plain ⌊log2⌋ the surprisal
+    * ops use on always-positive quotients), computed as
+    * length(bin(2x)) − 1 so bits(0) = 0 without a CASE. The
+    * log-likelihood-ratio proxy is bit-exact in any engine — positive
+    * totals read "more target-like than corpus-average". Ratios/floats
+    * never appear.
+    *
+    * Scale shape: bigram+bucket generation is ROW-LOCAL (one md5 per
+    * occurrence); the bucket table is ONE map-side-combinable aggregate
+    * bounded by `buckets` rows (both distributions counted in the same
+    * pass via a filtered count); the stream then BROADCAST-joins that
+    * tiny table — no shuffle — and the per-doc sum partial-combines into
+    * the single doc-keyed shuffle. Two corpus scans, one shuffle.
+    *
+    * Returns (doc_id, n_bigrams, dsir_bits).
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val feat = docs
+      .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("bg")), 1, 14), 16, 10).cast("long") % buckets).as("b"))
+    val bucketBits = feat.groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("lang") === targetLang, 1)).as("n_tgt"))
+      .select(col("b"),
+        (length(bin(col("n_tgt") * 2)) - 1).as("bits_tgt"),
+        (length(bin(col("n_raw") * 2)) - 1).as("bits_raw"))
+    feat.join(broadcast(bucketBits), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("bits_tgt") - col("bits_raw")).cast("long").as("dsir_bits"))
+  }
+
   /** PII scrubbing patterns, written with the portable regex subset ([.]
     * instead of escaped dots, [0-9] instead of perl classes) so one
     * pattern string behaves identically in Spark, DuckDB, and RE2-style

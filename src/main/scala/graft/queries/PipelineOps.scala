@@ -2082,6 +2082,28 @@ object PipelineOps {
         |FROM best WHERE rn = 1""").stripMargin) { (s, dir) =>
       Dedup.excisedSpans(t(s, dir, "documents"), 20, 8, 10, 60, 30)
     },
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // log-likelihood ratio between the lang='en' target slice and the raw
+    // corpus, integerized as bit-lengths (bits(0)=0) — positive means
+    // target-like. 4096 buckets; the bucket table is tiny and broadcast.
+    Q.df(
+      "p88_dsir_weights",
+      """WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(p), 1, 14) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS p FROM tok WHERE len(toks) >= 2) x),
+        |bt AS (SELECT b,
+        |  length(bin(2 * COUNT(*) FILTER (WHERE lang = 'en'))) - 1 AS bits_tgt,
+        |  length(bin(2 * COUNT(*))) - 1 AS bits_raw
+        |  FROM bg GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(bits_tgt - bits_raw) AS BIGINT) AS dsir_bits
+        |FROM bg JOIN bt USING (b)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
+    },
   )
 
   /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double

@@ -1311,6 +1311,46 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(span4 == tiny.filter(col("doc_id") === 3L).head().getString(1).length.toLong)
   }
 
+  test("dsir weights replay an independent hashed-bigram bit-length computation") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund lief im park heute", "de"),
+      (3L, "the cat lief im park", "de"),
+      (4L, "x", "en") // single token: no bigrams, absent from output
+    ).toDF("doc_id", "text", "lang")
+    val rows = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund lief im park heute", "de"),
+      (3L, "the cat lief im park", "de"))
+    def bigrams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      (0 until w.length - 1).map(i => w(i) + " " + w(i + 1))
+    }
+    def bucket(bg: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    def bits(x: Long): Long = if (x <= 0) 0L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val all = rows.flatMap { case (id, t, lang) => bigrams(t).map(b => (id, lang, bucket(b))) }
+    val nRaw = all.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val nTgt = all.filter(_._2 == "en").groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val expected = all.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.size.toLong,
+        xs.map(x => bits(nTgt.getOrElse(x._3, 0L)) - bits(nRaw(x._3))).sum))
+    }
+    val got = TextOps.dsirWeights(tiny, "en", 4096).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got, expected $expected")
+    // Direction sanity: the pure-target doc scores 0 or better; the
+    // all-foreign-bigram doc scores strictly negative.
+    assert(got(0L)._2 >= 0L)
+    assert(got(2L)._2 < 0L)
+  }
+
   test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
     import spark.implicits._
     // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
