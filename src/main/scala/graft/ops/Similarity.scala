@@ -325,6 +325,62 @@ object Similarity {
         (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
           / size(col("arr"))).as("c"))
 
+  /** Multi-iteration Lloyd k-means TRAINING over the embedding corpus —
+    * the full clustering loop ([[kmeansStep]] is one M-step; this chains
+    * E and M steps and returns the final assignment, the cluster-id
+    * column SemDeDup / stratified mixing / per-cluster sampling consume).
+    * Seeds are the first `cells` vectors (deterministic, like
+    * [[ivfAssign]]); each iteration assigns every vector to its
+    * max-cosine centroid (min-id tiebreak) and recomputes per-(cell,
+    * dimension) means as the vec_id-sorted sequential fold, so the whole
+    * trajectory — every intermediate centroid double — is bit-reproducible
+    * in any engine; empty cells keep their previous centroid.
+    *
+    * Scale shape: the model state (cells × dims doubles) lives on the
+    * driver between iterations — the same bounded-collect contract as BPE
+    * merge training (model state, never data). Per iteration: one
+    * broadcast of the centroid table, one max_by hash aggregate for the
+    * E-step (16-way fanout collapses map-side, no window), one (cell,
+    * dimension)-keyed aggregate for the M-step whose per-group lists are
+    * bounded by cell population. Corpus crosses the wire once per
+    * iteration.
+    */
+  def kmeansTrain(emb: DataFrame, cells: Int = 16, iters: Int = 2): DataFrame = {
+    require(cells > 0 && iters >= 0, "cells must be positive, iters non-negative")
+    GraftFunctions.register(emb.sparkSession)
+    val session = emb.sparkSession
+    import session.implicits._
+    val vecs = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    var cents: Seq[(Long, Seq[Double])] = vecs.filter(col("vec_id") < cells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    def assign(): DataFrame = {
+      val cdf = broadcast(cents.toDF("c_id", "cv")
+        .withColumn("cn", sqrt(expr("vec_dot(cv, cv)"))))
+      vecs
+        .withColumn("nrm", sqrt(expr("vec_dot(vd, vd)")))
+        .crossJoin(cdf)
+        .withColumn("ccos", expr("vec_dot(vd, cv)") / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    }
+    for (_ <- 1 to iters) {
+      val means = vecs.join(assign(), "vec_id")
+        .select(col("vec_id"), col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+        .select(col("cell"), col("pos"),
+          (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
+            / size(col("arr"))).as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1).map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3).toSeq
+      }
+      cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    assign()
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., 2023,
     * arXiv:2303.09540): cluster the embeddings with the coarse quantizer,
     * then drop any vector whose WITHIN-CLUSTER cosine to a smaller-id

@@ -2104,7 +2104,47 @@ object PipelineOps {
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
+
+    // Full Lloyd k-means training (2 E/M iterations, seed = first 16
+    // vectors) returning the final cluster assignment. The oracle unrolls
+    // both iterations stage by stage (the p62/pq technique): assignment by
+    // ROW_NUMBER argmax over cosine, means as vec_id-ordered list folds,
+    // empty cells keeping their previous centroid via the left join — so
+    // every intermediate centroid double is pinned bit-exactly.
+    Q.df("p89_kmeans_train", kmeansTrainOracleSql(2, 16)) { (s, dir) =>
+      Similarity.kmeansTrain(t(s, dir, "embeddings"), 16, 2)
+    },
   )
+
+  /** Unrolled Lloyd-iteration oracle for p89: `iters` assign+mean rounds
+    * over [[embCtes]], then the final assignment under the last centroids.
+    */
+  private def kmeansTrainOracleSql(iters: Int, cells: Int): String = {
+    def asgCte(name: String, cent: String): String =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, $cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * $cent.cv[i])) / (n.nrm * $cent.cn) DESC,
+         |      $cent.c_id) AS r
+         |  FROM n, $cent) x WHERE r = 1)"""
+    val rounds = (0 until iters).map { k =>
+      s"""${asgCte(s"asg$k", s"cent$k")},
+         |px$k AS (SELECT a.vec_id, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
+         |  FROM asg$k a JOIN e ON e.vec_id = a.vec_id
+         |  CROSS JOIN generate_series(1, 64) t(i)),
+         |m$k AS (SELECT cell, pos, list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
+         |  FROM px$k GROUP BY 1, 2),
+         |cvn$k AS (SELECT cell AS c_id, list(c ORDER BY pos) AS cv FROM m$k GROUP BY 1),
+         |cent${k + 1} AS (SELECT p.c_id, COALESCE(cvn$k.cv, p.cv) AS cv,
+         |  sqrt(list_sum(list_transform(COALESCE(cvn$k.cv, p.cv), x -> x * x))) AS cn
+         |  FROM cent$k p LEFT JOIN cvn$k ON p.c_id = cvn$k.c_id)"""
+    }.mkString(",\n")
+    s"""WITH $embCtes,
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $cells),
+       |$rounds,
+       |${asgCte("asgf", s"cent$iters")}
+       |SELECT vec_id, cell FROM asgf""".stripMargin
+  }
 
   /** DuckDB BM25 oracle mirroring [[TextOps.bm25]]'s exact double
     * arithmetic (rational idf, k1=1.2, b=0.75): same operand order, term

@@ -1351,6 +1351,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L)._2 < 0L)
   }
 
+  test("kmeans training: zero iterations reproduces the seed assignment; trained assignment stays total") {
+    val seedAsg = Similarity.ivfAssign(emb, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zero = Similarity.kmeansTrain(emb, 16, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == seedAsg, "iters=0 must equal the ivfAssign seed assignment")
+    val trained = Similarity.kmeansTrain(emb, 16, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trained.keySet == zero.keySet, "every vector stays assigned")
+    assert(trained.values.forall(c => c >= 0 && c < 16))
+    assert(trained != zero, "two Lloyd iterations should move at least one assignment")
+  }
+
   test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
     import spark.implicits._
     // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
