@@ -84,6 +84,8 @@ object DialectRewriter {
     """(?i)iceberg_files\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val IcebergPartitionsRe: Regex =
     """(?i)iceberg_partitions\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val IcebergHistoryRe: Regex =
+    """(?i)iceberg_history\(\s*['"]([^'"]+)['"]\s*\)""".r
 
   // `iceberg_catalog.<ns>.<table>` references and the reference's
   // suggested `SHOW TABLES FROM iceberg_catalog.<ns>` probe, resolved
@@ -308,7 +310,14 @@ object DialectRewriter {
         IcebergLite.partitionsRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withCsv = replaceOutsideLiterals(ReadCsvRe, withParts)(m => {
+    val withHistory = replaceOutsideLiterals(IcebergHistoryRe, withParts)(m => {
+      val path = m.group(1)
+      val view = s"graft_iceberg_history_${viewCounter.incrementAndGet()}"
+      binders += (() =>
+        IcebergLite.historyRelation(spark, path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withCsv = replaceOutsideLiterals(ReadCsvRe, withHistory)(m => {
       val path = m.group(1)
       checkFlatFilePath("read_csv", path)
       val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"

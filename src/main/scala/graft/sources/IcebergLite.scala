@@ -745,6 +745,56 @@ object IcebergLite {
     }.toDF("snapshot_id", "committed_at", "manifest_list", "is_current")
   }
 
+  /** The `iceberg_history('path')` relation — real Iceberg's
+    * `<table>.history` metadata table: when each snapshot BECAME current
+    * (the metadata's snapshot-log, so a rollback shows an old snapshot
+    * re-currented at a later wall time — distinct from `snapshots`, which
+    * lists commit times), its parent, and whether it is an ancestor of the
+    * current snapshot (`is_current_ancestor` — the flag that separates the
+    * table's live lineage from branches orphaned by rollbacks).
+    * Log-less metadata (tables written before the log, or by minimal
+    * writers) degrades to commit order.
+    */
+  def historyRelation(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val conf = sessionHadoopConf(spark)
+    val metaPath = latestMetadataPath(conf, tablePath)
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+    val meta = readMetadataJson(conf, metaPath)
+    val snaps = meta.get("snapshots") match {
+      case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
+      case _ => Vector.empty
+    }
+    val parentOf: Map[Long, Option[Long]] = snaps.flatMap { s =>
+      jLong(s, "snapshot-id").map(id => id -> jLong(s, "parent-snapshot-id"))
+    }.toMap
+    // The current snapshot's ancestor chain (inclusive); bounded by the
+    // snapshot count even if hostile metadata contains a parent cycle.
+    val ancestors: Set[Long] = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var cur = jLong(meta, "current-snapshot-id")
+      while (cur.exists(id => !b.contains(id) && parentOf.contains(id))) {
+        b += cur.get
+        cur = parentOf(cur.get)
+      }
+      cur.foreach(b += _)
+      b.toSet
+    }
+    val log: Seq[(Long, Long)] = meta.get("snapshot-log") match {
+      case Some(JValue.JArr(items)) => items.collect { case o: JObj =>
+        (jLong(o, "timestamp-ms").getOrElse(0L), jLong(o, "snapshot-id").getOrElse(0L))
+      }
+      case _ => snaps.flatMap { s =>
+        for (id <- jLong(s, "snapshot-id"); ts <- jLong(s, "timestamp-ms"))
+          yield (ts, id)
+      }
+    }
+    log.map { case (ts, id) =>
+      (new java.sql.Timestamp(ts), id, parentOf.get(id).flatten,
+        ancestors.contains(id))
+    }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
   /** The `iceberg_files('path')` relation — real Iceberg's `<table>.files`
     * metadata table (public spec surface the reference's probe SQL stops
     * short of): one row per live DATA file with its record count, byte

@@ -705,9 +705,14 @@ object IcebergLiteWriter {
     val summaryJson = (Seq(s""""operation": "$operation"""") ++
       extraSummary.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": "$v"""" })
       .mkString("{", ", ", "}")
+    // Lineage per the spec: each snapshot records the snapshot it was
+    // committed on top of; the history relation chases this chain.
+    val parentId = prior.flatMap(longOf(_, "current-snapshot-id"))
+    val parentField = parentId.map(p => s"""
+         |      "parent-snapshot-id": $p,""".stripMargin).getOrElse("")
     val newSnapshot =
       s"""{
-         |      "snapshot-id": $snapshotId,
+         |      "snapshot-id": $snapshotId,$parentField
          |      "timestamp-ms": $nowMs,
          |      "manifest-list": "$manifestListPath",
          |      "summary": $summaryJson
@@ -721,6 +726,12 @@ object IcebergLiteWriter {
     val effSchema = schemaJson.orElse(
       prior.flatMap(m => IcebergLite.currentSchemaFieldsJson(m)))
     val snapshotsJson = (priorSnapshots :+ newSnapshot).mkString(",\n    ")
+    // snapshot-log: when each snapshot became the current one (the
+    // `history` metadata table reads this; distinct from the snapshot's
+    // own commit timestamp after rollbacks re-current an old snapshot).
+    val logJson = (prior.toSeq.flatMap(snapshotLogEntries) :+ (nowMs, snapshotId))
+      .map { case (ts, id) => s"""{"timestamp-ms": $ts, "snapshot-id": $id}""" }
+      .mkString(",\n    ")
     val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
       case (f, i) =>
         s"""{"name": "${f.name}", "transform": "${f.transform}", "source-name": "${f.source}", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
@@ -741,6 +752,9 @@ object IcebergLiteWriter {
          |  "current-snapshot-id": $snapshotId,
          |  "snapshots": [
          |    $snapshotsJson
+         |  ],
+         |  "snapshot-log": [
+         |    $logJson
          |  ]
          |}""".stripMargin
     val metaDirPath = new Path(metaDir)
@@ -767,15 +781,35 @@ object IcebergLiteWriter {
       case _ => Vector.empty
     }
 
+  /** (timestamp-ms, snapshot-id) entries of the metadata's snapshot-log;
+    * tables written before the log existed fall back to commit order.
+    */
+  private def snapshotLogEntries(meta: graft.gateway.JValue.JObj): Seq[(Long, Long)] =
+    meta.get("snapshot-log") match {
+      case Some(graft.gateway.JValue.JArr(items)) =>
+        items.collect { case o: graft.gateway.JValue.JObj =>
+          (longOf(o, "timestamp-ms").getOrElse(0L),
+            longOf(o, "snapshot-id").getOrElse(0L))
+        }
+      case _ => snapshotObjs(meta).flatMap { s =>
+        for (id <- longOf(s, "snapshot-id"); ts <- longOf(s, "timestamp-ms"))
+          yield (ts, id)
+      }
+    }
+
   /** Metadata-only commit: re-render the table metadata with the given
     * snapshot list and current pointer, carrying schema and partition spec
     * forward. No manifests or data files are touched.
     */
   private def writeMetadataOnly(conf: Configuration, tableDir: String,
       prior: graft.gateway.JValue.JObj,
-      snapshots: Seq[graft.gateway.JValue.JObj], currentId: Long): Unit = {
+      snapshots: Seq[graft.gateway.JValue.JObj], currentId: Long,
+      snapshotLog: Seq[(Long, Long)]): Unit = {
     val metaDir = s"$tableDir/metadata"
     val snapshotsJson = snapshots.map(graft.gateway.Json.render).mkString(",\n    ")
+    val logJson = snapshotLog
+      .map { case (ts, id) => s"""{"timestamp-ms": $ts, "snapshot-id": $id}""" }
+      .mkString(",\n    ")
     val partCols = IcebergLite.partitionSpecDsl(prior)
     val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
       case (f, i) =>
@@ -797,6 +831,9 @@ object IcebergLiteWriter {
          |  "current-snapshot-id": $currentId,
          |  "snapshots": [
          |    $snapshotsJson
+         |  ],
+         |  "snapshot-log": [
+         |    $logJson
          |  ]
          |}""".stripMargin
     val metaDirPath = new Path(metaDir)
@@ -821,7 +858,11 @@ object IcebergLiteWriter {
     val snaps = snapshotObjs(meta)
     require(snaps.exists(s => longOf(s, "snapshot-id").contains(toSnapshotId)),
       s"snapshot $toSnapshotId not found at $tableDir")
-    writeMetadataOnly(conf, tableDir, meta, snaps, toSnapshotId)
+    // A rollback makes an OLD snapshot current again: the snapshot list is
+    // untouched but the history gains a new made-current entry (this is
+    // exactly what distinguishes `history` from `snapshots`).
+    val log = snapshotLogEntries(meta) :+ ((System.currentTimeMillis(), toSnapshotId))
+    writeMetadataOnly(conf, tableDir, meta, snaps, toSnapshotId, log)
   }
 
   /** Result of one [[expireSnapshots]] call. */
@@ -875,7 +916,8 @@ object IcebergLiteWriter {
     deadFiles.foreach(delete)
     deadManifests.foreach(delete)
     expired.flatMap(_.str("manifest-list")).foreach(delete)
-    writeMetadataOnly(conf, tableDir, meta, retained, currentId)
+    val log = snapshotLogEntries(meta).filter { case (_, id) => retainedIds(id) }
+    writeMetadataOnly(conf, tableDir, meta, retained, currentId, log)
     ExpireResult(expired.size, deadManifests.size, deadFiles.size)
   }
 

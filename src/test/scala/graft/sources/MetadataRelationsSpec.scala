@@ -64,6 +64,33 @@ class MetadataRelationsSpec extends AnyFunSuite with SparkFixture {
     assert(one.rows.forall(_(1) == 1L))
   }
 
+  test("iceberg_history() tracks made-current lineage through appends and rollback") {
+    val dir = tmpDir("metarel_hist") + "/warehouse/region_hist"
+    val region = Tables.t(spark, sf0001, "region")
+    IcebergLiteWriter.write(spark, region, dir)
+    IcebergLiteWriter.append(spark, region, dir)
+    val snaps = IcebergLite.snapshotsRelation(spark, dir)
+      .orderBy("committed_at").collect().map(_.getLong(0))
+    val Array(s1, s2) = snaps
+    // Two commits: both current-ancestors, parent chain recorded.
+    val h1 = Engine.executeQuery(spark,
+      s"""SELECT snapshot_id, parent_id, is_current_ancestor
+         |FROM iceberg_history('$dir') ORDER BY made_current_at""".stripMargin, cfg)
+    assert(h1.rows.map(_(0)) == Seq(s1, s2))
+    assert(h1.rows.map(_(1)) == Seq(null, s1))
+    assert(h1.rows.forall(_(2) == true))
+    // Rollback to s1: a THIRD history entry appears (s1 re-currented at a
+    // later wall time), and s2 leaves the current-ancestor lineage.
+    IcebergLiteWriter.rollback(spark, dir, s1)
+    val h2 = Engine.executeQuery(spark,
+      s"""SELECT snapshot_id, is_current_ancestor
+         |FROM iceberg_history('$dir') ORDER BY made_current_at, snapshot_id""".stripMargin, cfg)
+    assert(h2.rows.size == 3)
+    assert(h2.rows.last(0) == s1)
+    assert(h2.rows.collect { case r if r(0) == s2 => r(1) } == Seq(false))
+    assert(h2.rows.collect { case r if r(0) == s1 => r(1) }.forall(_ == true))
+  }
+
   test("delete table shows DELETE manifest content") {
     val dir = tmpDir("metarel_del") + "/warehouse/t"
     IcebergLiteWriter.write(spark, Tables.t(spark, sf0001, "region"), dir,
