@@ -316,4 +316,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("common_extent"), p)
     assert(p.contains("partial"), p)
   }
+
+  test("keep-first chunk dedup: MIN argmin aggregates, no window, no cartesian") {
+    // The global first occurrence is a plain map-side-combinable MIN over
+    // the (doc_id << 32 | cid) encoding — a ROW_NUMBER window over the
+    // corpus-sized chunk relation would shuffle-sort every chunk instead.
+    val p = plan("p86_chunk_keep_first")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+  }
+
+  test("span excision: packed extent kernel, struct-MIN argmax, no window") {
+    // Position and length come out of ONE common_extent_packed call per
+    // row, and the per-document best span is a MIN over an ordering
+    // struct — no second extent scan, no per-document window sort.
+    val p = plan("p87_span_excision")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("common_extent_packed"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("dsir weights: bucket table broadcasts, stream never shuffles for the join") {
+    // The 4096-row bucket table is the ONLY join input that moves: it
+    // broadcasts, the corpus-sized bigram stream is joined map-side, and
+    // the doc aggregate partial-combines. A shuffle join here would move
+    // every bigram occurrence twice.
+    val p = plan("p88_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("kmeans training: E-step is a broadcast + max_by aggregate, never a window") {
+    // Every iteration's assignment must stay the ivfAssign shape: centroid
+    // table broadcast, argmax as a hash aggregate (the 16-way fanout
+    // collapses map-side). A ROW_NUMBER-per-vector window would
+    // shuffle-sort cells x corpus rows each iteration.
+    val df = SparkEntry.queries("p89_kmeans_train")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("max_by") || p.contains("partial"), p)
+  }
 }
