@@ -286,6 +286,35 @@ object TextOps {
         sum(col("bits")).cast("long").as("bigram_bits"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document with the corpus LM, sort, and split into head /
+    * middle / tail thirds — the bucket column downstream pipelines
+    * sample from, keeping "head" and discarding or down-weighting
+    * "tail"). The score is [[bigramSurprisal]]'s integer bits
+    * NORMALIZED to a rate without ever producing a float:
+    * ppl_scaled = (bigram_bits << scaleBits) div n_pairs — an exact
+    * integer both engines floor identically (2^20 scale keeps three
+    * fractional-bit decimals of resolution). Buckets are EXACT global
+    * NTILE thirds via [[GlobalRank.ntile]]'s range-repartition +
+    * partition-offset construction: identical boundaries to the
+    * single-reducer window, with no single-reducer sort anywhere.
+    * Documents with fewer than two tokens have no pairs and no bucket.
+    *
+    * Returns (doc_id, n_pairs, ppl_scaled, bucket) with bucket 1 = head
+    * (most predictable) .. `buckets` = tail.
+    */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3,
+      scaleBits: Int = 20): DataFrame = {
+    require(buckets > 0 && scaleBits >= 0 && scaleBits < 22,
+      "buckets must be positive; scaleBits in [0, 22) keeps the product exact")
+    val scored = bigramSurprisal(docs)
+      .select(col("doc_id"), col("n_pairs"),
+        expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")
+          .as("ppl_scaled"))
+    GlobalRank.ntile(scored, buckets, Seq(col("ppl_scaled"), col("doc_id")), "bucket")
+      .select(col("doc_id"), col("n_pairs"), col("ppl_scaled"), col("bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-bigram features are under a TARGET

@@ -2105,6 +2105,31 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // CCNet perplexity buckets: every scoreable doc ranked by its
+    // integer-scaled bigram-surprisal RATE ((bits<<20) div n_pairs — no
+    // float ever) and split into exact global NTILE thirds; 1 = head.
+    Q.df(
+      "p90_perplexity_buckets",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |  FROM tok WHERE len(toks) >= 2) u),
+        |dp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2, 3),
+        |pc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS n_pair FROM dp GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(c * (length(bin(n_ctx // n_pair)) - 1)) AS BIGINT) AS bits
+        |  FROM dp JOIN pc USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_pairs, ppl_scaled,
+        |  CAST(NTILE(3) OVER (ORDER BY ppl_scaled, doc_id) AS INT) AS bucket
+        |FROM (SELECT doc_id, n_pairs,
+        |  CAST((bits * 1048576) // n_pairs AS BIGINT) AS ppl_scaled FROM sc) x""".stripMargin) {
+      (s, dir) =>
+        TextOps.perplexityBuckets(t(s, dir, "documents"), 3, 20)
+    },
+
     // Full Lloyd k-means training (2 E/M iterations, seed = first 16
     // vectors) returning the final cluster assignment. The oracle unrolls
     // both iterations stage by stage (the p62/pq technique): assignment by

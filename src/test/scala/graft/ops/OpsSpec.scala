@@ -1364,6 +1364,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(trained != zero, "two Lloyd iterations should move at least one assignment")
   }
 
+  test("perplexity buckets: exact thirds, monotone under the scaled-rate order") {
+    val out = TextOps.perplexityBuckets(docs, 3, 20).collect()
+    assert(out.nonEmpty)
+    val sizes = out.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1, s"NTILE sizes must differ by <= 1: $sizes")
+    // Bucket assignment is monotone in the (ppl_scaled, doc_id) order.
+    val sorted = out.sortBy(r => (r.getLong(2), r.getLong(0)))
+    assert(sorted.map(_.getInt(3)).sliding(2).forall(p => p.head <= p.last))
+    // The scaled rate replays its own definition for every row.
+    val scored = TextOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { r =>
+      val (nPairs, bits) = scored(r.getLong(0))
+      assert(r.getLong(2) == (bits << 20) / nPairs)
+      assert(r.getLong(1) == nPairs)
+    }
+  }
+
   test("source drift: planted over/under-representation flags exactly; absent token rides the grid") {
     import spark.implicits._
     // Corpus: srcA is all "cat" (20 tokens), srcB is all "dog" (20),
