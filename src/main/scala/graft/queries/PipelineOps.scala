@@ -201,7 +201,7 @@ object PipelineOps {
         |  el + CASE WHEN el + 2 <= ml AND substr(ta, CAST(pa - el - 2 AS INT), el + 2) = substr(tb, CAST(pb - el - 2 AS INT), el + 2) THEN 2 ELSE 0 END AS el,
         |  er + CASE WHEN er + 2 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 2) = substr(tb, CAST(pb + 20 AS INT), er + 2) THEN 2 ELSE 0 END AS er
         |  FROM x4),
-        |x6 AS (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
+        |x6 AS MATERIALIZED (SELECT doc_a, doc_b, hash, ta, tb, pa, pb, ml, mr,
         |  el + CASE WHEN el + 1 <= ml AND substr(ta, CAST(pa - el - 1 AS INT), el + 1) = substr(tb, CAST(pb - el - 1 AS INT), el + 1) THEN 1 ELSE 0 END AS el,
         |  er + CASE WHEN er + 1 <= mr AND substr(ta, CAST(pa + 20 AS INT), er + 1) = substr(tb, CAST(pb + 20 AS INT), er + 1) THEN 1 ELSE 0 END AS er
         |  FROM x5)""".stripMargin
