@@ -392,6 +392,59 @@ object TextOps {
       size(expr(s"regexp_extract_all(text, '$LongDigitsRe', 0)"))
         .cast("long").as("n_numbers"))
 
+  /** Luhn-validated payment-card detection and masking — the checksum
+    * step a real secrets-scrubbing pass adds on top of [[redact]]'s
+    * digit-run heuristic: a 13–19-digit run is only a credible PAN if its
+    * Luhn check digit verifies (ISO/IEC 7812), which cuts the false-mask
+    * rate on ordinary long numbers by 90%. Candidates come from one
+    * portable regex ([0-9]{13,19} — no lookarounds, so Java regex and
+    * RE2 agree); validation is a ROW-LOCAL integer fold over the digits
+    * (double every second digit from the right, subtract 9 above 9, sum
+    * % 10 == 0); masking folds the VALID candidates into a replace chain.
+    * Map-only: runs at scan speed, no shuffle at any corpus size.
+    *
+    * Returns (doc_id, n_candidates, n_valid, clean_text) with every
+    * Luhn-valid run replaced by [PAN]; invalid runs are left in place
+    * (they are account-number-shaped noise, [[redact]]'s business).
+    */
+  def luhnScan(docs: DataFrame): DataFrame = {
+    val cands = "regexp_extract_all(text, '[0-9]{13,19}', 0)"
+    def dbl(d: String) =
+      s"CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END"
+    val digit = "CAST(substring(c, i, 1) AS INT)"
+    val luhnOk =
+      s"""c -> aggregate(sequence(1, length(c)), 0,
+         |  (a, i) -> a + CASE WHEN (length(c) - i) % 2 = 1
+         |    THEN ${dbl(digit)} ELSE $digit END) % 10 = 0""".stripMargin
+    docs.select(col("doc_id"),
+      expr(s"size($cands)").cast("long").as("n_candidates"),
+      expr(s"size(filter($cands, $luhnOk))").cast("long").as("n_valid"),
+      expr(s"aggregate(filter($cands, $luhnOk), text, (t, c) -> replace(t, c, '[PAN]'))")
+        .as("clean_text"))
+  }
+
+  /** Deterministic card-number fixture for [[luhnScan]] (the p47 pattern:
+    * the corpus carries no digit runs, so the candidate bytes are
+    * synthesized from row arithmetic that the oracle restates): docs with
+    * doc_id % 5 == 0 stay untouched; the rest gain one 16-digit run whose
+    * check digit is Luhn-CORRECT for even doc_ids and offset by 5
+    * (always wrong) for odd ones.
+    */
+  def synthesizeCardText(docs: DataFrame): DataFrame = {
+    val base = "lpad(cast(doc_id * 7919 % 1000000000000000 as string), 15, '0')"
+    val digit = s"CAST(substring($base, i, 1) AS INT)"
+    val dsum =
+      s"""aggregate(sequence(1, 15), 0, (a, i) -> a + CASE WHEN (16 - i) % 2 = 1
+         |  THEN CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 ELSE 2 * $digit END
+         |  ELSE $digit END)""".stripMargin
+    val check =
+      s"CASE WHEN doc_id % 2 = 0 THEN (10 - $dsum % 10) % 10 ELSE (15 - $dsum % 10) % 10 END"
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, col("text"))
+        .otherwise(expr(s"concat(text, ' ', $base, cast($check as string))"))
+        .as("text"))
+  }
+
   /** Token-diversity (Gini impurity) per doc: 1 - Σ_w (c_w / n)².
     * A repetition signal like Shannon entropy but with NO transcendental
     * functions: Σ c_w² and n are exact integers, so the score is a single

@@ -2105,6 +2105,41 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // Luhn-validated PAN detection/masking over synthesized card runs
+    // (the p47 fixture pattern: half the appended 16-digit runs carry a
+    // CORRECT Luhn check digit, half a always-wrong one, fifths carry
+    // none) — n_valid counts only checksum-passing runs and only those
+    // are masked.
+    Q.df(
+      "p91_luhn_scan",
+      """WITH synth AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text
+        |       ELSE text || ' ' || b || CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN (10 - ds % 10) % 10 ELSE (15 - ds % 10) % 10 END AS VARCHAR) END AS text
+        |  FROM (SELECT doc_id, text, b,
+        |    list_sum(list_transform(generate_series(1, 15), i -> CASE WHEN (16 - i) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substr(b, i, 1) AS INT) > 9
+        |           THEN 2 * CAST(substr(b, i, 1) AS INT) - 9
+        |           ELSE 2 * CAST(substr(b, i, 1) AS INT) END
+        |      ELSE CAST(substr(b, i, 1) AS INT) END)) AS ds
+        |    FROM (SELECT doc_id, text,
+        |      lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR), 15, '0') AS b
+        |      FROM documents) x) y),
+        |c AS (SELECT doc_id, text, regexp_extract_all(text, '[0-9]{13,19}') AS cands FROM synth),
+        |v AS (SELECT doc_id, text, cands,
+        |  list_filter(cands, c -> list_sum(list_transform(generate_series(1, length(c)), i ->
+        |    CASE WHEN (length(c) - i) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substr(c, i, 1) AS INT) > 9
+        |           THEN 2 * CAST(substr(c, i, 1) AS INT) - 9
+        |           ELSE 2 * CAST(substr(c, i, 1) AS INT) END
+        |      ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0) AS valid FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_valid,
+        |  list_reduce(list_prepend(text, valid), (a, b) -> replace(a, b, '[PAN]')) AS clean_text
+        |FROM v""".stripMargin) { (s, dir) =>
+      TextOps.luhnScan(TextOps.synthesizeCardText(t(s, dir, "documents")))
+    },
+
     // CCNet perplexity buckets: every scoreable doc ranked by its
     // integer-scaled bigram-surprisal RATE ((bits<<20) div n_pairs — no
     // float ever) and split into exact global NTILE thirds; 1 = head.

@@ -1364,6 +1364,31 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(trained != zero, "two Lloyd iterations should move at least one assignment")
   }
 
+  test("luhn scan validates real checksums and masks only passing runs") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "pay 4539578763621486 now"),        // valid Luhn (16 digits)
+      (2L, "pay 4539578763621487 now"),        // one digit off: invalid
+      (3L, "ref 79927398713 only"),            // 11 digits: not a candidate
+      (4L, "a 4539578763621486 b 378282246310005 c"), // two valid (16 + 15)
+      (5L, "no digits here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.luhnScan(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "pay [PAN] now")))
+    assert(out(2L) == ((1L, 0L, "pay 4539578763621487 now")))
+    assert(out(3L) == ((0L, 0L, "ref 79927398713 only")))
+    assert(out(4L) == ((2L, 2L, "a [PAN] b [PAN] c")))
+    assert(out(5L) == ((0L, 0L, "no digits here")))
+    // The synthesized fixture: even ids valid, odd invalid, %5 none.
+    val synth = TextOps.luhnScan(TextOps.synthesizeCardText(docs)).collect()
+    synth.foreach { r =>
+      val id = r.getLong(0)
+      val expect = if (id % 5 == 0) (0L, 0L) else (1L, if (id % 2 == 0) 1L else 0L)
+      assert((r.getLong(1), r.getLong(2)) == expect, s"doc $id")
+    }
+  }
+
   test("perplexity buckets: exact thirds, monotone under the scaled-rate order") {
     val out = TextOps.perplexityBuckets(docs, 3, 20).collect()
     assert(out.nonEmpty)
