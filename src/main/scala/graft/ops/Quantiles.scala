@@ -42,6 +42,39 @@ object Quantiles {
     lo.crossJoin(hi)
   }
 
+  /** Per-GROUP exact rank quantiles — the percentile block of a per-source
+    * data card ("median and p95 document length by source"): for every
+    * group, the smallest value whose group-local running count reaches
+    * ceil(p * n_group), for each requested p. Same integer-exact rank rule
+    * as [[rankCutoffs]], so every engine derives identical percentiles.
+    *
+    * Scale shape: one (group, value) hash aggregate (map-side combined),
+    * then a window over DISTINCT VALUES within each group — cardinality-
+    * bounded, not row-bounded — a group-keyed totals join, and one final
+    * aggregate with a conditional MIN per requested quantile. No
+    * corpus-sized window anywhere.
+    *
+    * Returns (group named as `groupName`, n_rows, q<pp> per quantile),
+    * quantile columns labeled by percent (q25, q50, ...).
+    */
+  def groupedRankQuantiles(df: DataFrame, group: Column, groupName: String,
+      c: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "quantiles must lie in (0, 1]")
+    val byValue = df.groupBy(group.as("g"), c.as("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue.withColumn("cle", sum(col("cnt")).over(w))
+    val tot = byValue.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val qCols = ps.map { p =>
+      val label = "q" + math.round(p * 100)
+      min(when(col("cle") >= ceil(lit(p) * col("n")).cast("long"), col("v")))
+        .cast("long").as(label)
+    }
+    cum.join(tot, "g")
+      .groupBy(col("g").as(groupName), col("n").cast("long").as("n_rows"))
+      .agg(qCols.head, qCols.tail: _*)
+  }
+
   /** Rows of `df` whose `c` lies inside the [pLow, pHigh] rank-quantile
     * band — e.g. length-outlier removal for a training corpus.
     */

@@ -268,6 +268,11 @@ object TextOps {
           |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // NOTE: the tokenize + explode lineage is deliberately computed once
+    // per consumer (map-only) rather than pinned behind a shared
+    // (doc, pair) aggregate exchange — the A/B at the 10x slice showed
+    // the extra corpus-sized shuffle costs more than the re-scan saves
+    // (within-document pair duplication is too low to pay for it).
     val pairCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("long").as("n_pair"))
     val ctxCounts = pairCounts.groupBy(col("w1"))
@@ -355,18 +360,23 @@ object TextOps {
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("bg")), 1, 14), 16, 10).cast("long") % buckets).as("b"))
+      // (doc, bucket) counts FIRST: both consumers — the bucket table and
+      // the per-doc scoring join — hang off this one aggregate's
+      // Exchange, so ReuseExchange runs the tokenize + md5 lineage ONCE.
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
     val bucketBits = feat.groupBy(col("b"))
       .agg(
-        count(lit(1)).as("n_raw"),
-        count(when(col("lang") === targetLang, 1)).as("n_tgt"))
+        sum(col("c")).as("n_raw"),
+        sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("n_tgt"))
       .select(col("b"),
         (length(bin(col("n_tgt") * 2)) - 1).as("bits_tgt"),
         (length(bin(col("n_raw") * 2)) - 1).as("bits_raw"))
     feat.join(broadcast(bucketBits), "b")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).cast("long").as("n_bigrams"),
-        sum(col("bits_tgt") - col("bits_raw")).cast("long").as("dsir_bits"))
+        sum(col("c")).cast("long").as("n_bigrams"),
+        sum(col("c") * (col("bits_tgt") - col("bits_raw"))).cast("long").as("dsir_bits"))
   }
 
   /** PII scrubbing patterns, written with the portable regex subset ([.]

