@@ -34,7 +34,8 @@ object DialectRewriter {
   // `TIMESTAMP AS OF` analog.
   private val IcebergScanRe: Regex =
     ("""(?i)iceberg_scan\(\s*['"]([^'"]+)['"]\s*""" +
-      """(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*|,\s*(?:timestamp\s*=>\s*)?['"]([^'"]+)['"]\s*)?\)""").r
+      """(?:,\s*(?:snapshot_id\s*=>\s*)?(\d+)\s*|,\s*ref\s*=>\s*['"]([^'"]+)['"]\s*""" +
+      """|,\s*(?:timestamp\s*=>\s*)?['"]([^'"]+)['"]\s*)?\)""").r
 
   /** `iceberg_changes('path', from_snapshot => N [, to_snapshot => M])` —
     * the SQL surface over [[IcebergLite.incrementalScan]]: exactly the
@@ -86,6 +87,8 @@ object DialectRewriter {
     """(?i)iceberg_partitions\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val IcebergHistoryRe: Regex =
     """(?i)iceberg_history\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val IcebergRefsRe: Regex =
+    """(?i)iceberg_refs\(\s*['"]([^'"]+)['"]\s*\)""".r
 
   // `iceberg_catalog.<ns>.<table>` references and the reference's
   // suggested `SHOW TABLES FROM iceberg_catalog.<ns>` probe, resolved
@@ -267,10 +270,12 @@ object DialectRewriter {
     val scans = replaceOutsideLiterals(IcebergScanRe, sql)(m => {
       val path = m.group(1)
       val snapshotId = Option(m.group(2)).map(_.toLong)
-      val asOfMillis = Option(m.group(3)).map(parseTravelTimestamp)
+      val refName = Option(m.group(3))
+      val asOfMillis = Option(m.group(4)).map(parseTravelTimestamp)
       val view = s"graft_iceberg_scan_${viewCounter.incrementAndGet()}"
       binders += (() =>
-        IcebergLite.scan(spark, path, snapshotId, asOfMillis).createOrReplaceTempView(view))
+        IcebergLite.scan(spark, path, snapshotId, asOfMillis, ref = refName)
+          .createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
     val withChanges = replaceOutsideLiterals(IcebergChangesRe, scans)(m => {
@@ -317,7 +322,14 @@ object DialectRewriter {
         IcebergLite.historyRelation(spark, path).createOrReplaceTempView(view))
       Regex.quoteReplacement(view)
     })
-    val withCsv = replaceOutsideLiterals(ReadCsvRe, withHistory)(m => {
+    val withRefs = replaceOutsideLiterals(IcebergRefsRe, withHistory)(m => {
+      val path = m.group(1)
+      val view = s"graft_iceberg_refs_${viewCounter.incrementAndGet()}"
+      binders += (() =>
+        IcebergLite.refsRelation(spark, path).createOrReplaceTempView(view))
+      Regex.quoteReplacement(view)
+    })
+    val withCsv = replaceOutsideLiterals(ReadCsvRe, withRefs)(m => {
       val path = m.group(1)
       checkFlatFilePath("read_csv", path)
       val view = s"graft_read_csv_${viewCounter.incrementAndGet()}"

@@ -464,13 +464,22 @@ object IcebergLite {
       asOfMillis: Option[Long] = None,
       applyDeletes: Boolean = false,
       metadataLocation: Option[String] = None,
-      excludeDataFiles: Set[String] = Set.empty): DataFrame = {
+      excludeDataFiles: Set[String] = Set.empty,
+      ref: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val conf = sessionHadoopConf(spark)
     val metaPath = resolveMetadataPath(conf, tablePath, metadataLocation)
     val meta = readMetadataJson(conf, metaPath)
-    val snapId = snapshotId.orElse(asOfMillis.map(ts =>
+    // Named ref (tag/branch): resolve to its pinned snapshot; 'main' is
+    // the current snapshot (a plain scan).
+    val refSnapId: Option[Long] = ref.filterNot(_ == "main").map { name =>
+      refsOf(meta).collectFirst { case (`name`, id, _) => id }
+        .getOrElse(throw ProbeError(
+          s"ref '$name' not found at $tablePath (known: " +
+            (refsOf(meta).map(_._1) :+ "main").mkString(", ") + ")"))
+    }
+    val snapId = snapshotId.orElse(refSnapId).orElse(asOfMillis.map(ts =>
       snapshotIdAsOfMeta(meta, ts, tablePath)))
     val entries = fileEntries(conf, tablePath, snapId, metadataLocation)
     // allData drives schema/partition-type derivation; dataEntries (the
@@ -743,6 +752,33 @@ object IcebergLite {
         s.str("manifest-list").getOrElse(""),
         current.contains(id))
     }.toDF("snapshot_id", "committed_at", "manifest_list", "is_current")
+  }
+
+  /** (name, snapshot-id, type) entries of the metadata's refs map. */
+  def refsOf(meta: JObj): Seq[(String, Long, String)] =
+    meta.get("refs") match {
+      case Some(o: JObj) => o.fields.collect {
+        case (name, r: JObj) =>
+          (name, jLong(r, "snapshot-id").getOrElse(0L), r.str("type").getOrElse("tag"))
+      }
+      case _ => Nil
+    }
+
+  /** The `iceberg_refs('path')` relation — real Iceberg's `<table>.refs`
+    * metadata table: every named ref (tag or branch) with its pinned
+    * snapshot, plus the implicit `main` branch at the current snapshot.
+    * Tags protect their snapshot from [[IcebergLiteWriter.expireSnapshots]].
+    */
+  def refsRelation(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val conf = sessionHadoopConf(spark)
+    val metaPath = latestMetadataPath(conf, tablePath)
+      .getOrElse(throw ProbeError(s"No Iceberg metadata readable at $tablePath"))
+    val meta = readMetadataJson(conf, metaPath)
+    val current = jLong(meta, "current-snapshot-id").getOrElse(0L)
+    (("main", current, "branch") +: refsOf(meta))
+      .map { case (n, id, t) => (n, t, id, id == current) }
+      .toDF("ref_name", "type", "snapshot_id", "at_current")
   }
 
   /** The `iceberg_history('path')` relation — real Iceberg's

@@ -732,6 +732,7 @@ object IcebergLiteWriter {
     val logJson = (prior.toSeq.flatMap(snapshotLogEntries) :+ (nowMs, snapshotId))
       .map { case (ts, id) => s"""{"timestamp-ms": $ts, "snapshot-id": $id}""" }
       .mkString(",\n    ")
+    val refsJson = renderRefs(prior.map(refEntries).getOrElse(Nil))
     val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
       case (f, i) =>
         s"""{"name": "${f.name}", "transform": "${f.transform}", "source-name": "${f.source}", "source-id": ${i + 1}, "field-id": ${1000 + i}}"""
@@ -755,7 +756,8 @@ object IcebergLiteWriter {
          |  ],
          |  "snapshot-log": [
          |    $logJson
-         |  ]
+         |  ],
+         |  "refs": $refsJson
          |}""".stripMargin
     val metaDirPath = new Path(metaDir)
     val metaFs = metaDirPath.getFileSystem(conf)
@@ -781,6 +783,62 @@ object IcebergLiteWriter {
       case _ => Vector.empty
     }
 
+  /** (name, snapshot-id, type) entries of the metadata's refs map. */
+  private def refEntries(meta: graft.gateway.JValue.JObj): Seq[(String, Long, String)] =
+    meta.get("refs") match {
+      case Some(o: graft.gateway.JValue.JObj) => o.fields.collect {
+        case (name, r: graft.gateway.JValue.JObj) =>
+          (name, longOf(r, "snapshot-id").getOrElse(0L),
+            r.str("type").getOrElse("tag"))
+      }
+      case _ => Nil
+    }
+
+  private def renderRefs(refs: Seq[(String, Long, String)]): String =
+    refs.map { case (name, id, tpe) =>
+      s""""$name": {"snapshot-id": $id, "type": "$tpe"}"""
+    }.mkString("{", ", ", "}")
+
+  private val RefNameRe = "^[A-Za-z0-9._-]{1,255}$".r
+
+  /** Create or move a named ref — Iceberg's tags ("keep this snapshot
+    * addressable as v1.0") and branches. Metadata-only commit; the ref'd
+    * snapshot becomes immune to [[expireSnapshots]] until the ref drops.
+    * `main` is reserved: it always means the current snapshot.
+    */
+  def setRef(spark: SparkSession, tableDir: String, name: String,
+      snapshotId: Long, refType: String = "tag"): Unit = {
+    require(RefNameRe.pattern.matcher(name).matches,
+      s"ref name must match ${RefNameRe.pattern} (got '$name')")
+    require(name != "main", "'main' is reserved for the current snapshot")
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got '$refType'")
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val snaps = snapshotObjs(meta)
+    require(snaps.exists(s => longOf(s, "snapshot-id").contains(snapshotId)),
+      s"snapshot $snapshotId not found at $tableDir")
+    val currentId = longOf(meta, "current-snapshot-id")
+      .getOrElse(throw IcebergLite.ProbeError("metadata has no current-snapshot-id"))
+    val refs = refEntries(meta).filterNot(_._1 == name) :+ ((name, snapshotId, refType))
+    writeMetadataOnly(conf, tableDir, meta, snaps, currentId,
+      snapshotLogEntries(meta), Some(refs))
+  }
+
+  /** Drop a named ref; its snapshot becomes expirable again. */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = IcebergLite.resolveMetadataPath(conf, tableDir)
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val refs = refEntries(meta)
+    require(refs.exists(_._1 == name), s"ref '$name' not found at $tableDir")
+    val currentId = longOf(meta, "current-snapshot-id")
+      .getOrElse(throw IcebergLite.ProbeError("metadata has no current-snapshot-id"))
+    writeMetadataOnly(conf, tableDir, meta, snapshotObjs(meta), currentId,
+      snapshotLogEntries(meta), Some(refs.filterNot(_._1 == name)))
+  }
+
   /** (timestamp-ms, snapshot-id) entries of the metadata's snapshot-log;
     * tables written before the log existed fall back to commit order.
     */
@@ -804,12 +862,14 @@ object IcebergLiteWriter {
   private def writeMetadataOnly(conf: Configuration, tableDir: String,
       prior: graft.gateway.JValue.JObj,
       snapshots: Seq[graft.gateway.JValue.JObj], currentId: Long,
-      snapshotLog: Seq[(Long, Long)]): Unit = {
+      snapshotLog: Seq[(Long, Long)],
+      refs: Option[Seq[(String, Long, String)]] = None): Unit = {
     val metaDir = s"$tableDir/metadata"
     val snapshotsJson = snapshots.map(graft.gateway.Json.render).mkString(",\n    ")
     val logJson = snapshotLog
       .map { case (ts, id) => s"""{"timestamp-ms": $ts, "snapshot-id": $id}""" }
       .mkString(",\n    ")
+    val refsJson = renderRefs(refs.getOrElse(refEntries(prior)))
     val partCols = IcebergLite.partitionSpecDsl(prior)
     val specFields = partCols.map(PartitionSpec.parse).zipWithIndex.map {
       case (f, i) =>
@@ -834,7 +894,8 @@ object IcebergLiteWriter {
          |  ],
          |  "snapshot-log": [
          |    $logJson
-         |  ]
+         |  ],
+         |  "refs": $refsJson
          |}""".stripMargin
     val metaDirPath = new Path(metaDir)
     val metaFs = metaDirPath.getFileSystem(conf)
@@ -891,9 +952,11 @@ object IcebergLiteWriter {
     val currentId = longOf(meta, "current-snapshot-id")
       .getOrElse(throw IcebergLite.ProbeError("metadata has no current-snapshot-id"))
     val retained = {
-      val tail = snaps.takeRight(keepLast)
-      if (tail.exists(s => longOf(s, "snapshot-id").contains(currentId))) tail
-      else snaps.filter(s => longOf(s, "snapshot-id").contains(currentId)) ++ tail
+      val tailIds = snaps.takeRight(keepLast).flatMap(longOf(_, "snapshot-id")).toSet
+      // Ref-targeted snapshots (tags/branches) are never expirable — the
+      // whole point of a tag is to keep its snapshot addressable.
+      val keepIds = tailIds + currentId ++ refEntries(meta).map(_._2)
+      snaps.filter(s => longOf(s, "snapshot-id").exists(keepIds))
     }
     val retainedIds = retained.flatMap(longOf(_, "snapshot-id")).toSet
     val expired = snaps.filterNot(s => longOf(s, "snapshot-id").exists(retainedIds))

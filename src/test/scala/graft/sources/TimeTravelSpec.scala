@@ -64,4 +64,39 @@ class TimeTravelSpec extends AnyFunSuite with SparkFixture {
       s"SELECT COUNT(*) AS n FROM iceberg_scan('$table', $first)", cfg)
     assert(positional.rows.head.head == 5L)
   }
+
+  test("tags: ref-addressed scans, iceberg_refs listing, expiry protection") {
+    val cfg = ConnectionConfig("minio", "e", "k", "s")
+    // A fresh table: tags change metadata, so don't share the lazy fixture.
+    val dir = tmpDir("tt_refs") + "/warehouse/region_refs"
+    val region = Tables.t(spark, sf0001, "region")
+    IcebergLiteWriter.write(spark, region, dir)
+    val first = IcebergLite.snapshotsRelation(spark, dir).collect().head.getLong(0)
+    IcebergLiteWriter.append(spark, region, dir)
+    IcebergLiteWriter.setRef(spark, dir, "v1.0", first)
+    // Tag-addressed travel over SQL; 'main' is the current snapshot.
+    val old = Engine.executeQuery(spark,
+      s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir', ref => 'v1.0')", cfg)
+    assert(old.rows.head.head == 5L)
+    val cur = Engine.executeQuery(spark,
+      s"SELECT COUNT(*) AS n FROM iceberg_scan('$dir', ref => 'main')", cfg)
+    assert(cur.rows.head.head == 10L)
+    // Refs relation: implicit main + the tag.
+    val refs = Engine.executeQuery(spark,
+      s"SELECT ref_name, type, snapshot_id FROM iceberg_refs('$dir') ORDER BY ref_name", cfg)
+    assert(refs.rows.map(r => (r(0), r(1))) == Seq(("main", "branch"), ("v1.0", "tag")))
+    assert(refs.rows(1)(2) == first)
+    // An unknown ref is a loud 400, naming the known refs.
+    val e = intercept[Engine.EngineError](Engine.executeQuery(spark,
+      s"SELECT * FROM iceberg_scan('$dir', ref => 'nope')", cfg))
+    assert(e.status == 400 && e.detail.contains("v1.0"))
+    // Expiry keeps the tagged snapshot addressable...
+    IcebergLiteWriter.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergLite.scan(spark, dir, ref = Some("v1.0")).count() == 5L)
+    // ...and after the tag drops, the next expiry really removes it.
+    IcebergLiteWriter.dropRef(spark, dir, "v1.0")
+    val r = IcebergLiteWriter.expireSnapshots(spark, dir, keepLast = 1)
+    assert(r.expiredSnapshots == 1)
+    assertThrows[RuntimeException](IcebergLite.scan(spark, dir, Some(first)).count())
+  }
 }
