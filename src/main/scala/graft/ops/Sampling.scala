@@ -90,6 +90,62 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** Exact integer WATERFILL mixture quotas — the budgeted data-mixing
+    * allocation ("give every source what it has, but cap the dominant
+    * ones at a common water level so the total hits the token budget"):
+    * quota_i = min(s_i, L*) with L* the largest level whose capped sum
+    * fits `B = total * budgetNum / budgetDen`, plus one extra token to
+    * the first `B - Σ min(s_i, L*)` unsaturated sources (smallest-first,
+    * name tie-break) so Σ quota == min(B, total) EXACTLY. All integers —
+    * levels by floor division, saturation count k* by a prefix-sum scan
+    * over the sorted source sizes — so every engine derives the identical
+    * allocation.
+    *
+    * Scale shape: ONE corpus tokenize + per-source aggregate
+    * (map-side-combined); everything after runs on the #sources-sized
+    * relation, where windows are free (tens of rows, not corpus rows).
+    *
+    * Returns (source, n_tokens, quota).
+    */
+  def mixtureWaterfill(docs: DataFrame, budgetNum: Long = 1,
+      budgetDen: Long = 2): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a valid fraction")
+    val st = docs
+      .select(col("source"), size(split(lower(col("text")), " ")).cast("long").as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("s"))
+    val w = Window.orderBy(col("s"), col("source"))
+    val all = Window.partitionBy()
+    val ordered = st
+      .withColumn("r", row_number().over(w))
+      .withColumn("cum", sum(col("s")).over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum(col("s")).over(all))
+      .withColumn("B", expr(s"tot * $budgetNum div $budgetDen"))
+    // k* = max saturated-prefix length whose induced level still covers
+    // its own largest member; r = n valid when the budget covers all.
+    val valid = ordered.filter(
+      (col("r") === col("n") && col("B") >= col("cum")) ||
+        (col("r") < col("n") && col("s") <= expr("(B - cum) div (n - r)")))
+    val kstar = valid.agg(coalesce(max(col("r")), lit(0L)).cast("long").as("k"))
+    val cumK = ordered.select(col("r"), col("cum").as("cum_k"))
+    val params = ordered.limit(1).select(col("n"), col("tot"), col("B"))
+      .crossJoin(broadcast(kstar))
+      .join(broadcast(cumK), col("k") === col("r"), "left")
+      .select(col("n"), col("tot"), col("B"), col("k"),
+        coalesce(col("cum_k"), lit(0L)).as("cum_k"))
+      .withColumn("L", when(col("k") === col("n"), col("tot"))
+        .otherwise(expr("(B - cum_k) div (n - k)")))
+      .withColumn("rem", when(col("k") === col("n"), lit(0L))
+        .otherwise(col("B") - col("cum_k") - col("L") * (col("n") - col("k"))))
+      .select(col("k"), col("L"), col("rem"))
+    ordered.crossJoin(broadcast(params))
+      .withColumn("quota",
+        when(col("r") <= col("k"), col("s"))
+          .otherwise(col("L") + when(col("r") - col("k") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("s").cast("long").as("n_tokens"),
+        col("quota").cast("long").as("quota"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` pseudo-random corpus rows, reproducible across
     * runs, engines, and cluster sizes — negative (anchor, slot) →

@@ -2105,6 +2105,38 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // Exact integer waterfill mixture quotas: cap dominant sources at
+    // the common water level that makes the total hit the 50% token
+    // budget, +1 remainder tokens smallest-first — Σ quota == B exactly,
+    // pure integer arithmetic.
+    Q.df(
+      "p93_mixture_waterfill",
+      """WITH st AS (SELECT source,
+        |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT source, s,
+        |  ROW_NUMBER() OVER (ORDER BY s, source) AS r,
+        |  SUM(s) OVER (ORDER BY s, source) AS cum,
+        |  COUNT(*) OVER () AS n, SUM(s) OVER () AS tot FROM st),
+        |o2 AS (SELECT *, tot * 1 // 2 AS B FROM o),
+        |valid AS (SELECT r FROM o2
+        |  WHERE (r = n AND B >= cum) OR (r < n AND s <= (B - cum) // (n - r))),
+        |ks AS (SELECT COALESCE(MAX(r), 0) AS k FROM valid),
+        |prm AS (SELECT n, tot, B, k,
+        |  COALESCE((SELECT cum FROM o2 WHERE r = k), 0) AS cum_k
+        |  FROM (SELECT DISTINCT n, tot, B FROM o2) x, ks),
+        |prm2 AS (SELECT k,
+        |  CASE WHEN k = n THEN tot ELSE (B - cum_k) // (n - k) END AS L,
+        |  CASE WHEN k = n THEN 0
+        |       ELSE B - cum_k - ((B - cum_k) // (n - k)) * (n - k) END AS rem
+        |  FROM prm)
+        |SELECT source, s AS n_tokens,
+        |  CAST(CASE WHEN r <= k THEN s
+        |       ELSE L + CASE WHEN r - k <= rem THEN 1 ELSE 0 END END AS BIGINT) AS quota
+        |FROM o2, prm2""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.mixtureWaterfill(t(s, dir, "documents"), 1, 2)
+    },
+
     // Per-source exact length percentiles (the data-card percentile
     // block): rank-based quantiles — smallest value whose group-local
     // running count reaches ceil(p*n) — so every engine derives identical

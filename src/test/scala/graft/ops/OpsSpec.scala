@@ -1389,6 +1389,33 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("waterfill quotas: exact budget, caps only the dominant sources") {
+    import spark.implicits._
+    def mk(sizes: (String, Int)*) = sizes.flatMap { case (src, words) =>
+      Seq((src, Seq.fill(words)("w").mkString(" ")))
+    }.toDF("source", "text")
+    // s = [10, 20, 100], B = 65 -> L* = 35, quotas [10, 20, 35].
+    val out1 = graft.ops.Sampling.mixtureWaterfill(mk("a" -> 10, "b" -> 20, "c" -> 100), 1, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out1 == Map("a" -> 10L, "b" -> 20L, "c" -> 35L))
+    // B = 40% of 130 = 52 -> a and b saturate (10 + 20), c capped at 22.
+    val out2 = graft.ops.Sampling.mixtureWaterfill(mk("a" -> 10, "b" -> 20, "c" -> 100), 2, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2("a") == 10L && out2.values.sum == 52L && out2("b") <= 20L)
+    // Budget >= total: everyone keeps everything.
+    val out3 = graft.ops.Sampling.mixtureWaterfill(mk("a" -> 10, "b" -> 20), 3, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out3 == Map("a" -> 10L, "b" -> 20L))
+    // Property sweep on the corpus: Σ quota == min(B, total), quota <= s.
+    for ((num, den) <- Seq((1L, 10L), (1L, 2L), (9L, 10L), (2L, 1L))) {
+      val rows = graft.ops.Sampling.mixtureWaterfill(docs, num, den).collect()
+      val tot = rows.map(_.getLong(1)).sum
+      val b = tot * num / den
+      assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+      assert(rows.map(_.getLong(2)).sum == math.min(b, tot), s"budget $num/$den")
+    }
+  }
+
   test("grouped quantiles replay the rank rule on a hand-checked group") {
     import spark.implicits._
     // Group a: values 1..10 -> q50 = 5 (first cum >= 5), q95 = 10.
