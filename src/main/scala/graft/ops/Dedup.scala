@@ -601,6 +601,35 @@ object Dedup {
         countDistinct(col("hash")).as("n_anchors"))
   }
 
+  /** LSH tuning card — the evaluation artifact a dedup pipeline publishes
+    * before trusting its banding parameters: MinHash-LSH candidate pairs
+    * measured against the EXACT n-gram-Jaccard ground truth (PPJoin —
+    * complete, not sampled). Four integer counts per configuration:
+    * candidates generated, true pairs at the threshold, candidates that
+    * verify (precision numerator), and true pairs the banding MISSED
+    * (recall shortfall — the number that matters, since a missed pair is
+    * a duplicate that survives dedup). Ratios left to the reader.
+    *
+    * Scale shape: both pair relations are the candidate→verify shapes
+    * already proven at 10× (p03/p04); the card adds one equi-join and
+    * one anti-join on (i, j) plus four 1-row aggregates. At true corpus
+    * scale the exact side is the expensive one — run the card on a
+    * deterministic [[graft.ops.Sampling.hashSample]] slice, exactly how
+    * production LSH tuning is done.
+    */
+  def lshTuningCard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val exact = ngramJaccardPairs(docs, n, threshold).select(col("i"), col("j"))
+    val cand = minhashLshCandidates(docs, numHashes, bands, n)
+      .select(col("i"), col("j")).distinct()
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = exact.agg(count(lit(1)).as("n_true_pairs"))
+    val nv = cand.join(exact, Seq("i", "j")).agg(count(lit(1)).as("n_verified"))
+    val nm = exact.join(cand, Seq("i", "j"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    nc.crossJoin(nt).crossJoin(nv).crossJoin(nm)
+  }
+
   /** Exact-substring EXCISION — the span-REMOVAL policy itself (Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better":
     * when a long run is duplicated across documents, keep it once and cut

@@ -2105,6 +2105,31 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // LSH tuning card: MinHash-LSH candidates vs the EXACT Jaccard ground
+    // truth — precision/recall numerators as four integer counts (missed
+    // true pairs are duplicates that would survive dedup).
+    Q.df(
+      "p94_lsh_tuning_card",
+      s"""WITH $minhashCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT i, j FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+         |  FROM pair JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j) p
+         |  WHERE jac >= 0.8),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+         |  FROM band a JOIN band c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+         |SELECT
+         |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+         |  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_true_pairs,
+         |  CAST((SELECT COUNT(*) FROM cand JOIN ex ON cand.i = ex.i AND cand.j = ex.j) AS BIGINT) AS n_verified,
+         |  CAST((SELECT COUNT(*) FROM ex WHERE NOT EXISTS (
+         |    SELECT 1 FROM cand WHERE cand.i = ex.i AND cand.j = ex.j)) AS BIGINT) AS n_missed""".stripMargin) {
+      (s, dir) => Dedup.lshTuningCard(t(s, dir, "documents"), 3, 0.8, 8, 4)
+    },
+
     // Exact integer waterfill mixture quotas: cap dominant sources at
     // the common water level that makes the total hit the 50% token
     // budget, +1 remainder tokens smallest-first — Σ quota == B exactly,

@@ -1389,6 +1389,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lsh tuning card counts are internally consistent") {
+    val r = Dedup.lshTuningCard(docs, 3, 0.8, 8, 4).head()
+    val (nc, nt, nv, nm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nv <= nc && nv <= nt, "verified is an intersection")
+    assert(nv + nm == nt, "verified + missed partitions the true pairs")
+    // On this corpus the exact duplicates share most shingles, so 4-band
+    // minhash should find at least one of them.
+    assert(nt > 0 && nv > 0)
+  }
+
   test("waterfill quotas: exact budget, caps only the dominant sources") {
     import spark.implicits._
     def mk(sizes: (String, Int)*) = sizes.flatMap { case (src, words) =>
