@@ -218,4 +218,31 @@ object Sampling {
       .withColumn("shard_id", expr(s"CAST((rn - 1) DIV $shardSize AS BIGINT)"))
       .drop("__shuf")
   }
+
+  /** Shard MANIFEST with integrity checksums — what a dataset release
+    * publishes next to its WebDataset-style shards: per shard, the doc
+    * count, total characters, and a content checksum defined as
+    * md5(concat of per-document md5s in shard order) — order-defined and
+    * integer-exact, so any engine (or a downstream consumer re-reading
+    * the shards) reproduces it byte-for-byte. A mismatch pinpoints the
+    * corrupted shard without re-hashing the corpus.
+    *
+    * Scale shape: [[shuffleShards]]'s distributed rank (no single-reducer
+    * sort), then ONE shard-keyed aggregate whose per-group state is
+    * shardSize 32-char digests — bounded by the shard size a publisher
+    * chose, never by corpus size.
+    */
+  def shardManifest(docs: DataFrame, shardSize: Int, key: Column): DataFrame =
+    shuffleShards(docs, shardSize, key)
+      .select(col("shard_id"), col("rn"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("n_chars"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("rn"), col("h")))),
+            s => s.getField("h")),
+          "")).as("shard_md5"))
 }

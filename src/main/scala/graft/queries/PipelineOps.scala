@@ -2105,6 +2105,22 @@ object PipelineOps {
       TextOps.dsirWeights(t(s, dir, "documents"), "en", 4096)
     },
 
+    // Shard manifest with integrity checksums: per 64-doc shard, counts +
+    // md5(concat of per-doc md5s in shard order) — the release artifact a
+    // consumer re-derives to pinpoint a corrupted shard.
+    Q.df(
+      "p95_shard_manifest",
+      """WITH sh AS (SELECT doc_id, text, rn, CAST((rn - 1) // 64 AS BIGINT) AS shard_id FROM (
+        |  SELECT doc_id, text, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) x)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  md5(string_agg(md5(text), '' ORDER BY rn)) AS shard_md5
+        |FROM sh GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.shardManifest(t(s, dir, "documents"), 64, col("doc_id"))
+    },
+
     // LSH tuning card: MinHash-LSH candidates vs the EXACT Jaccard ground
     // truth — precision/recall numerators as four integer counts (missed
     // true pairs are duplicates that would survive dedup).

@@ -1389,6 +1389,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("shard manifest checksums replay independently and pin shard order") {
+    val rows = graft.ops.Sampling.shardManifest(docs, 8, col("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val total = docs.count()
+    assert(rows.values.map(_._1).sum == total)
+    // Full shards are exactly 8 docs; only the last may be ragged.
+    assert(rows.filter(_._1 < rows.keys.max).values.forall(_._1 == 8L))
+    // Independent recomputation of one shard's checksum from the corpus.
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (md5hex(r.getLong(0).toString), r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2))
+    val shard0 = ordered.take(8).map(t => md5hex(t._3)).mkString
+    assert(rows(0L)._3 == md5hex(shard0))
+  }
+
   test("lsh tuning card counts are internally consistent") {
     val r = Dedup.lshTuningCard(docs, 3, 0.8, 8, 4).head()
     val (nc, nt, nv, nm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
