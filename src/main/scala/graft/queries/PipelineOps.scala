@@ -2269,7 +2269,47 @@ object PipelineOps {
     Q.df("p89_kmeans_train", kmeansTrainOracleSql(2, 16)) { (s, dir) =>
       Similarity.kmeansTrain(t(s, dir, "embeddings"), 16, 2)
     },
+
+    // Domain-graph PageRank for crawl prioritization: ONE corpus scan
+    // collapses the synthesized link multiset to the bounded
+    // (src_domain, tgt_domain, cnt) relation, then 3 damped power
+    // iterations in exact integer fixed-point (floor-division
+    // contributions — order-independent integer sums, so the unrolled
+    // CTE oracle reproduces every rank bit-for-bit).
+    Q.df("p96_domain_rank", domainRankOracleSql(3, 64, 3)) { (s, dir) =>
+      graft.ops.DomainRank.domainRank(t(s, dir, "documents"), 64, 3, 3)
+    },
   )
+
+  /** Unrolled power-iteration oracle for p96: the same bounded
+    * (src, tgt, cnt) aggregation, then `iters` chained CTE rounds of the
+    * integer fixed-point damped update — DuckDB's `//` is the same floor
+    * division as JVM long division on the non-negative operands here.
+    */
+  private def domainRankOracleSql(iters: Int, domains: Int, fanout: Int): String = {
+    val scale = 1000000000000L
+    val base = 15L * scale / (100L * domains)
+    val pr0 = scale / domains
+    val js = (1 to fanout).mkString(", ")
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.tgt AS d, SUM(e.cnt * ((85 * p.pr) // (100 * deg.od))) AS m
+         |  FROM e JOIN pr${k - 1} p ON p.d = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+         |pr$k AS (SELECT n.d, CAST($base + COALESCE(c$k.m, 0) AS BIGINT) AS pr
+         |  FROM n LEFT JOIN c$k ON c$k.d = n.d)"""
+    }.mkString(",\n")
+    s"""WITH lnk AS (SELECT
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) % $domains AS src,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % $domains AS tgt
+       |  FROM documents CROSS JOIN (SELECT unnest([$js]) AS j) js),
+       |e AS (SELECT src, tgt, CAST(COUNT(*) AS BIGINT) AS cnt FROM lnk WHERE src <> tgt GROUP BY 1, 2),
+       |deg AS (SELECT src, SUM(cnt) AS od FROM e GROUP BY 1),
+       |n AS (SELECT CAST(range AS BIGINT) AS d FROM range($domains)),
+       |pr0 AS (SELECT d, CAST($pr0 AS BIGINT) AS pr FROM n),
+       |$rounds
+       |SELECT n.d AS domain, CAST(COALESCE(deg.od, 0) AS BIGINT) AS out_edges,
+       |  pr$iters.pr AS pr_rank
+       |FROM n JOIN pr$iters ON pr$iters.d = n.d LEFT JOIN deg ON deg.src = n.d""".stripMargin
+  }
 
   /** Unrolled Lloyd-iteration oracle for p89: `iters` assign+mean rounds
     * over [[embCtes]], then the final assignment under the last centroids.

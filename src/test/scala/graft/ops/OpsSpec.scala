@@ -1654,4 +1654,46 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[String]("trimmed_md5") == wantMd5)
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
+
+  test("domain rank reproduces a fully independent JVM-md5 replay") {
+    val d = 64
+    val got = DomainRank.domainRank(docs, d, 3, 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // Independent replay: edges from java MessageDigest md5 (not Spark's
+    // md5/conv), same h56 = first-14-hex-chars construction.
+    def h56(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val edges = scala.collection.mutable.Map[(Int, Int), Long]().withDefaultValue(0L)
+    for (id <- ids; j <- 1 to 3) {
+      val s = (h56(id.toString) % d).toInt
+      val t = (h56(s"$id:$j") % d).toInt
+      if (s != t) edges((s, t)) += 1
+    }
+    val outDeg = new Array[Long](d)
+    edges.foreach { case ((s, _), c) => outDeg(s) += c }
+    val scale = 1000000000000L
+    var pr = Array.fill(d)(scale / d)
+    for (_ <- 1 to 3) {
+      val next = Array.fill(d)(15L * scale / (100L * d))
+      edges.foreach { case ((s, t), c) =>
+        next(t) += c * (85L * pr(s) / (100L * outDeg(s)))
+      }
+      pr = next
+    }
+    assert(got.size == d)
+    (0 until d).foreach { dom =>
+      assert(got(dom.toLong) == ((outDeg(dom), pr(dom))), s"domain $dom")
+    }
+    // Rank mass never exceeds the fixed-point scale (floor losses + the
+    // dangling-mass drop only shrink it) and every rank is at least base.
+    assert(got.values.map(_._2).sum <= scale)
+    assert(got.values.forall(_._2 >= 15L * scale / (100L * d)))
+    // iters = 0 is the uniform prior.
+    val uniform = DomainRank.domainRank(docs, d, 3, 0).collect()
+    assert(uniform.forall(_.getLong(2) == scale / d))
+  }
 }
