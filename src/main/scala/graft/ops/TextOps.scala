@@ -532,6 +532,83 @@ object TextOps {
       .filter(col("bm25") > 0.0)
   }
 
+  /** Multi-query BM25 top-k retrieval — the inverted-index shape of
+    * [[bm25]]: where bm25 folds ONE fixed term bag into row-local literal
+    * expressions, this treats the query set as DATA (query_id, slot,
+    * term), so a curation pipeline can score thousands of probe queries
+    * in one pass (retrieval-based quality filtering, dataset search,
+    * eval-set mining).
+    *
+    * Scale shape: the corpus is tokenized once; the posting slice keeps
+    * only tokens appearing in some query (broadcast semi-join BEFORE the
+    * (doc, term) aggregate, so the shuffle carries matching tokens only).
+    * Per-term document frequencies are a term-bounded aggregate joined
+    * back by broadcast; corpus stats are one 1-row aggregate. Ranking
+    * goes through the bounded-heap [[graft.functions.TopKByScore]] —
+    * partial aggregation caps every map-side buffer at k, so no
+    * per-query single-reducer window exists anywhere.
+    *
+    * Determinism: per-(query, doc) scores sum the per-slot contributions
+    * in FIXED slot order (conditional MAX pivot — each (query, doc,
+    * slot) has at most one row, and max-of-doubles is order-independent
+    * — then a left-to-right scalar + chain), and idf is the un-logged
+    * rational from [[bm25]]; every double op is row-local IEEE
+    * arithmetic any engine reproduces bit-for-bit. Ties rank
+    * score-desc, doc_id-asc — a total order.
+    *
+    * Queries must use distinct terms within a query. Returns
+    * (query_id, doc_id, rnk, bm25).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
+    require(queries.forall(q => q._2.distinct.size == q._2.size),
+      "terms within a query must be distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxSlots = queries.map(_._2.size).max
+    val qdf = queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) } }
+      .toDF("query_id", "slot", "term")
+    val base = withToks(docs)
+    val posting = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qdf.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val stats = base.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val dft = posting.groupBy("term").agg(count(lit(1)).cast("long").as("dft"))
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val tfD = col("tf").cast("double")
+    val contrib =
+      (nD - col("dft").cast("double") + lit(0.5)) / (col("dft").cast("double") + lit(0.5)) *
+        tfD * lit(k1 + 1.0) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val perSlot = posting
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), Seq("term"))
+      .select(col("query_id"), col("slot"), col("doc_id"), contrib.as("contrib"))
+    val slotCols = (1 to maxSlots).map(s =>
+      max(when(col("slot") === s, col("contrib"))).as(s"c$s"))
+    val score = (1 to maxSlots)
+      .map(s => coalesce(col(s"c$s"), lit(0.0)))
+      .reduce(_ + _)
+    perSlot
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(slotCols.head, slotCols.tail: _*)
+      .select(col("query_id"), col("doc_id"), score.as("bm25"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(col("bm25"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col._1").as("bm25"))
+  }
+
   /** One BPE-style merge-candidate pass: corpus-wide counts of adjacent
     * CHARACTER pairs inside words, top `k` by count — the inner loop of
     * byte-pair-encoding tokenizer training (each training iteration merges

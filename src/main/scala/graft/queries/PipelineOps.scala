@@ -2279,7 +2279,56 @@ object PipelineOps {
     Q.df("p96_domain_rank", domainRankOracleSql(3, 64, 3)) { (s, dir) =>
       graft.ops.DomainRank.domainRank(t(s, dir, "documents"), 64, 3, 3)
     },
+
+    // Multi-query BM25 top-k retrieval: the query set as DATA (the
+    // inverted-index shape — p49 folds one term bag into literals), per
+    // (query, doc) scores via the fixed-slot-order conditional-MAX pivot,
+    // ranking through the bounded-heap top-k (no per-query window).
+    Q.df("p97_bm25_topk", bm25TopKOracleSql(
+      Seq(0L -> Seq("query", "join"), 1L -> Seq("scan", "filter"),
+        2L -> Seq("sort", "merge"), 3L -> Seq("hash", "table")), 10)) { (s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"),
+        Seq(0L -> Seq("query", "join"), 1L -> Seq("scan", "filter"),
+          2L -> Seq("sort", "merge"), 3L -> Seq("hash", "table")), 10)
+    },
   )
+
+  /** Oracle for p97: the same posting-slice join plan in DuckDB SQL —
+    * identical idf rational, identical left-to-right double chain per
+    * term contribution, the same slot-pivot conditional MAX, and
+    * ROW_NUMBER (bm25 DESC, doc_id) replaying the bounded-heap's total
+    * order.
+    */
+  private def bm25TopKOracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val maxSlots = queries.map(_._2.size).max
+    val values = queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (tm, i) => s"($qid, ${i + 1}, '$tm')" } }
+      .mkString(", ")
+    val slotSum = (1 to maxSlots)
+      .map(s => s"COALESCE(MAX(CASE WHEN slot = $s THEN contrib END), 0.0)")
+      .mkString("(", "\n    + ", ")")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |q AS (SELECT * FROM (VALUES $values) AS v(query_id, slot, term)),
+       |post AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, w AS term,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS w FROM tok) x
+       |  WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM tok),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM post GROUP BY 1),
+       |c AS (SELECT q.query_id, q.slot, p.doc_id,
+       |  (CAST(n_docs AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5)
+       |    * CAST(tf AS DOUBLE) * ${1.2 + 1.0}
+       |    / (CAST(tf AS DOUBLE) + 1.2 * (${1.0 - 0.75} + 0.75 * CAST(dl AS DOUBLE)
+       |       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+       |  FROM post p JOIN dft ON dft.term = p.term JOIN q ON q.term = p.term, st),
+       |s AS (SELECT query_id, doc_id, $slotSum AS bm25 FROM c GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS INT) AS rnk, bm25
+       |FROM (SELECT query_id, doc_id, bm25,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM s) x
+       |WHERE rnk <= $k""".stripMargin
+  }
 
   /** Unrolled power-iteration oracle for p96: the same bounded
     * (src, tgt, cnt) aggregation, then `iters` chained CTE rounds of the

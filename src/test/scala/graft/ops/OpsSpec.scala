@@ -1655,6 +1655,49 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("bm25 top-k retrieval: independent scoring replay + rank structure") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple"),
+      (3L, "banana cherry kiwi kiwi"),
+      (4L, "cherry")).toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("apple", "banana"), 1L -> Seq("cherry"))
+    val got = TextOps.bm25TopK(tiny, queries, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    // Straight-line replay of the rational-idf BM25 in plain Scala.
+    val toks = Map(1L -> Seq("apple", "apple", "banana"), 2L -> Seq("apple"),
+      3L -> Seq("banana", "cherry", "kiwi", "kiwi"), 4L -> Seq("cherry"))
+    val nDocs = 4.0
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    def contrib(doc: Long, term: String): Double = {
+      val tf = toks(doc).count(_ == term).toDouble
+      if (tf == 0) 0.0
+      else {
+        val dfT = toks.values.count(_.contains(term)).toDouble
+        (nDocs - dfT + 0.5) / (dfT + 0.5) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * toks(doc).size.toDouble / avgdl))
+      }
+    }
+    for ((qid, terms) <- queries; doc <- toks.keys) {
+      val want = terms.map(contrib(doc, _)).sum
+      if (want > 0.0) assert(got((qid, doc))._2 == want, s"q$qid doc$doc")
+      else assert(!got.contains((qid, doc)))
+    }
+    // Ranks are 1..n per query and scores non-increasing in rank order.
+    for (qid <- queries.map(_._1)) {
+      val rows = got.collect { case ((q, _), rs) if q == qid => rs }.toSeq.sortBy(_._1)
+      assert(rows.map(_._1) == (1 to rows.size))
+      assert(rows.map(_._2).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    }
+    // Corpus smoke: exactly k rows per query, all ranks contiguous.
+    val corpus = TextOps.bm25TopK(docs,
+      Seq(0L -> Seq("query", "join"), 1L -> Seq("scan", "filter")), 5).collect()
+    assert(corpus.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(2)).sorted.toSeq == (1 to 5)
+    })
+  }
+
   test("domain rank reproduces a fully independent JVM-md5 replay") {
     val d = 64
     val got = DomainRank.domainRank(docs, d, 3, 3).collect()
