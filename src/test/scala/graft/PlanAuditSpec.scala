@@ -367,4 +367,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("max_by") || p.contains("partial"), p)
   }
+
+  test("bm25 top-k: query set broadcasts, bounded-heap agg, never a per-query window") {
+    // The posting slice must semi-join the broadcast query terms BEFORE
+    // the (doc, term) aggregate, and ranking must be the TopKByScore
+    // aggregate — a ROW_NUMBER window would single-reduce each query's
+    // entire matching set.
+    val df = SparkEntry.queries("p97_bm25_topk")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKByScore") || p.contains("topkbyscore") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("domain rank: the corpus-touching stage is one partial hash aggregate") {
+    // The collected relation is domains^2-bounded BY CONSTRUCTION; the
+    // plan that feeds it must be a map-side-combined aggregate over the
+    // exploded link relation — no join, no window, no cartesian touches
+    // the corpus.
+    val edges = graft.ops.DomainRank.syntheticEdges(
+      graft.Tables.t(spark, sf0001, "documents"), 64, 3)
+      .groupBy("src", "tgt").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val p = edges.queryExecution.executedPlan.toString
+    assert(p.contains("partial"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+  }
 }
