@@ -381,6 +381,76 @@ object Similarity {
     assign()
   }
 
+  /** Top singular direction of the embedding matrix by power iteration —
+    * the dimensionality-reduction / whitening prep step (the dominant
+    * component is what "all-but-the-top" post-processing removes from
+    * embedding spaces, and the first thing a PCA/whitening pass
+    * extracts). Returns one row per dimension: (pos, loading,
+    * sv_fraction) where sv_fraction = ||Xv||²/Σ||x||² is the fraction of
+    * total (uncentered) variance the direction explains.
+    *
+    * Scale shape — a HIERARCHICAL deterministic reduction: v_{t+1} ∝
+    * Xᵀ(Xv_t) needs an exact-order sum over all N vectors per dimension,
+    * and a single vec_id-ordered fold per dimension would funnel N
+    * values into one group. Instead the fold is two-level: vec_id-ordered
+    * within each (dimension, vec_id >> bucketShift) bucket — bounded
+    * partial lists — then bucket-ordered across the bucket sums. Both
+    * levels are explicit ORDER-defined folds, so the result is
+    * bit-reproducible in any engine while the largest materialized list
+    * is max(2^bucketShift, N / 2^bucketShift) elements — pick the shift
+    * near log2(sqrt(N)) and both levels stay far from corpus size (the
+    * same reason GlobalRank sums partition offsets instead of running
+    * one global window). The per-iteration driver state is the d-vector
+    * itself.
+    */
+  def topSingularDirection(emb: DataFrame, iters: Int = 2, dims: Int = 64,
+      bucketShift: Int = 8): DataFrame = {
+    require(iters >= 1 && dims > 0, "need iters >= 1 and positive dims")
+    GraftFunctions.register(emb.sparkSession)
+    val session = emb.sparkSession
+    val vecs = emb.select(col("vec_id"),
+      shiftright(col("vec_id"), bucketShift).as("bkt"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val w = vecs
+        .withColumn("s", call_function("vec_dot", col("vd"), typedlit(v.toSeq)))
+        .select(col("vec_id"), col("bkt"), col("s"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy(col("pos"), col("bkt"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), (col("x") * col("s")).as("xs")))).as("arr"))
+        .select(col("pos"), col("bkt"),
+          expr("aggregate(transform(arr, t -> t.xs), 0D, (a, b) -> a + b)").as("bs"))
+        .groupBy(col("pos"))
+        .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"))
+        .select(col("pos"),
+          expr("aggregate(transform(barr, t -> t.bs), 0D, (a, b) -> a + b)").as("w"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      var nrm2 = 0.0
+      w.foreach(x => nrm2 += x * x) // pos-ascending left fold, as the oracle's list_sum
+      val nrm = math.sqrt(nrm2)
+      v = w.map(_ / nrm)
+    }
+    // Explained fraction via the same two-level fold over the scalar
+    // pairs (s², ||x||²).
+    val fr = vecs
+      .withColumn("s", call_function("vec_dot", col("vd"), typedlit(v.toSeq)))
+      .withColumn("nx", call_function("vec_dot", col("vd"), col("vd")))
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"),
+        (col("s") * col("s")).as("ss"), col("nx")))).as("arr"))
+      .select(col("bkt"),
+        expr("aggregate(transform(arr, t -> t.ss), 0D, (a, b) -> a + b)").as("ssb"),
+        expr("aggregate(transform(arr, t -> t.nx), 0D, (a, b) -> a + b)").as("nxb"))
+      .agg(
+        expr("aggregate(transform(sort_array(collect_list(struct(bkt, ssb))), t -> t.ssb), 0D, (a, b) -> a + b)").as("ss"),
+        expr("aggregate(transform(sort_array(collect_list(struct(bkt, nxb))), t -> t.nxb), 0D, (a, b) -> a + b)").as("nx"))
+      .collect()(0)
+    val fraction = fr.getDouble(0) / fr.getDouble(1)
+    import session.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x, fraction) }.toSeq
+      .toDF("pos", "loading", "sv_fraction")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., 2023,
     * arXiv:2303.09540): cluster the embeddings with the coarse quantizer,
     * then drop any vector whose WITHIN-CLUSTER cosine to a smaller-id

@@ -2291,7 +2291,55 @@ object PipelineOps {
         Seq(0L -> Seq("query", "join"), 1L -> Seq("scan", "filter"),
           2L -> Seq("sort", "merge"), 3L -> Seq("hash", "table")), 10)
     },
+
+    // Top singular direction by power iteration (the PCA / whitening /
+    // "all-but-the-top" prep): hierarchical ORDER-defined double folds
+    // (vec_id within bucket, bucket across) make the exact-order
+    // reduction distributable; the oracle unrolls both iterations with
+    // the identical fold chain.
+    Q.df("p98_pca_power", pcaPowerOracleSql(2, 64, 8)) { (s, dir) =>
+      Similarity.topSingularDirection(t(s, dir, "embeddings"), 2, 64, 8)
+    },
   )
+
+  /** Oracle for p98: unrolled power iterations. Every double sum is an
+    * ORDER-defined list fold (vec_id within bucket, bucket across, pos
+    * for the norm) — the exact chain the Spark op executes, so loadings
+    * and the variance fraction reproduce bit-for-bit.
+    */
+  private def pcaPowerOracleSql(iters: Int, dims: Int, bucketShift: Int): String = {
+    val v0 = 1.0 / math.sqrt(dims.toDouble)
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT b.vec_id, b.bkt, b.v,
+         |  list_sum(list_transform(generate_series(1, $dims), i -> b.v[i] * v${k - 1}.vv[i])) AS s
+         |  FROM b, v${k - 1}),
+         |px$k AS (SELECT vec_id, bkt, CAST(i - 1 AS INT) AS pos, v[i] * s AS xs
+         |  FROM s$k CROSS JOIN generate_series(1, $dims) t(i)),
+         |bs$k AS (SELECT pos, bkt, list_sum(list(xs ORDER BY vec_id)) AS bs
+         |  FROM px$k GROUP BY 1, 2),
+         |w$k AS (SELECT pos, list_sum(list(bs ORDER BY bkt)) AS w FROM bs$k GROUP BY 1),
+         |wl$k AS (SELECT list(w ORDER BY pos) AS wv FROM w$k),
+         |v$k AS (SELECT list_transform(wv,
+         |  x -> x / sqrt(list_sum(list_transform(wv, y -> y * y)))) AS vv FROM wl$k)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, vec_id >> $bucketShift AS bkt, v FROM e),
+       |v0 AS (SELECT list_transform(generate_series(1, $dims), i -> $v0) AS vv),
+       |$rounds,
+       |sf AS (SELECT b.vec_id, b.bkt,
+       |  list_sum(list_transform(generate_series(1, $dims), i -> b.v[i] * v$iters.vv[i])) AS s,
+       |  list_sum(list_transform(b.v, x -> x * x)) AS nx
+       |  FROM b, v$iters),
+       |sb AS (SELECT bkt, list_sum(list(s * s ORDER BY vec_id)) AS ssb,
+       |  list_sum(list(nx ORDER BY vec_id)) AS nxb FROM sf GROUP BY 1),
+       |tot AS (SELECT list_sum(list(ssb ORDER BY bkt)) AS ss,
+       |  list_sum(list(nxb ORDER BY bkt)) AS nx FROM sb)
+       |SELECT CAST(p.pos AS INT) AS pos, v$iters.vv[p.pos + 1] AS loading,
+       |  tot.ss / tot.nx AS sv_fraction
+       |FROM (SELECT CAST(i - 1 AS INT) AS pos FROM generate_series(1, $dims) t(i)) p,
+       |  v$iters, tot""".stripMargin
+  }
 
   /** Oracle for p97: the same posting-slice join plan in DuckDB SQL —
     * identical idf rational, identical left-to-right double chain per

@@ -1655,6 +1655,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("power iteration recovers an exactly dominant axis; corpus invariants hold") {
+    import spark.implicits._
+    // Every vector lies exactly on axis 2 -> the direction is e2 and the
+    // explained fraction is exactly 1.0 (identical fold order on both
+    // sides of the division).
+    val axis = Seq.tabulate(6) { i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == 2) (i + 1).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.topSingularDirection(axis, 2, 8, 2).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    (0 until 8).foreach { p =>
+      assert(got(p)._1 == (if (p == 2) 1.0 else 0.0), s"pos $p")
+    }
+    assert(got(0)._2 == 1.0)
+    // Corpus: unit-norm loadings, fraction in (0, 1].
+    val out = Similarity.topSingularDirection(emb, 2).collect()
+    assert(out.length == 64)
+    val nrm2 = out.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(nrm2 - 1.0) < 1e-12, s"norm^2 = $nrm2")
+    val fr = out.head.getDouble(2)
+    assert(fr > 0.0 && fr <= 1.0, s"fraction = $fr")
+  }
+
   test("bm25 top-k retrieval: independent scoring replay + rank structure") {
     import spark.implicits._
     val tiny = Seq(
