@@ -60,6 +60,30 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-domain cap — RefinedWeb-style "keep at most k documents per
+    * domain, best first" — WITHOUT a per-domain window: ranking goes
+    * through the bounded-heap [[graft.functions.TopKByScore]] aggregate,
+    * so partial aggregation caps every map-side buffer at k and a
+    * mega-domain (the skew case the cap exists FOR) never funnels its
+    * whole row set into one reducer the way
+    * `Window.partitionBy(domain)` does ([[stratifiedSample]] keeps the
+    * window form because its strata are few and sampled; the cap's
+    * domains are millions and adversarially skewed).
+    *
+    * Keeps the k highest-`score` docs per group (ties: smaller id), and
+    * returns (group, id, rnk) with rnk 1 = best.
+    */
+  def capPerGroup(df: DataFrame, group: Column, groupName: String,
+      score: Column, id: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(group.as(groupName), score.cast("double").as("__s"), id.as("__id"))
+      .groupBy(col(groupName))
+      .agg(graft.functions.TopKByScore.topK(k)(col("__s"), col("__id")).as("top"))
+      .select(col(groupName), posexplode(col("top")))
+      .select(col(groupName), col("col._2").as("id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Distribution rebalancing (the data-mixing step of multilingual /
     * multi-source corpus prep): downsample each stratum toward the
     * smallest one with a square-root temperature — stratum s of size n_s

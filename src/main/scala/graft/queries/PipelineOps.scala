@@ -2300,6 +2300,20 @@ object PipelineOps {
     Q.df("p98_pca_power", pcaPowerOracleSql(2, 64, 8)) { (s, dir) =>
       Similarity.topSingularDirection(t(s, dir, "embeddings"), 2, 64, 8)
     },
+
+    // Per-domain cap: keep the 50 longest docs per source WITHOUT a
+    // per-domain window — the bounded-heap aggregate caps map-side
+    // buffers at k, so a skewed mega-domain never single-reduces.
+    Q.df(
+      "p99_domain_cap",
+      """SELECT source, doc_id AS id, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) x
+        |WHERE rnk <= 50""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.capPerGroup(t(s, dir, "documents"),
+        col("source"), "source", col("n_chars"), col("doc_id"), 50)
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

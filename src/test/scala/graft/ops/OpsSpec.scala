@@ -1655,6 +1655,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("per-group cap equals the window formulation, tie-broken on id") {
+    val viaHeap = graft.ops.Sampling.capPerGroup(docs,
+      col("source"), "source", col("n_chars"), col("doc_id"), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = docs
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 7)
+      .select(col("source"), col("doc_id"), col("rnk").cast("int")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).toSeq.sorted == (1 to rs.size)
+    })
+  }
+
   test("power iteration recovers an exactly dominant axis; corpus invariants hold") {
     import spark.implicits._
     // Every vector lies exactly on axis 2 -> the direction is e2 and the
