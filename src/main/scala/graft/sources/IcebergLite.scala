@@ -604,9 +604,17 @@ object IcebergLite {
         // Scope listings are memoized per distinct delete snapshot: D
         // deletes cost at most D extra metadata listings (driver-side,
         // manifest-proportional), and deletes committed in one snapshot
-        // share one. The scope itself is the data-file list at that
-        // snapshot — metadata-sized, which is also the bound on the isin
-        // literal below.
+        // share one. "Strictly before" resolves to the listing at the
+        // delete snapshot's PARENT — so a data file committed in the
+        // SAME snapshot as the delete (the atomic upsert shape) is out
+        // of scope, exactly as Iceberg's sequence numbers arrange, while
+        // a delete-only commit scopes identically to its parent listing.
+        // The scope itself is metadata-sized, which is also the bound on
+        // the isin literal below.
+        val snapObjs = meta.get("snapshots") match {
+          case Some(JValue.JArr(items)) => items.collect { case o: JObj => o }
+          case _ => Vector.empty
+        }
         val scopeCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
         eqDeleteEntries.foldLeft(posApplied) { (acc, e) =>
           val delSnap = snapRe.findFirstMatchIn(e.path).map(_.group(1).toLong)
@@ -618,10 +626,20 @@ object IcebergLite {
           // the scan's `_metadata.file_path` ("file:///x"): compare both
           // sides scheme-stripped.
           def normPath(p: String): String = p.replaceFirst("^[A-Za-z0-9]+:/+", "/")
-          val scope = scopeCache.getOrElseUpdate(delSnap,
-            fileEntries(conf, tablePath, Some(delSnap), metadataLocation)
-              .filter(x => x.manifestContent == 0 && x.fileContent == 0)
-              .map(x => normPath(x.path)))
+          val scope = scopeCache.getOrElseUpdate(delSnap, {
+            val delSnapObj = snapObjs.find(s => jLong(s, "snapshot-id").contains(delSnap))
+              .getOrElse(throw ProbeError(
+                s"Iceberg table at $tablePath carries an equality-delete file " +
+                  s"from snapshot $delSnap, which this metadata no longer " +
+                  "records; refusing to scan rather than mis-apply it."))
+            jLong(delSnapObj, "parent-snapshot-id") match {
+              case None => Nil // first snapshot: nothing strictly before
+              case Some(parent) =>
+                fileEntries(conf, tablePath, Some(parent), metadataLocation)
+                  .filter(x => x.manifestContent == 0 && x.fileContent == 0)
+                  .map(x => normPath(x.path))
+            }
+          })
           val delRows = spark.read.parquet(e.path)
           val eqCols = delRows.columns.toSeq.map(c => c -> declaredToPhysical.getOrElse(c, c))
           val missing = eqCols.collect { case (d, p) if !acc.columns.contains(p) => d }

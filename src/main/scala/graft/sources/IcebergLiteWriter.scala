@@ -621,6 +621,79 @@ object IcebergLiteWriter {
       partCols = IcebergLite.partitionSpecDsl(prior))
   }
 
+  /** Atomic upsert (MERGE-on-read): ONE snapshot carrying BOTH an
+    * equality-delete file on `keyCols` (the incoming keys) and the new
+    * data files — the CDC verb real Iceberg v2 writers emit for
+    * row-level updates. Readers that opt into delete application see
+    * each incoming key's new row and none of its old ones; time travel
+    * to the pre-upsert snapshot still sees the old rows; and because the
+    * delete and the data commit TOGETHER, no reader can observe the
+    * deleted-but-not-yet-reinserted intermediate state that the
+    * two-snapshot addEqualityDeletes + append sequence exposes.
+    *
+    * Scoping leans on the reader's "strictly before" rule: the delete
+    * applies to data files of the upsert snapshot's PARENT listing, so
+    * the data files committed in this same snapshot are untouched even
+    * when they carry the deleted keys — which is precisely what makes
+    * the new versions survive.
+    */
+  def upsert(spark: SparkSession, df: DataFrame, tableDir: String,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in the upsert batch")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = IcebergLite.latestMetadataPath(conf, tableDir)
+      .map(p => IcebergLite.readMetadataJson(conf, p))
+      .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))
+    val partCols = IcebergLite.partitionSpecDsl(prior)
+    val priorFiles = IcebergLite.fileEntries(conf, tableDir).map(_.path).toSet
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val dataDir = s"$tableDir/data"
+    val dataPath = new Path(dataDir)
+    val fs = dataPath.getFileSystem(conf)
+
+    // Equality-delete file: the batch's distinct keys.
+    val delRows = df.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val nDel = delRows.count()
+    require(nDel > 0, "upsert batch is empty")
+    val tmp = s"$tableDir/tmp-delete-$snapshotId"
+    delRows.coalesce(1).write.parquet(tmp)
+    val tmpPath = new Path(tmp)
+    val part = listParquet(fs, tmpPath).head.getPath
+    val delFile = new Path(s"$dataDir/delete-$snapshotId.parquet")
+    fs.rename(part, delFile)
+    fs.delete(tmpPath, true)
+
+    // Data files: listing diff around the write, as in commit().
+    val before: Set[String] =
+      if (fs.exists(dataPath)) listParquet(fs, dataPath).map(_.getPath.toString).toSet
+      else Set.empty
+    writeStampedParquet(spark, df, dataDir, SaveMode.Append, partCols)
+    val dataFiles = listParquet(fs, dataPath)
+      .filter(s => !before.contains(s.getPath.toString) &&
+        !priorFiles.contains(s.getPath.toString) &&
+        !s.getPath.getName.startsWith("delete-"))
+    val dataEntries = dataFiles.map { s =>
+      val stats = footerStats(conf, s.getPath)
+      entryRecord(1, s.getPath.toString, stats.recordCount, s.getLen,
+        partitionValuesOf(dataPath, s.getPath),
+        stats.lower, stats.upper, stats.nullCounts)
+    }
+
+    val metaDir = s"$tableDir/metadata"
+    val dataManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m0.avro")
+    val dataLen = writeAvro(conf, dataManifestPath, ManifestEntrySchema, dataEntries)
+    val delManifestPath = new Path(s"$metaDir/manifest-$snapshotId-m1.avro")
+    val delLen = writeAvro(conf, delManifestPath, ManifestEntrySchema, Seq(
+      deleteEntry(fs.makeQualified(delFile).toString, nDel,
+        fs.getFileStatus(delFile).getLen, fileContent = 2)))
+    commitSnapshot(conf, tableDir, Some(prior), snapshotId,
+      Seq((dataManifestPath.toString, dataLen, 0), (delManifestPath.toString, delLen, 1)),
+      schemaJson = None, partCols = partCols, operation = "overwrite")
+  }
+
   // fileContent 1 = position deletes; 2 = equality deletes (also settable
   // through addPositionDeletes' fileContent for malformed-fixture tests).
   private def deleteEntry(path: String, rows: Long, size: Long,

@@ -427,6 +427,52 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(both.filter(col("r_regionkey") === 2).count() == 0)
   }
 
+  test("atomic upsert: one snapshot, new versions survive their own delete") {
+    val dir = tmpDir("iceberg_upsert") + "/warehouse/region_upsert"
+    val region = Tables.t(spark, sf0001, "region")
+    IcebergLiteWriter.write(spark, region, dir)
+    val preSnap = IcebergLite.probe(spark, dir).snapshotId.get.toLong
+
+    // Batch: new versions of keys 1 and 3, plus a brand-new key 9.
+    val kt = region.schema("r_regionkey").dataType
+    val updated = region.filter(col("r_regionkey").isin(1, 3))
+      .withColumn("r_name", org.apache.spark.sql.functions.lit("UPDATED"))
+    val fresh = region.filter(col("r_regionkey") === 0)
+      .withColumn("r_regionkey", org.apache.spark.sql.functions.lit(9).cast(kt))
+    IcebergLiteWriter.upsert(spark, updated.union(fresh), dir, Seq("r_regionkey"))
+
+    // Exactly ONE new snapshot (the delete and the data commit together).
+    val hist = IcebergLite.historyRelation(spark, dir).collect()
+    assert(hist.length == 2, hist.mkString("\n"))
+
+    // Default path still guarded.
+    assertThrows[IcebergLite.DeleteGuardError](
+      IcebergLite.assertNoDeletes(spark, dir))
+
+    // MoR read: 0,2,4 original + 1,3 updated + 9 new = 6 rows; the new
+    // versions of 1 and 3 survive the delete committed WITH them.
+    val merged = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(merged.count() == 6)
+    val byKey = merged.collect()
+      .map(r => r.getAs[Number]("r_regionkey").longValue() -> r.getAs[String]("r_name"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byKey.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(byKey(1L) == Seq("UPDATED") && byKey(3L) == Seq("UPDATED"))
+
+    // Time travel to the pre-upsert snapshot: the old rows, unmodified.
+    val before = IcebergLite.scan(spark, dir,
+      snapshotId = Some(preSnap), applyDeletes = true)
+    assert(before.count() == 5)
+    assert(before.filter(col("r_name") === "UPDATED").count() == 0)
+
+    // Rows appended AFTER the upsert with an upserted key also survive.
+    IcebergLiteWriter.append(spark,
+      region.filter(col("r_regionkey") === 1), dir)
+    val after = IcebergLite.scan(spark, dir, applyDeletes = true)
+    assert(after.count() == 7)
+    assert(after.filter(col("r_regionkey") === 1).count() == 2)
+  }
+
   test("equality deletes on a RENAMED column resolve through field-id projection") {
     import spark.implicits._
     // Rename r_name -> region_name in metadata only (field-id projection
