@@ -75,6 +75,42 @@ object Quantiles {
       .agg(qCols.head, qCols.tail: _*)
   }
 
+  /** Per-dimension robust location/scale over an embedding column —
+    * median and MAD (median absolute deviation), the outlier-insensitive
+    * statistics a robust-scaling / winsorizing pass normalizes embedding
+    * dimensions with before clustering or quantization. Both medians use
+    * the same integer-exact RANK rule as [[groupedRankQuantiles]]
+    * (smallest value whose per-dimension running count reaches
+    * ceil(n/2)) applied to the raw DOUBLE values, so any engine derives
+    * bit-identical statistics — no interpolation, no float averaging.
+    *
+    * Scale shape: two passes (median, then deviations), each ONE
+    * (pos, value) hash aggregate followed by a window over DISTINCT
+    * VALUES within each of the d dimensions — cardinality-bounded, never
+    * corpus-row-bounded — and the deviation pass joins the d-row median
+    * table back by broadcast. Returns (pos, med, mad).
+    */
+  def robustDimStats(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val xs = emb.select(posexplode(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+    def rankMedian(df: DataFrame, v: Column, out: String): DataFrame = {
+      val byValue = df.groupBy(col("pos"), v.as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("pos")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byValue.withColumn("cle", sum(col("cnt")).over(w))
+      val tot = byValue.groupBy(col("pos")).agg(sum(col("cnt")).as("n"))
+      cum.join(tot, "pos")
+        .groupBy(col("pos"))
+        .agg(min(when(col("cle") >= ceil(lit(0.5) * col("n")).cast("long"), col("v")))
+          .as(out))
+    }
+    val med = rankMedian(xs, col("x"), "med")
+    val dev = xs.join(broadcast(med), "pos")
+      .select(col("pos"), abs(col("x") - col("med")).as("d"))
+    val mad = rankMedian(dev, col("d"), "mad")
+    med.join(mad, "pos").select(col("pos"), col("med"), col("mad"))
+  }
+
   /** Rows of `df` whose `c` lies inside the [pLow, pHigh] rank-quantile
     * band — e.g. length-outlier removal for a training corpus.
     */

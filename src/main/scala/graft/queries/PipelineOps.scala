@@ -2314,6 +2314,31 @@ object PipelineOps {
       graft.ops.Sampling.capPerGroup(t(s, dir, "documents"),
         col("source"), "source", col("n_chars"), col("doc_id"), 50)
     },
+
+    // Per-dimension robust scaling stats (median + MAD by the exact rank
+    // rule over raw doubles): the outlier-insensitive normalization pass
+    // before clustering/quantization. Windows range over DISTINCT VALUES
+    // per dimension, never corpus rows.
+    Q.df(
+      "p100_robust_scale",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |px AS (SELECT CAST(i - 1 AS INT) AS pos, v[i] AS x
+        |  FROM e CROSS JOIN generate_series(1, 64) t(i)),
+        |bv AS (SELECT pos, x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+        |cum AS (SELECT pos, v, cnt, SUM(cnt) OVER (PARTITION BY pos ORDER BY v) AS cle FROM bv),
+        |tot AS (SELECT pos, SUM(cnt) AS n FROM bv GROUP BY 1),
+        |med AS (SELECT pos, MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med
+        |  FROM cum JOIN tot USING (pos) GROUP BY 1),
+        |dv AS (SELECT px.pos, abs(px.x - med.med) AS d FROM px JOIN med ON px.pos = med.pos),
+        |bv2 AS (SELECT pos, d AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM dv GROUP BY 1, 2),
+        |cum2 AS (SELECT pos, v, cnt, SUM(cnt) OVER (PARTITION BY pos ORDER BY v) AS cle FROM bv2),
+        |tot2 AS (SELECT pos, SUM(cnt) AS n FROM bv2 GROUP BY 1),
+        |mad AS (SELECT pos, MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS mad
+        |  FROM cum2 JOIN tot2 USING (pos) GROUP BY 1)
+        |SELECT med.pos, med.med, mad.mad FROM med JOIN mad ON med.pos = mad.pos""".stripMargin) {
+      (s, dir) => Quantiles.robustDimStats(t(s, dir, "embeddings"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

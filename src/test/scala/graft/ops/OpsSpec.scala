@@ -1655,6 +1655,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("robust dim stats: hand-checked median/MAD, lower-median rank rule") {
+    import spark.implicits._
+    // dim 0: [1,2,3,4,5] -> med 3, |x-3| = [2,1,0,1,2] -> mad 1.
+    // dim 1: [10,20,30,40,50] with an outlier 1000 replacing 50 ->
+    //        [10,20,30,40,1000]: med 30 (rank ceil(2.5)=3), mad = med of
+    //        [20,10,0,10,970] = 10 — the outlier moves neither statistic.
+    val tiny = Seq(
+      (0L, Seq(1f, 10f)), (1L, Seq(2f, 20f)), (2L, Seq(3f, 30f)),
+      (3L, Seq(4f, 40f)), (4L, Seq(5f, 1000f))).toDF("vec_id", "embedding")
+    val got = Quantiles.robustDimStats(tiny, 2).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0) == ((3.0, 1.0)))
+    assert(got(1) == ((30.0, 10.0)))
+    // Even count takes the LOWER median: [1,2,3,4] -> 2.
+    val even = Seq((0L, Seq(1f)), (1L, Seq(2f)), (2L, Seq(3f)), (3L, Seq(4f)))
+      .toDF("vec_id", "embedding")
+    assert(Quantiles.robustDimStats(even, 1).collect()(0).getDouble(1) == 2.0)
+    // Corpus: 64 rows, MAD non-negative, med within per-dim min/max.
+    val out = Quantiles.robustDimStats(emb).collect()
+    assert(out.length == 64)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("per-group cap equals the window formulation, tie-broken on id") {
     val viaHeap = graft.ops.Sampling.capPerGroup(docs,
       col("source"), "source", col("n_chars"), col("doc_id"), 7).collect()
