@@ -395,4 +395,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
       !p.contains("SortMergeJoin"), p)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the unsalted skew path)") {
+    // Salting (p28/p42) is the explicit skew answer; this pins the
+    // IMPLICIT one — adaptive execution must recognize a hot key and
+    // split its partition, because at 100 TB not every skewed join will
+    // have been salted by hand. Thresholds are lowered so the toy
+    // fixture trips the same code path a production hot key would.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(s.conf.getOption(k)).toOption.flatten.filter(_ != null)
+    }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // 50k rows on ONE key vs a uniform side: partition for key 0 dwarfs
+      // the median partition.
+      val hot = s.range(0, 50000)
+        .select(lit(0L).as("k"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+        .union(s.range(1, 64)
+          .select(col("id").as("k"), lpad(col("id").cast("string"), 64, "x").as("pad")))
+      val dim = s.range(0, 64).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = hot.join(dim, "k").agg(sum(length(col("pad"))), sum("v"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
