@@ -324,6 +324,81 @@ object MediaHeaders {
     * oracle can state the parsed result arithmetically while the parse
     * itself runs on actual bytes.
     */
+  /** REAL WAV with a PCM data chunk: the [[synthWav]] header plus a
+    * correctly-sized `data` chunk of 16-bit mono samples synthesized from
+    * row arithmetic (sample i of doc d = (d*31 + i*17) % 65536 - 32768) —
+    * the p47 fixture pattern extended to sample DATA, so an oracle can
+    * state the decoded statistics arithmetically while the Spark side
+    * must actually parse the bytes.
+    */
+  def synthWavPcm(id: Long, nSamples: Int): Array[Byte] = {
+    val head = synthWav(16000, 16, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    "data".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+    var v = 2 * nSamples
+    (0 until 4).foreach { _ => out.write(v & 0xff); v >>>= 8 }
+    var i = 0
+    while (i < nSamples) {
+      val s = ((id * 31 + i * 17) % 65536).toInt - 32768
+      out.write(s & 0xff); out.write((s >>> 8) & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  def synthesizeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, synthWavPcm(id, (id % 240 + 16).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode PCM audio features from the bytes: a real RIFF chunk walk
+    * (fmt for width/channels, data for samples — not fixed offsets), then
+    * integer statistics over the decoded int16 stream: sample count,
+    * energy (sum of squares) and peak amplitude. Integer in, integer
+    * out — engine-reproducible, and the decode is genuinely exercised
+    * because the fixture's expected values are stated arithmetically by
+    * the oracle while this path sees only bytes. Row-local mapPartitions
+    * (no Catalyst form exists for byte walks); map-only at scan speed.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        var nSamples = 0L; var sumSq = 0L; var peak = 0
+        if (b.length >= 12 && new String(b.take(4), "US-ASCII") == "RIFF" &&
+          new String(b.slice(8, 12), "US-ASCII") == "WAVE") {
+          var bits = 16; var channels = 1
+          var i = 12
+          while (i + 8 <= b.length) {
+            val ck = new String(b.slice(i, i + 4), "US-ASCII")
+            val sz = le32(b, i + 4)
+            if (ck == "fmt " && i + 8 + 16 <= b.length) {
+              channels = le16(b, i + 8 + 2)
+              bits = le16(b, i + 8 + 14)
+            } else if (ck == "data" && bits == 16) {
+              val end = math.min(b.length, i + 8 + sz)
+              var j = i + 8
+              while (j + 1 < end) {
+                val s = ((b(j) & 0xff) | (b(j + 1) << 8)).toShort.toInt
+                nSamples += 1
+                sumSq += s.toLong * s.toLong
+                if (math.abs(s) > peak) peak = math.abs(s)
+                j += 2
+              }
+              if (channels > 1) nSamples /= channels
+            }
+            i += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+          }
+        }
+        (id, nSamples, sumSq, peak)
+      })
+      .toDF("doc_id", "n_samples", "sum_sq", "peak")
+  }
+
   def synthesizeContainers(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))

@@ -2339,6 +2339,24 @@ object PipelineOps {
         |SELECT med.pos, med.med, mad.mad FROM med JOIN mad ON med.pos = mad.pos""".stripMargin) {
       (s, dir) => Quantiles.robustDimStats(t(s, dir, "embeddings"))
     },
+
+    // PCM audio feature extraction: REAL WAV bytes (header + data chunk)
+    // synthesized from row arithmetic, decoded back by an actual RIFF
+    // chunk walk + int16 scan; the oracle states the decoded statistics
+    // arithmetically (the p47 pattern extended to sample DATA).
+    Q.df(
+      "p101_audio_stats",
+      """SELECT doc_id,
+        |  CAST(doc_id % 240 + 16 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 240 + 15 AS INT)),
+        |    i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
+        |         * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS sum_sq,
+        |  CAST(list_aggregate(list_transform(generate_series(0, CAST(doc_id % 240 + 15 AS INT)),
+        |    i -> abs((doc_id * 31 + i * 17) % 65536 - 32768)), 'max') AS INT) AS peak
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.ops.MediaHeaders.audioStats(s,
+        graft.ops.MediaHeaders.synthesizeAudio(s, t(s, dir, "documents")))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

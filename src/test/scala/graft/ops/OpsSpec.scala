@@ -1655,6 +1655,30 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("audio stats: real chunk walk survives junk chunks and odd sizes") {
+    import spark.implicits._
+    // Hand-build: RIFF/WAVE + fmt + an odd-sized junk chunk (forces the
+    // 2-byte alignment rule) + data with samples [100, -200, 300].
+    val out = new java.io.ByteArrayOutputStream()
+    val head = graft.ops.MediaHeaders.synthWav(8000, 16, 1)
+    out.write(head, 0, head.length)
+    "JUNK".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+    out.write(3); out.write(0); out.write(0); out.write(0) // odd size 3
+    out.write(1); out.write(2); out.write(3); out.write(0) // 3 bytes + pad
+    "data".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+    out.write(6); out.write(0); out.write(0); out.write(0)
+    for (s <- Seq(100, -200, 300)) { out.write(s & 0xff); out.write((s >>> 8) & 0xff) }
+    val df = Seq((7L, out.toByteArray)).toDF("doc_id", "payload")
+    val r = graft.ops.MediaHeaders.audioStats(spark, df).collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 100L * 100 + 200L * 200 + 300L * 300)
+    assert(r.getInt(3) == 300)
+    // Non-WAV bytes degrade to zeros, not a crash.
+    val junk = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val z = graft.ops.MediaHeaders.audioStats(spark, junk).collect()(0)
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.getInt(3) == 0)
+  }
+
   test("robust dim stats: hand-checked median/MAD, lower-median rank rule") {
     import spark.implicits._
     // dim 0: [1,2,3,4,5] -> med 3, |x-3| = [2,1,0,1,2] -> mad 1.
