@@ -215,6 +215,156 @@ object MediaHeaders {
     out.toByteArray
   }
 
+  /** REAL grayscale PNG with pixel data: IHDR (8-bit, color type 0) plus
+    * an IDAT chunk whose payload is genuinely zlib-compressed, FILTERED
+    * scanlines — pixel (x, y) of doc d is (d*31 + (y*w + x)*17) % 256,
+    * and scanline y carries filter type y % 3 (None / Sub / Up), applied
+    * for real during synthesis. Decoding therefore requires the actual
+    * PNG pipeline (inflate, then per-scanline unfilter), not a header
+    * peek; the compressed byte REPRESENTATION is deflater-dependent but
+    * the decode roundtrip is exact, which is all the arithmetic oracle
+    * asserts.
+    */
+  def synthPngPixels(id: Long, width: Int, height: Int): Array[Byte] = {
+    val raw = new Array[Byte]((width + 1) * height)
+    var prev: Array[Int] = Array.fill(width)(0)
+    var y = 0
+    while (y < height) {
+      val cur = new Array[Int](width)
+      var x = 0
+      while (x < width) {
+        cur(x) = (((id * 31 + (y.toLong * width + x) * 17) % 256).toInt + 256) % 256
+        x += 1
+      }
+      val f = y % 3
+      raw((width + 1) * y) = f.toByte
+      x = 0
+      while (x < width) {
+        val v = f match {
+          case 0 => cur(x)
+          case 1 => cur(x) - (if (x > 0) cur(x - 1) else 0) // Sub
+          case _ => cur(x) - prev(x) // Up
+        }
+        raw((width + 1) * y + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      prev = cur
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bout = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      bout.write(buf, 0, n)
+    }
+    deflater.end()
+    val idat = bout.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    val head = synthPng(width, height)
+    out.write(head, 0, head.length)
+    // Patch color type to 0 (grayscale): byte 8(sig)+8(len+tag)+8(w,h)+1.
+    val bytes = out.toByteArray
+    bytes(8 + 8 + 8 + 1) = 0
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write(bytes, 0, bytes.length)
+    val len = idat.length
+    out2.write((len >>> 24) & 0xff); out2.write((len >>> 16) & 0xff)
+    out2.write((len >>> 8) & 0xff); out2.write(len & 0xff)
+    "IDAT".getBytes("US-ASCII").foreach(b => out2.write(b.toInt))
+    out2.write(idat, 0, idat.length)
+    (0 until 4).foreach(_ => out2.write(0)) // CRC (unchecked)
+    out2.toByteArray
+  }
+
+  def synthesizeImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, synthPngPixels(id, (id % 24 + 2).toInt, (id % 16 + 2).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode grayscale-PNG pixel statistics from the bytes: locate IDAT
+    * chunks by a real chunk walk, inflate with the JDK's zlib, reverse
+    * the per-scanline filters (None/Sub/Up/Average/Paeth — the full
+    * PNG §6 set, though the fixtures emit the first three), and reduce
+    * the pixel stream to integers: count, sum, min, max. Row-local
+    * mapPartitions; map-only at scan speed.
+    */
+  def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        var n = 0L; var sum = 0L; var mn = 255; var mx = 0
+        try {
+          if (b.length > 8 && PngSig.zip(b.take(8)).forall(p => p._1 == p._2)) {
+            val w = be32(b, 16); val h = be32(b, 20)
+            val colorType = b(25) & 0xff
+            if (colorType == 0 && w > 0 && h > 0) {
+              // Concatenate IDAT payloads via the chunk walk.
+              val idat = new java.io.ByteArrayOutputStream()
+              var i = 8
+              while (i + 8 <= b.length) {
+                val len = be32(b, i)
+                val tag = new String(b.slice(i + 4, i + 8), "US-ASCII")
+                if (tag == "IDAT" && i + 8 + len <= b.length)
+                  idat.write(b, i + 8, len)
+                i += 12 + len
+              }
+              val inflater = new java.util.zip.Inflater()
+              inflater.setInput(idat.toByteArray)
+              val raw = new Array[Byte]((w + 1) * h)
+              var off = 0
+              while (!inflater.finished() && off < raw.length) {
+                val k = inflater.inflate(raw, off, raw.length - off)
+                if (k == 0 && inflater.needsInput()) throw new java.io.EOFException
+                off += k
+              }
+              inflater.end()
+              val prev = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                val f = raw((w + 1) * y) & 0xff
+                val cur = new Array[Int](w)
+                var x = 0
+                while (x < w) {
+                  val v = raw((w + 1) * y + 1 + x) & 0xff
+                  val a = if (x > 0) cur(x - 1) else 0
+                  val up = prev(x)
+                  val c = if (x > 0 && y > 0) prev(x - 1) else 0
+                  cur(x) = f match {
+                    case 0 => v
+                    case 1 => (v + a) & 0xff
+                    case 2 => (v + up) & 0xff
+                    case 3 => (v + (a + up) / 2) & 0xff
+                    case 4 => (v + paeth(a, up, c)) & 0xff
+                    case _ => v
+                  }
+                  n += 1; sum += cur(x)
+                  if (cur(x) < mn) mn = cur(x)
+                  if (cur(x) > mx) mx = cur(x)
+                  x += 1
+                }
+                System.arraycopy(cur, 0, prev, 0, w)
+                y += 1
+              }
+            }
+          }
+        } catch { case _: Exception => n = 0; sum = 0; mn = 255; mx = 0 }
+        (id, n, sum, if (n == 0) -1 else mn, if (n == 0) -1 else mx)
+      })
+      .toDF("doc_id", "n_pixels", "sum_px", "min_px", "max_px")
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
   /** Minimal REAL JPEG bytes: SOI + one SOF0 frame header, 3 components. */
   def synthJpeg(width: Int, height: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -2357,6 +2357,27 @@ object PipelineOps {
       graft.ops.MediaHeaders.audioStats(s,
         graft.ops.MediaHeaders.synthesizeAudio(s, t(s, dir, "documents")))
     },
+
+    // Grayscale-PNG pixel decode: fixtures carry genuinely
+    // zlib-compressed, per-scanline-FILTERED pixel data; the op inflates
+    // with the JDK zlib and reverses the PNG filter set before reducing
+    // to integer pixel statistics. The oracle states the decoded pixels
+    // arithmetically — filters and compression must round-trip exactly
+    // for the hashes to match.
+    Q.df(
+      "p102_image_decode",
+      """SELECT doc_id,
+        |  CAST((doc_id % 24 + 2) * (doc_id % 16 + 2) AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(px) AS BIGINT) AS sum_px,
+        |  CAST(list_aggregate(px, 'min') AS INT) AS min_px,
+        |  CAST(list_aggregate(px, 'max') AS INT) AS max_px
+        |FROM (SELECT doc_id, list_transform(
+        |    generate_series(0, CAST((doc_id % 24 + 2) * (doc_id % 16 + 2) - 1 AS INT)),
+        |    k -> (doc_id * 31 + k * 17) % 256) AS px FROM documents) x""".stripMargin) {
+      (s, dir) =>
+        graft.ops.MediaHeaders.imageStats(s,
+          graft.ops.MediaHeaders.synthesizeImages(s, t(s, dir, "documents")))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,54 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("image decode reverses Average and Paeth filters the fixtures never emit") {
+    import spark.implicits._
+    // Hand-encode a 3x2 grayscale PNG using filter 3 (Average) on row 0
+    // and 4 (Paeth) on row 1, then assert the decoded statistics — this
+    // exercises the PNG §6 filter set beyond the synthesized 0/1/2.
+    val px = Array(Array(10, 200, 30), Array(40, 5, 250))
+    val w = 3; val h = 2
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(3) // Average: v - floor((left + up) / 2), up = 0 on row 0
+    var left = 0
+    for (x <- 0 until w) { raw.write((px(0)(x) - (left + 0) / 2) & 0xff); left = px(0)(x) }
+    raw.write(4) // Paeth
+    for (x <- 0 until w) {
+      val a = if (x > 0) px(1)(x - 1) else 0
+      val b = px(0)(x)
+      val c = if (x > 0) px(0)(x - 1) else 0
+      val p = a + b - c
+      val pred =
+        if (math.abs(p - a) <= math.abs(p - b) && math.abs(p - a) <= math.abs(p - c)) a
+        else if (math.abs(p - b) <= math.abs(p - c)) b else c
+      raw.write((px(1)(x) - pred) & 0xff)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val buf = new Array[Byte](256); val zout = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val head = graft.ops.MediaHeaders.synthPng(w, h)
+    head(8 + 8 + 8 + 1) = 0 // grayscale
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    val idat = zout.toByteArray
+    out.write((idat.length >>> 24) & 0xff); out.write((idat.length >>> 16) & 0xff)
+    out.write((idat.length >>> 8) & 0xff); out.write(idat.length & 0xff)
+    "IDAT".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+    out.write(idat, 0, idat.length)
+    (0 until 4).foreach(_ => out.write(0))
+    val df = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+    val r = graft.ops.MediaHeaders.imageStats(spark, df).collect()(0)
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(2) == px.flatten.sum.toLong)
+    assert(r.getInt(3) == 5 && r.getInt(4) == 250)
+    // Garbage degrades to an empty decode, not a crash.
+    val junk = Seq((2L, Array[Byte](0x89.toByte, 1, 2))).toDF("doc_id", "payload")
+    val z = graft.ops.MediaHeaders.imageStats(spark, junk).collect()(0)
+    assert(z.getLong(1) == 0L && z.getInt(3) == -1)
+  }
+
   test("audio stats: real chunk walk survives junk chunks and odd sizes") {
     import spark.implicits._
     // Hand-build: RIFF/WAVE + fmt + an odd-sized junk chunk (forces the
