@@ -709,4 +709,38 @@ object Dedup {
           expr(s"substring(best.tb, cast(best.start + ($invBase - best.inv) as int))")))
           .as("clean_md5"))
   }
+
+  /** KMV (bottom-k) corpus-overlap sketch — "how much does the incoming
+    * half overlap the curated half" answered from two k-value sketches
+    * instead of a corpus-sized join (Beyer et al. 2007, the k-minimum-
+    * values distinct/overlap estimator). Sides are the even/odd doc_id
+    * halves (the incremental-dedup fixture rule); values are md5-derived
+    * shingle hashes, so every min is an integer any engine reproduces.
+    *
+    * Scale shape: each side is one DISTINCT on the hash and one
+    * bottom-k — TakeOrdered's per-partition heads merged on the driver,
+    * never a global sort — and everything after that is driver
+    * arithmetic on <= 2k longs. The estimate itself stays integer:
+    * jaccard_q20 = (|common in merged-k| << 20) / k_used, the same
+    * cleared-denominator convention as the surprisal family.
+    */
+  def corpusOverlapSketch(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val session = docs.sparkSession
+    import session.implicits._
+    val sh = shingles(docs, n, distinct = true)
+    def bottomK(side: DataFrame): Array[Long] =
+      side.select(Sampling.h56(col("shingle")).as("h")).distinct()
+        .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+    val a = bottomK(sh.filter(col("doc_id") % 2 === 0))
+    val b = bottomK(sh.filter(col("doc_id") % 2 === 1))
+    val merged = (a ++ b).distinct.sorted.take(k)
+    val sa = a.toSet
+    val sb = b.toSet
+    val common = merged.count(h => sa(h) && sb(h)).toLong
+    val kUsed = merged.length.toLong
+    Seq((kUsed, merged.lastOption.getOrElse(0L), common,
+      if (kUsed == 0) 0L else (common << 20) / kUsed))
+      .toDF("k_used", "kth_min", "n_common", "jaccard_q20")
+  }
 }

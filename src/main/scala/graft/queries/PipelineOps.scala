@@ -2378,6 +2378,30 @@ object PipelineOps {
         graft.ops.MediaHeaders.imageStats(s,
           graft.ops.MediaHeaders.synthesizeImages(s, t(s, dir, "documents")))
     },
+
+    // KMV bottom-k corpus-overlap sketch: even/odd halves compared via
+    // two 256-value sketches (TakeOrdered heads, no global sort) —
+    // integer mins, integer estimate, no corpus-sized join.
+    Q.df(
+      "p103_corpus_overlap",
+      s"""WITH $shingleCtes,
+         |ha AS (SELECT DISTINCT CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h
+         |  FROM sh WHERE doc_id % 2 = 0 ORDER BY h LIMIT 256),
+         |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h
+         |  FROM sh WHERE doc_id % 2 = 1 ORDER BY h LIMIT 256),
+         |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) z
+         |  ORDER BY h LIMIT 256),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         |  CAST(MAX(h) AS BIGINT) AS kth_min,
+         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM ha)
+         |    AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM u)
+         |SELECT k_used, kth_min, n_common,
+         |  CAST(CASE WHEN k_used = 0 THEN 0
+         |    ELSE (n_common * 1048576) // k_used END AS BIGINT) AS jaccard_q20
+         |FROM st""".stripMargin) { (s, dir) =>
+      Dedup.corpusOverlapSketch(t(s, dir, "documents"), 3, 256)
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

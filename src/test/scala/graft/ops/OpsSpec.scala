@@ -1655,6 +1655,32 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("corpus overlap sketch: exact at the extremes, close on the corpus") {
+    import spark.implicits._
+    // Identical halves -> sketches coincide -> estimate exactly 1.0.
+    val same = (0L until 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val one = Dedup.corpusOverlapSketch(same, 3, 64).collect()(0)
+    assert(one.getLong(2) == one.getLong(0) && one.getLong(3) == 1048576L)
+    // Disjoint halves -> zero common minima.
+    val disj = (0L until 8L).map { i =>
+      (i, if (i % 2 == 0) "a b c d e f g" else "p q r s t u v")
+    }.toDF("doc_id", "text")
+    assert(Dedup.corpusOverlapSketch(disj, 3, 64).collect()(0).getLong(2) == 0L)
+    // Corpus: the k=256 estimate lands near the exact hash-space Jaccard
+    // (KMV error ~ 1/sqrt(k) ~ 6%; assert a loose 0.15 band).
+    val sh = Dedup.shingles(docs, 3)
+    val ha = sh.filter(col("doc_id") % 2 === 0)
+      .select(graft.ops.Sampling.h56(col("shingle")).as("h")).distinct()
+    val hb = sh.filter(col("doc_id") % 2 === 1)
+      .select(graft.ops.Sampling.h56(col("shingle")).as("h")).distinct()
+    val inter = ha.intersect(hb).count().toDouble
+    val uni = ha.union(hb).distinct().count().toDouble
+    val est = Dedup.corpusOverlapSketch(docs, 3, 256).collect()(0)
+      .getLong(3).toDouble / 1048576.0
+    assert(math.abs(est - inter / uni) < 0.15, s"est $est vs exact ${inter / uni}")
+  }
+
   test("image decode reverses Average and Paeth filters the fixtures never emit") {
     import spark.implicits._
     // Hand-encode a 3x2 grayscale PNG using filter 3 (Average) on row 0
