@@ -84,30 +84,35 @@ object Quantiles {
     * ceil(n/2)) applied to the raw DOUBLE values, so any engine derives
     * bit-identical statistics — no interpolation, no float averaging.
     *
-    * Scale shape: two passes (median, then deviations), each ONE
-    * (pos, value) hash aggregate followed by a window over DISTINCT
-    * VALUES within each of the d dimensions — cardinality-bounded, never
-    * corpus-row-bounded — and the deviation pass joins the d-row median
-    * table back by broadcast. Returns (pos, med, mad).
+    * Scale shape: the corpus is exploded and aggregated to
+    * (pos, value, cnt) ONCE; the deviation pass derives
+    * (pos, |value - med|, cnt) from that CARDINALITY-SIZED relation (the
+    * d-row median table broadcast onto it) rather than re-exploding the
+    * corpus, then re-aggregates — so everything after the single corpus
+    * pass is bounded by distinct-value cardinality, and both medians'
+    * windows range over distinct values within each of the d dimensions.
+    * Returns (pos, med, mad).
     */
   def robustDimStats(emb: DataFrame, dims: Int = 64): DataFrame = {
-    val xs = emb.select(posexplode(
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
-    def rankMedian(df: DataFrame, v: Column, out: String): DataFrame = {
-      val byValue = df.groupBy(col("pos"), v.as("v")).agg(count(lit(1)).as("cnt"))
+    val byValue = emb
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+      .groupBy(col("pos"), col("x").as("v")).agg(count(lit(1)).as("cnt"))
+    def rankMedian(counts: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy(col("pos")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byValue.withColumn("cle", sum(col("cnt")).over(w))
-      val tot = byValue.groupBy(col("pos")).agg(sum(col("cnt")).as("n"))
+      val cum = counts.withColumn("cle", sum(col("cnt")).over(w))
+      val tot = counts.groupBy(col("pos")).agg(sum(col("cnt")).as("n"))
       cum.join(tot, "pos")
         .groupBy(col("pos"))
         .agg(min(when(col("cle") >= ceil(lit(0.5) * col("n")).cast("long"), col("v")))
           .as(out))
     }
-    val med = rankMedian(xs, col("x"), "med")
-    val dev = xs.join(broadcast(med), "pos")
-      .select(col("pos"), abs(col("x") - col("med")).as("d"))
-    val mad = rankMedian(dev, col("d"), "mad")
+    val med = rankMedian(byValue, "med")
+    val devCounts = byValue.join(broadcast(med), "pos")
+      .groupBy(col("pos"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = rankMedian(devCounts, "mad")
     med.join(mad, "pos").select(col("pos"), col("med"), col("mad"))
   }
 

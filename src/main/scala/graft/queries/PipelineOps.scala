@@ -2330,8 +2330,8 @@ object PipelineOps {
         |tot AS (SELECT pos, SUM(cnt) AS n FROM bv GROUP BY 1),
         |med AS (SELECT pos, MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med
         |  FROM cum JOIN tot USING (pos) GROUP BY 1),
-        |dv AS (SELECT px.pos, abs(px.x - med.med) AS d FROM px JOIN med ON px.pos = med.pos),
-        |bv2 AS (SELECT pos, d AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM dv GROUP BY 1, 2),
+        |bv2 AS (SELECT bv.pos, abs(bv.v - med.med) AS v, CAST(SUM(bv.cnt) AS BIGINT) AS cnt
+        |  FROM bv JOIN med ON bv.pos = med.pos GROUP BY 1, 2),
         |cum2 AS (SELECT pos, v, cnt, SUM(cnt) OVER (PARTITION BY pos ORDER BY v) AS cle FROM bv2),
         |tot2 AS (SELECT pos, SUM(cnt) AS n FROM bv2 GROUP BY 1),
         |mad AS (SELECT pos, MIN(CASE WHEN cle >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS mad
