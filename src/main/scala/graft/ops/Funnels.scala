@@ -111,4 +111,31 @@ object Funnels {
         col("n_events").cast("long").as("n_events"),
         (col("lhs") >= col("rhs")).as("is_spike"))
   }
+
+  /** Per-user behavior-trajectory assembly — the sequence-dataset prep an
+    * agent/behavior-model pipeline runs over an event log: each user's
+    * events in (ts, event_id) order collapsed to one example row with a
+    * fingerprint of the event-type sequence (the dedup/split key for
+    * sequence datasets). Ordering is total (event_id breaks ts ties), so
+    * the fingerprint is engine-reproducible.
+    *
+    * Scale shape: one hash aggregate keyed on user; the per-user
+    * collect_list is bounded by that user's activity — the sequence IS
+    * the output, so any assembly pays it — and `cap` truncates the
+    * HASHED prefix so a runaway bot account cannot blow up the row.
+    * No window, no corpus-wide sort.
+    */
+  def trajectories(events: DataFrame, cap: Int = 100000): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+        .as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        expr("element_at(arr, 1).ts").as("first_ts"),
+        expr("element_at(arr, -1).ts").as("last_ts"),
+        md5(concat_ws("|",
+          expr(s"transform(slice(arr, 1, $cap), s -> s.event_type)"))).as("traj_md5"))
+  }
 }

@@ -2402,6 +2402,18 @@ object PipelineOps {
          |FROM st""".stripMargin) { (s, dir) =>
       Dedup.corpusOverlapSketch(t(s, dir, "documents"), 3, 256)
     },
+
+    // Per-user behavior-trajectory assembly: one example row per user
+    // with a fingerprint of the totally-ordered event-type sequence —
+    // one user-keyed hash aggregate, no window, no corpus-wide sort.
+    Q.df(
+      "p104_trajectories",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS traj_md5
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Funnels.trajectories(t(s, dir, "events"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("trajectories: total order under ts ties, cap truncates the hashed prefix") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+    // Two events share ts -> event_id must break the tie.
+    val ev = Seq((t0, 2L, 9L, "b"), (t0, 1L, 9L, "a"), (t1, 3L, 9L, "c"))
+      .toDF("ts", "event_id", "user_id", "event_type")
+    val full = graft.ops.Funnels.trajectories(ev).collect()(0)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(full.getLong(1) == 3L)
+    assert(full.getAs[String]("traj_md5") == m("a|b|c"))
+    assert(full.getAs[java.sql.Timestamp]("first_ts") == t0)
+    assert(full.getAs[java.sql.Timestamp]("last_ts") == t1)
+    val capped = graft.ops.Funnels.trajectories(ev, cap = 2).collect()(0)
+    assert(capped.getAs[String]("traj_md5") == m("a|b"))
+    assert(capped.getLong(1) == 3L) // count stays full; only the hash truncates
+  }
+
   test("corpus overlap sketch: exact at the extremes, close on the corpus") {
     import spark.implicits._
     // Identical halves -> sketches coincide -> estimate exactly 1.0.
