@@ -609,6 +609,31 @@ object TextOps {
         (col("pos") + 1).cast("int").as("rnk"), col("col._1").as("bm25"))
   }
 
+  /** Charset-class entropy — the encoding-noise / gibberish flag that
+    * complements the Gopher/C4 word-level rules: character counts over
+    * four classes (letters, digits, spaces, other) reduced to integer
+    * surprisal bits, class_bits = Σ_c k_c * (floor-log2(n div k_c)) with
+    * the same length(bin(n div k)) - 1 bit-length trick as the surprisal
+    * family — integers end to end, map-only, no shuffle. Binary junk or
+    * base64 blobs score high (classes mixed), clean prose scores low
+    * (letters + spaces dominate). Returns (doc_id, n_chars_total,
+    * class_bits) restricted to non-empty docs.
+    */
+  def charsetEntropy(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("long")
+    def kept(re: String) = (n - length(regexp_replace(col("text"), re, "")).cast("long"))
+    val classes = docs.select(
+      col("doc_id"), n.as("n"),
+      kept("[A-Za-z]").as("k1"), kept("[0-9]").as("k2"), kept("[ ]").as("k3"))
+      .withColumn("k4", col("n") - col("k1") - col("k2") - col("k3"))
+      .filter(col("n") > 0)
+    val bits = Seq("k1", "k2", "k3", "k4").map { k =>
+      when(col(k) > 0, col(k) * (length(bin(expr(s"n div $k"))) - 1)).otherwise(0L)
+    }.reduce(_ + _)
+    classes.select(col("doc_id"), col("n").as("n_chars_total"),
+      bits.cast("long").as("class_bits"))
+  }
+
   /** One BPE-style merge-candidate pass: corpus-wide counts of adjacent
     * CHARACTER pairs inside words, top `k` by count — the inner loop of
     * byte-pair-encoding tokenizer training (each training iteration merges

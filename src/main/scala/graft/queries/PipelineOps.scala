@@ -2414,6 +2414,27 @@ object PipelineOps {
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       graft.ops.Funnels.trajectories(t(s, dir, "events"))
     },
+
+    // Charset-class entropy: integer surprisal bits over four character
+    // classes — the encoding-noise flag beside the word-level quality
+    // rules; map-only, integers end to end.
+    Q.df(
+      "p105_charset_entropy",
+      """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS k1,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS k2,
+        |  CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS k3
+        |  FROM documents WHERE length(text) > 0),
+        |k AS (SELECT doc_id, n, k1, k2, k3, n - k1 - k2 - k3 AS k4 FROM c)
+        |SELECT doc_id, n AS n_chars_total,
+        |  CAST(CASE WHEN k1 > 0 THEN k1 * (length(bin(n // k1)) - 1) ELSE 0 END
+        |     + CASE WHEN k2 > 0 THEN k2 * (length(bin(n // k2)) - 1) ELSE 0 END
+        |     + CASE WHEN k3 > 0 THEN k3 * (length(bin(n // k3)) - 1) ELSE 0 END
+        |     + CASE WHEN k4 > 0 THEN k4 * (length(bin(n // k4)) - 1) ELSE 0 END
+        |    AS BIGINT) AS class_bits
+        |FROM k""".stripMargin) { (s, dir) =>
+      TextOps.charsetEntropy(t(s, dir, "documents"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("charset entropy separates clean prose from mixed-class noise") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "just lowercase words here"),       // letters + spaces only
+      (2L, "a1b2c3 d4e5f6 90210 #$%&! xx99"),  // heavy class mixing
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.charsetEntropy(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L)) // empty docs excluded
+    // Hand-check doc 1: n=25, letters=21, spaces=3, digits=0, other=1(the 'j'..?)
+    // Recompute independently instead of hand-counting:
+    def bitsOf(text: String): (Long, Long) = {
+      val n = text.length.toLong
+      val k1 = text.count(_.isLetter).toLong
+      val k2 = text.count(_.isDigit).toLong
+      val k3 = text.count(_ == ' ').toLong
+      val k4 = n - k1 - k2 - k3
+      def b(k: Long) = if (k > 0) k * (63 - java.lang.Long.numberOfLeadingZeros(n / k)) else 0L
+      (n, b(k1) + b(k2) + b(k3) + b(k4))
+    }
+    assert(out(1L) == bitsOf("just lowercase words here"))
+    assert(out(2L) == bitsOf("a1b2c3 d4e5f6 90210 #$%&! xx99"))
+    // Mixed-class text scores strictly higher per char than clean prose.
+    val r1 = out(1L)._2.toDouble / out(1L)._1
+    val r2 = out(2L)._2.toDouble / out(2L)._1
+    assert(r2 > r1, s"noise rate $r2 should exceed prose rate $r1")
+  }
+
   test("trajectories: total order under ts ties, cap truncates the hashed prefix") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
