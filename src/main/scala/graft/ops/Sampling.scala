@@ -84,6 +84,39 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Deterministic curriculum interleave — the global TRAINING ORDER a
+    * multi-source run consumes: within each source, examples take their
+    * hash-shuffled sequence number; globally, position is round-robin
+    * across sources (all the rank-1 docs source by source, then rank 2,
+    * ...), with smaller sources simply exhausting early — the standard
+    * interleaved-mixture order, engine-reproducible.
+    *
+    * Scale shape — NO per-source window (a mega-source would
+    * single-reduce): the within-source rank is the GLOBAL range-
+    * partitioned rank under (source, h56, key) minus each source's
+    * exclusive offset (a #sources-row table, broadcast); the interleave
+    * position is a second global rank under (rank, source). Two range
+    * exchanges, partition-offset arithmetic, nothing funnels.
+    *
+    * Returns (id named as input, source, rs, pos).
+    */
+  def curriculumInterleave(df: DataFrame, source: Column, key: Column): DataFrame = {
+    val keyed = df.select(key.as("id"), source.as("source"))
+    val ranked = GlobalRank.rowNumber(keyed,
+      Seq(col("source"), h56(col("id")), col("id")), "rn_all")
+    val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
+    val exclusive = counts.map(_._1).zip(offsets.map(_._2)).toMap // source -> rows before it
+    val session = df.sparkSession
+    import session.implicits._
+    val offDf = broadcast(exclusive.toSeq.toDF("source", "off"))
+    val withRs = ranked.join(offDf, "source")
+      .select(col("id"), col("source"), (col("rn_all") - col("off")).as("rs"))
+    GlobalRank.rowNumber(withRs, Seq(col("rs"), col("source"), col("id")), "pos")
+      .select(col("id"), col("source"), col("rs"), col("pos"))
+  }
+
   /** Distribution rebalancing (the data-mixing step of multilingual /
     * multi-source corpus prep): downsample each stratum toward the
     * smallest one with a square-root temperature — stratum s of size n_s

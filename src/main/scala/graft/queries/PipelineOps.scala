@@ -2435,6 +2435,23 @@ object PipelineOps {
         |FROM k""".stripMargin) { (s, dir) =>
       TextOps.charsetEntropy(t(s, dir, "documents"))
     },
+
+    // Deterministic curriculum interleave: round-robin training order
+    // across sources with NO per-source window — global range-partitioned
+    // rank minus per-source exclusive offsets, then a second global rank.
+    Q.df(
+      "p106_curriculum",
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+        |      doc_id) AS rs
+        |  FROM documents)
+        |SELECT doc_id AS id, source, CAST(rs AS BIGINT) AS rs,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rs, source, doc_id) AS BIGINT) AS pos
+        |FROM r""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.curriculumInterleave(
+        t(s, dir, "documents"), col("source"), col("doc_id"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("curriculum interleave is round-robin with early source exhaustion") {
+    val out = graft.ops.Sampling.curriculumInterleave(
+      docs, col("source"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pos is a permutation of 1..N.
+    assert(out.map(_._4).sorted.toSeq == (1L to out.length))
+    // Global order is lexicographic on (rs, source): every round's block
+    // lists its sources in order, smaller sources exhaust early.
+    val byPos = out.sortBy(_._4)
+    byPos.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 < b._3 || (a._3 == b._3 && a._2 <= b._2), s"$a !<= $b")
+      case _ => ()
+    }
+    // Within a source, rs is 1..n_source with no gaps.
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length), src)
+    }
+  }
+
   test("charset entropy separates clean prose from mixed-class noise") {
     import spark.implicits._
     val tiny = Seq(
