@@ -451,6 +451,29 @@ object Similarity {
       .toDF("pos", "loading", "sv_fraction")
   }
 
+  /** ANN recall evaluation card — the artifact that decides nprobe/cells
+    * before an index ships (the similarity-family analog of the dedup
+    * family's LSH tuning card): per query, how many of the exact
+    * brute-force top-k the IVF index actually returned. Both sides are
+    * the already-proven plans ([[bruteForceTopK]], [[ivfTopK]]); the
+    * card is one semi-join + count over their k-bounded outputs, so its
+    * cost is the two searches. recall_q20 is the cleared-denominator
+    * integer (hits << 20) / k.
+    */
+  def annRecallCard(emb: DataFrame, k: Int = 5, nprobe: Int = 2,
+      cells: Int = 16, nQueries: Int = 8): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+    val brute = bruteForceTopK(emb, q, k).select(col("q_id"), col("n_id"))
+    val ivf = ivfTopK(emb, q, k, nprobe, cells).select(col("q_id"), col("n_id"))
+    val hits = brute.join(ivf, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h"), lit(0L)).cast("long").as("n_hits"),
+        expr(s"CAST(coalesce(h, 0) * 1048576 DIV $k AS BIGINT)").as("recall_q20"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., 2023,
     * arXiv:2303.09540): cluster the embeddings with the coarse quantizer,
     * then drop any vector whose WITHIN-CLUSTER cosine to a smaller-id

@@ -2452,6 +2452,50 @@ object PipelineOps {
       graft.ops.Sampling.curriculumInterleave(
         t(s, dir, "documents"), col("source"), col("doc_id"))
     },
+
+    // ANN recall card: per query, |brute top-5 ∩ IVF(nprobe=2) top-5| —
+    // the index-tuning artifact; one semi-join + count over two
+    // k-bounded searches.
+    Q.df(
+      "p107_ann_recall",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM n, cent) x WHERE r = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+         |qc AS (SELECT q_id, qv, qn, cell FROM (
+         |  SELECT q.q_id, q.qv, q.qn, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * cent.cv[i])) / (q.qn * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM q, cent) y WHERE r <= 2),
+         |cand AS (
+         |  SELECT qc.q_id, qc.qv, qc.qn, n.vec_id, n.v, n.nrm
+         |  FROM qc JOIN asg ON qc.cell = asg.cell JOIN n ON n.vec_id = asg.vec_id
+         |  WHERE n.vec_id <> qc.q_id),
+         |it AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) / (qn * nrm) DESC,
+         |      vec_id) AS rnk
+         |  FROM cand) z WHERE rnk <= 5),
+         |bt AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, n.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm) DESC,
+         |      n.vec_id) AS rnk
+         |  FROM n JOIN q ON n.vec_id <> q.q_id) w WHERE rnk <= 5),
+         |h AS (SELECT bt.q_id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM bt JOIN it ON bt.q_id = it.q_id AND bt.n_id = it.n_id GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.h, 0) * 1048576 // 5 AS BIGINT) AS recall_q20
+         |FROM q LEFT JOIN h ON h.q_id = q.q_id""".stripMargin) { (s, dir) =>
+      Similarity.annRecallCard(t(s, dir, "embeddings"), 5, 2, 16, 8)
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

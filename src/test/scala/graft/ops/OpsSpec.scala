@@ -1655,6 +1655,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("ann recall card: full probe is perfect recall, fewer probes only lose") {
+    // nprobe = cells probes every cell -> candidates == whole corpus ->
+    // IVF equals brute force and every query's recall is exactly 1.0.
+    val full = Similarity.annRecallCard(emb, 5, 16, 16, 8).collect()
+    assert(full.length == 8)
+    assert(full.forall(_.getLong(2) == 1048576L), full.mkString("\n"))
+    // Recall is monotone in nprobe (per query, candidates only grow).
+    val p1 = Similarity.annRecallCard(emb, 5, 1, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p4 = Similarity.annRecallCard(emb, 5, 4, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p1.keySet.foreach(q => assert(p1(q) <= p4(q), s"query $q"))
+    assert(p1.values.forall(h => h >= 0 && h <= 5))
+  }
+
   test("curriculum interleave is round-robin with early source exhaustion") {
     val out = graft.ops.Sampling.curriculumInterleave(
       docs, col("source"), col("doc_id")).collect()
