@@ -102,4 +102,34 @@ object Report {
       .select(col("source"), col("n_docs"), col("n_distinct_texts"),
         col("n_ws_tokens"), col("n_chars"), col("top_lang"))
   }
+
+  /** Referential-integrity card between the text corpus and its
+    * embedding table — the audit a multimodal/paired dataset runs before
+    * training (a doc without its vector silently drops from contrastive
+    * batches; a vector without its doc is leaked compute; duplicate ids
+    * corrupt joins downstream). Six integers in one row.
+    *
+    * Scale shape: two id-keyed anti-joins (equi-joins on the id — AQE
+    * broadcasts the smaller side when it fits, hash-shuffles otherwise)
+    * plus two duplicate checks that are each ONE map-side-combinable
+    * aggregate; the six scalars then cross-join as 1-row relations.
+    */
+  def integrityCard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
+    val v = emb.select(col("vec_id"))
+    val nDocs = d.agg(count(lit(1)).cast("long").as("n_docs"))
+    val nVecs = v.agg(count(lit(1)).cast("long").as("n_vecs"))
+    val docsNoVec = d.join(v, d("doc_id") === v("vec_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("docs_without_vec"))
+    val vecsNoDoc = v.join(d, v("vec_id") === d("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("vecs_without_doc"))
+    val dupDocs = d.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).cast("long").as("dup_doc_ids"))
+    val dupVecs = v.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).cast("long").as("dup_vec_ids"))
+    nDocs.crossJoin(nVecs).crossJoin(docsNoVec).crossJoin(vecsNoDoc)
+      .crossJoin(dupDocs).crossJoin(dupVecs)
+  }
 }

@@ -2496,6 +2496,26 @@ object PipelineOps {
          |FROM q LEFT JOIN h ON h.q_id = q.q_id""".stripMargin) { (s, dir) =>
       Similarity.annRecallCard(t(s, dir, "embeddings"), 5, 2, 16, 8)
     },
+
+    // Referential-integrity card between the corpus and its embedding
+    // table: missing pairs both ways + duplicate ids, six integers.
+    Q.df(
+      "p108_integrity_card",
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+        |  CAST((SELECT COUNT(*) FROM documents d WHERE NOT EXISTS (
+        |    SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS BIGINT) AS docs_without_vec,
+        |  CAST((SELECT COUNT(*) FROM embeddings e WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS BIGINT) AS vecs_without_doc,
+        |  CAST((SELECT COUNT(*) FROM (
+        |    SELECT doc_id FROM documents GROUP BY 1 HAVING COUNT(*) > 1) x) AS BIGINT) AS dup_doc_ids,
+        |  CAST((SELECT COUNT(*) FROM (
+        |    SELECT vec_id FROM embeddings GROUP BY 1 HAVING COUNT(*) > 1) y) AS BIGINT) AS dup_vec_ids""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Report.integrityCard(
+          t(s, dir, "documents"), t(s, dir, "embeddings"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,17 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("integrity card counts missing pairs both ways and duplicate ids") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 3L).toDF("doc_id")
+    val v = Seq(2L, 4L, 4L, 4L).toDF("vec_id")
+    val r = graft.ops.Report.integrityCard(d, v).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)        // n_docs, n_vecs
+    assert(r.getLong(2) == 3L)  // docs 1, 3, 3 have no vector
+    assert(r.getLong(3) == 3L)  // vectors 4, 4, 4 have no doc
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)        // one dup id each
+  }
+
   test("ann recall card: full probe is perfect recall, fewer probes only lose") {
     // nprobe = cells probes every cell -> candidates == whole corpus ->
     // IVF equals brute force and every query's recall is exactly 1.0.
