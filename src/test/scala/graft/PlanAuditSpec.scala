@@ -396,6 +396,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       !p.contains("SortMergeJoin"), p)
   }
 
+  test("overlap sketch ranks via TakeOrdered heads, never a global sort") {
+    val sh = graft.ops.Dedup.shingles(graft.Tables.t(spark, sf0001, "documents"), 3)
+    val side = sh.select(graft.ops.Sampling.h56(
+      org.apache.spark.sql.functions.col("shingle")).as("h")).distinct()
+      .orderBy(org.apache.spark.sql.functions.col("h")).limit(256)
+    val p = side.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(6).mkString("\n"))
+  }
+
+  test("curriculum interleave windows only the partition-offset relation") {
+    // Both ranks are GlobalRank's range-partition + offset construction.
+    // The ONLY Window nodes allowed are the running sums over the
+    // #partitions-row __pid offset tables; a window keyed on source (or
+    // unkeyed) would mean a per-source/single-reducer sort snuck back in.
+    val df = SparkEntry.queries("p106_curriculum")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, "expected the offset windows to exist")
+    windows.foreach(w => assert(w.contains("__pid"), w))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the unsalted skew path)") {
     // Salting (p28/p42) is the explicit skew answer; this pins the
     // IMPLICIT one — adaptive execution must recognize a hot key and
