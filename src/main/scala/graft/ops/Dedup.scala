@@ -710,6 +710,29 @@ object Dedup {
           .as("clean_md5"))
   }
 
+  /** Canonical-form dedup — exact dedup after text normalization
+    * (lowercase, strip non-alphanumerics, collapse whitespace): catches
+    * the re-encoded/re-punctuated duplicates exact md5 dedup misses
+    * while staying a pure hash-aggregate (no pair generation at all —
+    * the cheap middle ground before shingle-based near-dup). Survivor is
+    * min doc_id per canonical group, the family's rule. Returns
+    * (doc_id, canon_md5, keep).
+    *
+    * Scale shape: normalization is row-local regex (codegen'd), then ONE
+    * map-side-combinable min aggregate on the canonical hash joined back
+    * by that hash — identical cost to exact dedup.
+    */
+  def canonicalDedup(docs: DataFrame): DataFrame = {
+    val canon = md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    val withCanon = docs.select(col("doc_id"), canon.as("canon_md5"))
+    val keepers = withCanon.groupBy(col("canon_md5"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    withCanon.join(keepers, "canon_md5")
+      .select(col("doc_id"), col("canon_md5"),
+        (col("doc_id") === col("__keep_id")).as("keep"))
+  }
+
   /** KMV (bottom-k) corpus-overlap sketch — "how much does the incoming
     * half overlap the curated half" answered from two k-value sketches
     * instead of a corpus-sized join (Beyer et al. 2007, the k-minimum-

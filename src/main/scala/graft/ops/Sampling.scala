@@ -84,6 +84,27 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Exactly-N global sample — the "give me precisely one million
+    * examples" request a fraction-based [[hashSample]] can only
+    * approximate: the N smallest key-hashes corpus-wide (ties broken on
+    * the key). Deterministic, uniform in the hash space, and stable
+    * under re-runs AND under corpus growth (a doc stays sampled until N
+    * better hashes exist — the property reproducible eval subsets need).
+    *
+    * Scale shape: when N is driver-small the plan is TakeOrdered
+    * (per-partition heads merged, no global sort); a billion-row N
+    * should use [[GlobalRank.rowNumber]] over (h56, key) ≤ N instead —
+    * one range exchange. This op takes the TakeOrdered path and holds N
+    * to a sanity bound.
+    */
+  def sampleExactlyN(df: DataFrame, n: Int, key: Column): DataFrame = {
+    require(n > 0 && n <= 10000000, "n must be in (0, 1e7] for the TakeOrdered path")
+    df.withColumn("__h", h56(key))
+      .orderBy(col("__h"), key)
+      .limit(n)
+      .drop("__h")
+  }
+
   /** Deterministic curriculum interleave — the global TRAINING ORDER a
     * multi-source run consumes: within each source, examples take their
     * hash-shuffled sequence number; globally, position is round-robin

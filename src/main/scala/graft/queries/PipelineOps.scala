@@ -2516,6 +2516,34 @@ object PipelineOps {
         graft.ops.Report.integrityCard(
           t(s, dir, "documents"), t(s, dir, "embeddings"))
     },
+
+    // Canonical-form dedup: exact dedup after lowercase/strip/collapse
+    // normalization — the cheap middle ground before shingle near-dup;
+    // one hash aggregate, min-doc_id survivor.
+    Q.df(
+      "p109_canonical_dedup",
+      """WITH c AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS canon_md5
+        |  FROM documents),
+        |k AS (SELECT canon_md5, MIN(doc_id) AS keep_id FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canon_md5, c.doc_id = k.keep_id AS keep
+        |FROM c JOIN k ON c.canon_md5 = k.canon_md5""".stripMargin) { (s, dir) =>
+      Dedup.canonicalDedup(t(s, dir, "documents"))
+    },
+
+    // Exactly-N global sample: the N smallest key-hashes corpus-wide —
+    // TakeOrdered heads, deterministic and stable under corpus growth.
+    Q.df(
+      "p110_exact_n_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+        |  doc_id
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.sampleExactlyN(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        100, col("doc_id"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,43 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("canonical dedup collapses case/punct variants exact dedup keeps apart") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    // 1, 2, 3 share a canonical form; min doc_id survives.
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2)
+    assert(out(4L)._2 && out(4L)._1 != out(1L)._1)
+    // Canonical collapses at least as much as exact on the corpus.
+    val exactGroups = docs.select(md5(col("text"))).distinct().count()
+    val canonGroups = Dedup.canonicalDedup(docs)
+      .select(col("canon_md5")).distinct().count()
+    assert(canonGroups <= exactGroups)
+  }
+
+  test("exactly-N sample is stable under corpus growth") {
+    val all = docs.select(col("doc_id"), col("lang"), col("source"))
+    val n = 50
+    val first = graft.ops.Sampling.sampleExactlyN(all, n, col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(first.size == n)
+    // Sampling from HALF the corpus yields a subset relation the other
+    // way: every doc sampled from the full corpus that lives in the half
+    // must also be sampled from the half (stability under growth).
+    val half = all.filter(col("doc_id") % 2 === 0)
+    val halfSample = graft.ops.Sampling.sampleExactlyN(half, n, col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    first.filter(_ % 2 == 0).foreach { id =>
+      assert(halfSample.contains(id), s"doc $id dropped when the corpus shrank")
+    }
+  }
+
   test("integrity card counts missing pairs both ways and duplicate ids") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 3L).toDF("doc_id")
