@@ -634,6 +634,28 @@ object TextOps {
       bits.cast("long").as("class_bits"))
   }
 
+  /** Word-blocklist safety screen — the category-list filtering pass
+    * (spam/adult/violence lists in real pipelines; neutral stand-in
+    * categories here) that runs before any model-based safety scoring:
+    * per document, occurrence counts per category plus a keep decision
+    * (no category at or above its threshold). Row-local higher-order
+    * functions over the token array — map-only, no shuffle; at 100 TB
+    * the lists ride the closure (they are KB-sized by nature) and the
+    * screen runs at scan speed.
+    */
+  def blocklistScreen(docs: DataFrame,
+      categories: Seq[(String, Seq[String], Int)]): DataFrame = {
+    require(categories.nonEmpty, "need at least one category")
+    val base = withToks(docs)
+    val catCols = categories.map { case (name, words, _) =>
+      size(filter(col("toks"), w => w.isin(words: _*))).cast("long").as(s"n_$name")
+    }
+    val keep = categories.map { case (name, _, thr) => col(s"n_$name") < thr }
+      .reduce(_ && _)
+    base.select(col("doc_id") +: catCols: _*)
+      .withColumn("keep", keep)
+  }
+
   /** One BPE-style merge-candidate pass: corpus-wide counts of adjacent
     * CHARACTER pairs inside words, top `k` by count — the inner loop of
     * byte-pair-encoding tokenizer training (each training iteration merges

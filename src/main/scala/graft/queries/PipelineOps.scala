@@ -2544,6 +2544,22 @@ object PipelineOps {
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
         100, col("doc_id"))
     },
+
+    // Word-blocklist safety screen: per-category occurrence counts +
+    // keep decision, row-local over the token array — map-only.
+    Q.df(
+      "p111_blocklist_screen",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, w -> list_contains(['slow', 'dup'], w))) AS BIGINT) AS n_quality,
+        |  CAST(len(list_filter(toks, w -> list_contains(['drop', 'spam'], w))) AS BIGINT) AS n_spamish,
+        |  (len(list_filter(toks, w -> list_contains(['slow', 'dup'], w))) < 3
+        |   AND len(list_filter(toks, w -> list_contains(['drop', 'spam'], w))) < 1) AS keep
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) x""".stripMargin) {
+      (s, dir) =>
+        TextOps.blocklistScreen(t(s, dir, "documents"), Seq(
+          ("quality", Seq("slow", "dup"), 3),
+          ("spamish", Seq("drop", "spam"), 1)))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

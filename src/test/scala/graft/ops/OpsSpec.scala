@@ -1655,6 +1655,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("blocklist screen counts per category and thresholds the keep bit") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "clean text entirely"),
+      (2L, "bad bad ugly fine"),
+      (3L, "bad text")).toDF("doc_id", "text")
+    val out = TextOps.blocklistScreen(tiny, Seq(
+      ("a", Seq("bad"), 2), ("b", Seq("ugly"), 1))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0L, 0L, true)))
+    assert(out(2L) == ((2L, 1L, false))) // both categories trip
+    assert(out(3L) == ((1L, 0L, true)))  // below both thresholds
+  }
+
   test("canonical dedup collapses case/punct variants exact dedup keeps apart") {
     import spark.implicits._
     val tiny = Seq(
