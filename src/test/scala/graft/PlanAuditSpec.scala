@@ -417,6 +417,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     windows.foreach(w => assert(w.contains("__pid"), w))
   }
 
+  test("blocklist screen and exact-N sample stay shuffle-free / TakeOrdered") {
+    // The safety screen is a row-local projection: any Exchange means a
+    // shuffle snuck into a map-only contract.
+    val screen = SparkEntry.queries("p111_blocklist_screen")(spark, sf0001)
+    val ps = screen.queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), ps.linesIterator.take(8).mkString("\n"))
+    // Exactly-N compiles to TakeOrderedAndProject, not a global sort.
+    val sample = SparkEntry.queries("p110_exact_n_sample")(spark, sf0001)
+    val pn = sample.queryExecution.executedPlan.toString
+    assert(pn.contains("TakeOrderedAndProject"), pn.linesIterator.take(6).mkString("\n"))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the unsalted skew path)") {
     // Salting (p28/p42) is the explicit skew answer; this pins the
     // IMPLICIT one — adaptive execution must recognize a hot key and
