@@ -105,6 +105,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Packing-efficiency card for a context window — the capacity-planning
+    * numbers a training run derives before tokenizing 100 TB: how many
+    * W-token windows the corpus fills under the naive one-doc-per-window
+    * rule (Σ ceil(tok/W)), the padding waste that implies, and the lower
+    * bound a perfect packer could reach (ceil(Σtok / W)). All integers
+    * from ONE map-side-combinable aggregate over row-local token counts.
+    */
+  def packingCard(docs: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val tok = size(split(col("text"), " ")).cast("long")
+    docs
+      .select(tok.as("t"),
+        expr(s"CAST((size(split(text, ' ')) + ${window - 1}) DIV $window AS BIGINT)").as("w"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("t")).cast("long").as("n_tokens"),
+        sum(col("w")).cast("long").as("naive_windows"))
+      .select(col("n_docs"), col("n_tokens"), col("naive_windows"),
+        (col("naive_windows") * window - col("n_tokens")).cast("long").as("padding_waste"),
+        expr(s"CAST((n_tokens + ${window - 1}) DIV $window AS BIGINT)").as("packed_lower_bound"))
+  }
+
   /** Deterministic curriculum interleave — the global TRAINING ORDER a
     * multi-source run consumes: within each source, examples take their
     * hash-shuffled sequence number; globally, position is round-robin

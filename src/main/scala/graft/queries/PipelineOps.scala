@@ -2560,6 +2560,23 @@ object PipelineOps {
           ("quality", Seq("slow", "dup"), 3),
           ("spamish", Seq("drop", "spam"), 1)))
     },
+
+    // Packing-efficiency card at a 512-token context window: naive
+    // one-doc-per-window cost, its padding waste, and the perfect-packer
+    // lower bound — one map-side-combinable aggregate, all integers.
+    Q.df(
+      "p112_packing_card",
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |  CAST((len(string_split(text, ' ')) + 511) // 512 AS BIGINT) AS w
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(w) AS BIGINT) AS naive_windows,
+        |  CAST(SUM(w) * 512 - SUM(t) AS BIGINT) AS padding_waste,
+        |  CAST((SUM(t) + 511) // 512 AS BIGINT) AS packed_lower_bound
+        |FROM t""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.packingCard(t(s, dir, "documents"), 512)
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1655,6 +1655,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("n_kept") == 2L) // both chunks unique
   }
 
+  test("packing card: hand-checked windows, waste identity, lower bound") {
+    import spark.implicits._
+    // Token counts 3, 4, 5 at window 4 -> naive windows 1+1+2 = 4,
+    // waste 16-12 = 4, perfect packing needs ceil(12/4) = 3.
+    val tiny = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Sampling.packingCard(tiny, 4).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L && r.getLong(4) == 3L)
+    // Corpus invariants: waste == naive*W - tokens; bound <= naive.
+    val c = graft.ops.Sampling.packingCard(docs, 512).collect()(0)
+    assert(c.getLong(3) == c.getLong(2) * 512 - c.getLong(1))
+    assert(c.getLong(4) <= c.getLong(2))
+  }
+
   test("blocklist screen counts per category and thresholds the keep bit") {
     import spark.implicits._
     val tiny = Seq(
