@@ -71,13 +71,18 @@ object ProductQuant {
     * iteration: E-step assigns every corpus subvector to its nearest
     * centroid (squared L2, centroid-id tiebreak); M-step replaces each
     * centroid with the per-dimension mean of its assigned subvectors,
-    * summed as a fold over the vec_id-sorted value list (double addition
-    * is order-dependent; a hash-aggregate SUM would not reproduce across
-    * partitionings or engines). Centroids with no assignments survive
-    * unchanged via the left join.
+    * computed as the same two-level hierarchical exact-order fold as
+    * [[Similarity.centroidMeans]]: vec_id-ordered within each (subspace,
+    * centroid, dimension, vec_id >> bucketShift) bucket, bucket-ordered
+    * across bucket sums (double addition is order-dependent; a
+    * hash-aggregate SUM would not reproduce across partitionings or
+    * engines). The bucketing keeps the largest materialized list at
+    * max(2^bucketShift, N / 2^bucketShift) — a popular centroid never
+    * pulls its full assigned population into one group. Centroids with
+    * no assignments survive unchanged via the left join.
     */
   private[ops] def codebook(emb: DataFrame, m: Int, ks: Int, dim: Int,
-      trainIters: Int): DataFrame = {
+      trainIters: Int, bucketShift: Int = 8): DataFrame = {
     var cb = seedCodebook(emb, m, ks, dim)
     for (_ <- 1 to trainIters) {
       val assigned = subvectors(doubled(emb), m, dim)
@@ -87,13 +92,19 @@ object ProductQuant {
         .agg(min_by(struct(col("j"), col("sv")), struct(col("d2"), col("j"))).as("a"))
         .select(col("vec_id"), col("sub"), col("a.j").as("j"), col("a.sv").as("sv"))
       val means = assigned
-        .select(col("vec_id"), col("sub"), col("j"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("j"), col("pos"))
+        .select(col("vec_id"), shiftright(col("vec_id"), bucketShift).as("bkt"),
+          col("sub"), col("j"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("j"), col("pos"), col("bkt"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+        .select(col("sub"), col("j"), col("pos"), col("bkt"),
+          expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)").as("bs"),
+          size(col("arr")).cast("long").as("cnt"))
+        .groupBy(col("sub"), col("j"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"),
+          sum(col("cnt")).as("n"))
         .select(col("sub"), col("j"), col("pos"),
-          (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
-            / size(col("arr"))).as("c"))
+          (expr("aggregate(transform(barr, t -> t.bs), 0D, (a, b) -> a + b)")
+            / col("n")).as("c"))
         .groupBy(col("sub"), col("j"))
         .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pcs"))
         .select(col("sub").as("ms"), col("j").as("mj"),

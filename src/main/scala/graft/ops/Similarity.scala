@@ -305,25 +305,50 @@ object Similarity {
     rankTopK(scored, k).withColumnRenamed("cos", "adot")
   }
 
-  /** One k-means refinement step (the M-step) over the IVF assignment:
-    * per (cell, dimension) centroid means. The mean is computed as a
-    * SEQUENTIAL fold over values sorted by vec_id — double addition is
-    * order-dependent, so a fixed fold order is what makes refined
-    * centroids bit-reproducible across engines and cluster sizes (a
-    * plain SUM would differ run to run). Per-group lists stay bounded by
-    * cell population; the shuffle key is (cell, dimension).
+  /** Per-(cell, dimension) centroid means over an assigned vector set —
+    * the k-means M-step kernel shared by [[kmeansStep]] and
+    * [[kmeansTrain]]. The mean is an exact-ORDER sum (double addition is
+    * order-dependent; a plain SUM would differ run to run), computed as
+    * the same two-level hierarchical fold as [[topSingularDirection]]:
+    * vec_id-ordered within each (cell, dimension, vec_id >> bucketShift)
+    * bucket, then bucket-ordered across the bucket sums. Both levels are
+    * explicit order-defined folds, so refined centroids stay
+    * bit-reproducible across engines and partitionings, while the
+    * largest materialized list is max(2^bucketShift, N / 2^bucketShift)
+    * elements — a popular cell never funnels its full population into
+    * one group the way a flat per-(cell, dimension) collect would (the
+    * executor-OOM shape at corpus scale). The count denominator is an
+    * order-independent integer sum of the bucket counts.
+    *
+    * Input: (vec_id, cell, vd: array<double>).
     */
-  def kmeansStep(emb: DataFrame, cells: Int = 16): DataFrame =
-    emb
-      .join(ivfAssign(emb, cells), "vec_id")
-      .select(col("vec_id"), col("cell"),
-        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
+  private[ops] def centroidMeans(withCell: DataFrame, bucketShift: Int): DataFrame =
+    withCell
+      .select(col("vec_id"), shiftright(col("vec_id"), bucketShift).as("bkt"),
+        col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"), col("bkt"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+      .select(col("cell"), col("pos"), col("bkt"),
+        expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)").as("bs"),
+        size(col("arr")).cast("long").as("cnt"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"),
+        sum(col("cnt")).as("n"))
       .select(col("cell"), col("pos"),
-        (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
-          / size(col("arr"))).as("c"))
+        (expr("aggregate(transform(barr, t -> t.bs), 0D, (a, b) -> a + b)")
+          / col("n")).as("c"))
+
+  /** One k-means refinement step (the M-step) over the IVF assignment:
+    * per (cell, dimension) centroid means via the two-level bounded-state
+    * fold of [[centroidMeans]].
+    */
+  def kmeansStep(emb: DataFrame, cells: Int = 16, bucketShift: Int = 8): DataFrame =
+    centroidMeans(
+      emb
+        .join(ivfAssign(emb, cells), "vec_id")
+        .select(col("vec_id"), col("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd")),
+      bucketShift)
 
   /** Multi-iteration Lloyd k-means TRAINING over the embedding corpus —
     * the full clustering loop ([[kmeansStep]] is one M-step; this chains
@@ -340,12 +365,13 @@ object Similarity {
     * driver between iterations — the same bounded-collect contract as BPE
     * merge training (model state, never data). Per iteration: one
     * broadcast of the centroid table, one max_by hash aggregate for the
-    * E-step (16-way fanout collapses map-side, no window), one (cell,
-    * dimension)-keyed aggregate for the M-step whose per-group lists are
-    * bounded by cell population. Corpus crosses the wire once per
-    * iteration.
+    * E-step (16-way fanout collapses map-side, no window), and the
+    * two-level bucketed M-step fold of [[centroidMeans]] — no group ever
+    * materializes a cell's full population. Corpus crosses the wire once
+    * per iteration.
     */
-  def kmeansTrain(emb: DataFrame, cells: Int = 16, iters: Int = 2): DataFrame = {
+  def kmeansTrain(emb: DataFrame, cells: Int = 16, iters: Int = 2,
+      bucketShift: Int = 8): DataFrame = {
     require(cells > 0 && iters >= 0, "cells must be positive, iters non-negative")
     GraftFunctions.register(emb.sparkSession)
     val session = emb.sparkSession
@@ -365,13 +391,7 @@ object Similarity {
         .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
     }
     for (_ <- 1 to iters) {
-      val means = vecs.join(assign(), "vec_id")
-        .select(col("vec_id"), col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
-        .select(col("cell"), col("pos"),
-          (expr("aggregate(transform(arr, s -> s.x), 0D, (a, b) -> a + b)")
-            / size(col("arr"))).as("c"))
+      val means = centroidMeans(vecs.join(assign(), "vec_id"), bucketShift)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       val byCell = means.groupBy(_._1).map { case (cid, xs) =>
         cid -> xs.sortBy(_._2).map(_._3).toSeq

@@ -97,10 +97,12 @@ object PipelineOps {
       |a0 AS (SELECT vec_id, sub, j, sv FROM (
       |  SELECT vec_id, sub, j, sv, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
       |  FROM d0) x WHERE rn = 1),
-      |dim0 AS (SELECT sub, j, ks.k, sv[ks.k] AS x, vec_id
+      |dim0 AS (SELECT sub, j, ks.k, sv[ks.k] AS x, vec_id, vec_id >> 8 AS bkt
       |  FROM a0, (SELECT unnest(generate_series(1, 4)) AS k) ks),
-      |mean0 AS (SELECT sub, j, k, list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
-      |  FROM dim0 GROUP BY 1, 2, 3),
+      |bsb0 AS (SELECT sub, j, k, bkt, list_sum(list(x ORDER BY vec_id)) AS bs,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt FROM dim0 GROUP BY 1, 2, 3, 4),
+      |mean0 AS (SELECT sub, j, k, list_sum(list(bs ORDER BY bkt)) / CAST(SUM(cnt) AS BIGINT) AS c
+      |  FROM bsb0 GROUP BY 1, 2, 3),
       |cbm AS (SELECT sub AS cs, j, list(c ORDER BY k) AS cv FROM mean0 GROUP BY 1, 2),
       |cb AS (SELECT cb0.cs, cb0.j, COALESCE(cbm.cv, cb0.cv) AS cv
       |  FROM cb0 LEFT JOIN cbm ON cb0.cs = cbm.cs AND cb0.j = cbm.j)""".stripMargin
@@ -678,9 +680,10 @@ object PipelineOps {
     },
 
     // k-means M-step over the IVF cells: per-(cell, dim) centroid means
-    // via a fixed-order sequential fold (double addition is
-    // order-dependent; the sorted fold is what makes refined centroids
-    // reproducible across engines).
+    // via the two-level hierarchical exact-order fold (vec_id within
+    // bucket, bucket across — double addition is order-dependent, and
+    // the bucketing is what keeps per-group state bounded at scale; the
+    // oracle states the identical fold chain).
     Q.df(
       "p36_kmeans_step",
       s"""WITH $embCtes,
@@ -691,12 +694,14 @@ object PipelineOps {
          |      list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cent.cv[i])) / (n.nrm * cent.cn) DESC,
          |      cent.c_id) AS r
          |  FROM n, cent) x WHERE r = 1),
-         |px AS (SELECT a.vec_id, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
+         |px AS (SELECT a.vec_id, a.vec_id >> 8 AS bkt, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
          |  FROM asg a JOIN e ON e.vec_id = a.vec_id
-         |  CROSS JOIN generate_series(1, 64) t(i))
+         |  CROSS JOIN generate_series(1, 64) t(i)),
+         |bsb AS (SELECT cell, pos, bkt, list_sum(list(x ORDER BY vec_id)) AS bs,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2, 3)
          |SELECT cell, pos,
-         |  list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
-         |FROM px GROUP BY cell, pos""".stripMargin) { (s, dir) =>
+         |  list_sum(list(bs ORDER BY bkt)) / CAST(SUM(cnt) AS BIGINT) AS c
+         |FROM bsb GROUP BY cell, pos""".stripMargin) { (s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"))
     },
 
@@ -2698,11 +2703,13 @@ object PipelineOps {
          |  FROM n, $cent) x WHERE r = 1)"""
     val rounds = (0 until iters).map { k =>
       s"""${asgCte(s"asg$k", s"cent$k")},
-         |px$k AS (SELECT a.vec_id, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
+         |px$k AS (SELECT a.vec_id, a.vec_id >> 8 AS bkt, a.cell, CAST(i - 1 AS INT) AS pos, e.v[i] AS x
          |  FROM asg$k a JOIN e ON e.vec_id = a.vec_id
          |  CROSS JOIN generate_series(1, 64) t(i)),
-         |m$k AS (SELECT cell, pos, list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
-         |  FROM px$k GROUP BY 1, 2),
+         |bsb$k AS (SELECT cell, pos, bkt, list_sum(list(x ORDER BY vec_id)) AS bs,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt FROM px$k GROUP BY 1, 2, 3),
+         |m$k AS (SELECT cell, pos, list_sum(list(bs ORDER BY bkt)) / CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM bsb$k GROUP BY 1, 2),
          |cvn$k AS (SELECT cell AS c_id, list(c ORDER BY pos) AS cv FROM m$k GROUP BY 1),
          |cent${k + 1} AS (SELECT p.c_id, COALESCE(cvn$k.cv, p.cv) AS cv,
          |  sqrt(list_sum(list_transform(COALESCE(cvn$k.cv, p.cv), x -> x * x))) AS cn

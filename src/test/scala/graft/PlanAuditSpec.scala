@@ -368,6 +368,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("max_by") || p.contains("partial"), p)
   }
 
+  test("training M-steps: every per-vector collect_list is bucket-keyed (bounded state)") {
+    // The k-means / PQ M-steps sum doubles in exact vec_id order, which
+    // needs collect_list — but a collect_list keyed only by (cell, pos)
+    // materializes a cell's full population in one group, the
+    // executor-OOM shape at corpus scale. The two-level fold buckets by
+    // vec_id >> shift first; this pins that: in every aggregate, any
+    // collect_list whose element still references vec_id must carry the
+    // bucket key (or a vec_id-derived shiftright) among its grouping
+    // keys. Second-level collects (per-bucket sums, no vec_id) are
+    // exempt by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    def unbucketed(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate =>
+          val collectsVec = a.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[CollectList] &&
+                ae.references.exists(_.name == "vec_id")
+            case _ => false
+          })
+          val hasBucketKey = a.groupingExpressions.exists(g =>
+            g.references.exists(_.name == "bkt") ||
+              g.toString.toLowerCase.contains("shiftright"))
+          if (collectsVec && !hasBucketKey) Seq(a.simpleString(3)) else Nil
+      }.flatten
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    // Detector self-check: the pre-r11 flat shape (collect over the full
+    // cell population, no bucket key) must be flagged.
+    locally {
+      import org.apache.spark.sql.functions._
+      val flat = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
+      assert(unbucketed(flat).nonEmpty, "detector failed to flag the flat collect_list")
+    }
+    val asg = graft.ops.Similarity.kmeansStep(emb)
+    assert(unbucketed(asg).isEmpty, unbucketed(asg).mkString("\n"))
+    // pqAssign(trainIters = 1) embeds the trained codebook subtree, so
+    // the trainer's M-step aggregates are inside this plan.
+    val cb = graft.ops.ProductQuant.pqAssign(emb)
+    assert(unbucketed(cb).isEmpty, unbucketed(cb).mkString("\n"))
+    // kmeansTrain's per-iteration M-step is the same centroidMeans plan
+    // kmeansStep audits above; its returned assignment plan has no
+    // collect_list at all.
+    val tr = SparkEntry.queries("p89_kmeans_train")(spark, sf0001)
+    assert(unbucketed(tr).isEmpty, unbucketed(tr).mkString("\n"))
+  }
+
   test("bm25 top-k: query set broadcasts, bounded-heap agg, never a per-query window") {
     // The posting slice must semi-join the broadcast query terms BEFORE
     // the (doc, term) aggregate, and ranking must be the TopKByScore
