@@ -114,28 +114,36 @@ object Funnels {
 
   /** Per-user behavior-trajectory assembly — the sequence-dataset prep an
     * agent/behavior-model pipeline runs over an event log: each user's
-    * events in (ts, event_id) order collapsed to one example row with a
-    * fingerprint of the event-type sequence (the dedup/split key for
+    * events collapsed to one example row with a fingerprint of the first
+    * `cap` event types in (ts, event_id) order (the dedup/split key for
     * sequence datasets). Ordering is total (event_id breaks ts ties), so
-    * the fingerprint is engine-reproducible.
+    * the fingerprint is engine-reproducible; `truncated` marks users
+    * whose fingerprint covers only the cap prefix, so capped fingerprints
+    * are distinguishable from full ones.
     *
-    * Scale shape: one hash aggregate keyed on user; the per-user
-    * collect_list is bounded by that user's activity — the sequence IS
-    * the output, so any assembly pays it — and `cap` truncates the
-    * HASHED prefix so a runaway bot account cannot blow up the row.
-    * No window, no corpus-wide sort.
+    * Scale shape: one hash aggregate keyed on user, with BOUNDED
+    * per-group state — n_events/first_ts/last_ts are plain
+    * count/min/max, and the hashed prefix comes from the cap-bounded
+    * [[graft.functions.FirstKBySeq]] accumulator (≤ 2·cap entries per
+    * buffer), not a collect_list of the full sequence: a bot account
+    * with 10^8 events is a single-group executor OOM under the collect
+    * form, and a constant-state row here. No window, no corpus-wide
+    * sort.
     */
   def trajectories(events: DataFrame, cap: Int = 100000): DataFrame = {
     require(cap > 0, "cap must be positive")
     events
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
-        .as("arr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        graft.functions.FirstKBySeq.firstK(cap)(
+          unix_micros(col("ts")), col("event_id"), col("event_type")).as("head_types"))
       .select(col("user_id"),
-        size(col("arr")).cast("long").as("n_events"),
-        expr("element_at(arr, 1).ts").as("first_ts"),
-        expr("element_at(arr, -1).ts").as("last_ts"),
-        md5(concat_ws("|",
-          expr(s"transform(slice(arr, 1, $cap), s -> s.event_type)"))).as("traj_md5"))
+        col("n_events").cast("long").as("n_events"),
+        col("first_ts"), col("last_ts"),
+        md5(concat_ws("|", col("head_types"))).as("traj_md5"),
+        (col("n_events") > cap).as("truncated"))
   }
 }

@@ -2409,13 +2409,20 @@ object PipelineOps {
     },
 
     // Per-user behavior-trajectory assembly: one example row per user
-    // with a fingerprint of the totally-ordered event-type sequence —
-    // one user-keyed hash aggregate, no window, no corpus-wide sort.
+    // with a fingerprint of the FIRST `cap` event types in total
+    // (ts, event_id) order — one user-keyed hash aggregate with
+    // cap-bounded per-group state (count/min/max + the FirstKBySeq
+    // accumulator), no window, no corpus-wide sort, no full-sequence
+    // collect. The oracle applies the identical cap, and `truncated`
+    // marks capped fingerprints, so engine parity holds above the cap
+    // by construction.
     Q.df(
       "p104_trajectories",
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
-        |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS traj_md5
+        |  md5(array_to_string(
+        |    list_slice(list(event_type ORDER BY ts, event_id), 1, 100000), '|')) AS traj_md5,
+        |  COUNT(*) > 100000 AS truncated
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       graft.ops.Funnels.trajectories(t(s, dir, "events"))
     },

@@ -418,6 +418,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(unbucketed(tr).isEmpty, unbucketed(tr).mkString("\n"))
   }
 
+  test("trajectories: one user-keyed aggregate with cap-bounded state, no collect_list") {
+    // n_events/first/last are plain count/min/max and the fingerprint
+    // prefix is the FirstKBySeq bounded accumulator — the full-sequence
+    // collect_list (hot-user OOM) must not reappear, nor a window.
+    val df = SparkEntry.queries("p104_trajectories")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.toLowerCase.contains("collect_list"), p)
+    assert(p.contains("firstkbyseq") || p.contains("FirstKBySeq"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("bm25 top-k: query set broadcasts, bounded-heap agg, never a per-query window") {
     // The posting slice must semi-join the broadcast query terms BEFORE
     // the (doc, term) aggregate, and ranking must be the TopKByScore

@@ -1812,6 +1812,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val capped = graft.ops.Funnels.trajectories(ev, cap = 2).collect()(0)
     assert(capped.getAs[String]("traj_md5") == m("a|b"))
     assert(capped.getLong(1) == 3L) // count stays full; only the hash truncates
+    assert(capped.getAs[Boolean]("truncated"))
+    assert(!full.getAs[Boolean]("truncated"))
+  }
+
+  test("trajectories: one mega-user stays cap-bounded and matches the shuffled-order hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    // A bot-account shape: one user, many events, arriving in a shuffled
+    // partition order. The cap-bounded aggregate must hash exactly the
+    // first `cap` types in (ts, event_id) order, same as the full-collect
+    // form would, without ever holding more than 2*cap entries.
+    val n = 50000
+    val cap = 64
+    val ev = spark.range(n).select(
+      timestamp_micros((col("id") * 7919L) % 1000000L * 1000000L).as("ts"),
+      col("id").as("event_id"),
+      org.apache.spark.sql.functions.lit(1L).as("user_id"),
+      expr("concat('t', id % 5)").as("event_type"))
+      .repartition(16)
+    val r = graft.ops.Funnels.trajectories(ev, cap).collect()(0)
+    assert(r.getLong(1) == n.toLong)
+    assert(r.getAs[Boolean]("truncated"))
+    // Reference hash from the exact same rows via a driver-side sort.
+    val first = ev.collect().map(x => (x.getTimestamp(0).getTime, x.getLong(1), x.getString(3)))
+      .sortBy(t => (t._1, t._2)).take(cap).map(_._3)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("traj_md5") == m(first.mkString("|")))
   }
 
   test("corpus overlap sketch: exact at the extremes, close on the corpus") {
