@@ -523,25 +523,38 @@ object MediaHeaders {
           new String(b.slice(8, 12), "US-ASCII") == "WAVE") {
           var bits = 16; var channels = 1
           var i = 12
-          while (i + 8 <= b.length) {
+          var malformed = false
+          while (!malformed && i + 8 <= b.length) {
             val ck = new String(b.slice(i, i + 4), "US-ASCII")
             val sz = le32(b, i + 4)
-            if (ck == "fmt " && i + 8 + 16 <= b.length) {
-              channels = le16(b, i + 8 + 2)
-              bits = le16(b, i + 8 + 14)
-            } else if (ck == "data" && bits == 16) {
-              val end = math.min(b.length, i + 8 + sz)
-              var j = i + 8
-              while (j + 1 < end) {
-                val s = ((b(j) & 0xff) | (b(j + 1) << 8)).toShort.toInt
-                nSamples += 1
-                sumSq += s.toLong * s.toLong
-                if (math.abs(s) > peak) peak = math.abs(s)
-                j += 2
+            // A high-bit chunk size reads negative in int32; stepping by
+            // it would stall or walk backwards (sz = -8 never advances),
+            // hanging the executor thread on one malformed row. Long
+            // arithmetic also keeps i + 8 + sz from wrapping positive.
+            // Treat either as malformed: zero stats, stop the walk —
+            // the same defensive posture as imageStats.
+            val next = i.toLong + 8L + sz.toLong + (sz & 1).toLong
+            if (sz < 0 || next <= i || next > Int.MaxValue) {
+              malformed = true
+              nSamples = 0L; sumSq = 0L; peak = 0
+            } else {
+              if (ck == "fmt " && i + 8 + 16 <= b.length) {
+                channels = le16(b, i + 8 + 2)
+                bits = le16(b, i + 8 + 14)
+              } else if (ck == "data" && bits == 16) {
+                val end = math.min(b.length.toLong, i.toLong + 8L + sz.toLong).toInt
+                var j = i + 8
+                while (j + 1 < end) {
+                  val s = ((b(j) & 0xff) | (b(j + 1) << 8)).toShort.toInt
+                  nSamples += 1
+                  sumSq += s.toLong * s.toLong
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  j += 2
+                }
+                if (channels > 1) nSamples /= channels
               }
-              if (channels > 1) nSamples /= channels
+              i = next.toInt // RIFF chunks are 2-byte aligned
             }
-            i += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
           }
         }
         (id, nSamples, sumSq, peak)

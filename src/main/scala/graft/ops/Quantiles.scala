@@ -91,12 +91,16 @@ object Quantiles {
     * corpus, then re-aggregates — so everything after the single corpus
     * pass is bounded by distinct-value cardinality, and both medians'
     * windows range over distinct values within each of the d dimensions.
-    * Returns (pos, med, mad).
+    * `dims` bounds the dimensions considered (pos < dims), so op and
+    * oracle agree on the dimension count by construction even if some
+    * vectors are longer. Returns (pos, med, mad).
     */
   def robustDimStats(emb: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
     val byValue = emb
       .select(posexplode(
         expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+      .filter(col("pos") < dims)
       .groupBy(col("pos"), col("x").as("v")).agg(count(lit(1)).as("cnt"))
     def rankMedian(counts: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy(col("pos")).orderBy(col("v"))

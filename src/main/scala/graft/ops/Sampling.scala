@@ -91,18 +91,28 @@ object Sampling {
     * under re-runs AND under corpus growth (a doc stays sampled until N
     * better hashes exist — the property reproducible eval subsets need).
     *
-    * Scale shape: when N is driver-small the plan is TakeOrdered
-    * (per-partition heads merged, no global sort); a billion-row N
-    * should use [[GlobalRank.rowNumber]] over (h56, key) ≤ N instead —
-    * one range exchange. This op takes the TakeOrdered path and holds N
-    * to a sanity bound.
+    * Scale shape — auto-routed on N: below `driverSafeN` the plan is
+    * TakeOrdered (per-partition n-heads merged on the driver — cheap
+    * and exchange-free, but driver memory is n rows × #partition heads),
+    * above it the SAME row set comes from [[GlobalRank.rowNumber]] over
+    * (h56, key) ≤ N — one range exchange, nothing driver-resident. The
+    * routing is code, not a scaladoc caveat: a caller asking for 10^9
+    * examples gets the distributed plan without having to know about
+    * TakeOrdered's driver merge.
     */
-  def sampleExactlyN(df: DataFrame, n: Int, key: Column): DataFrame = {
-    require(n > 0 && n <= 10000000, "n must be in (0, 1e7] for the TakeOrdered path")
-    df.withColumn("__h", h56(key))
-      .orderBy(col("__h"), key)
-      .limit(n)
-      .drop("__h")
+  def sampleExactlyN(df: DataFrame, n: Int, key: Column,
+      driverSafeN: Int = 100000): DataFrame = {
+    require(n > 0, "n must be positive")
+    if (n <= driverSafeN)
+      df.withColumn("__h", h56(key))
+        .orderBy(col("__h"), key)
+        .limit(n)
+        .drop("__h")
+    else
+      GlobalRank.rowNumber(df.withColumn("__h", h56(key)),
+          Seq(col("__h"), key), "__rn")
+        .filter(col("__rn") <= n)
+        .drop("__h", "__rn")
   }
 
   /** Packing-efficiency card for a context window — the capacity-planning
@@ -144,7 +154,9 @@ object Sampling {
     * Returns (id named as input, source, rs, pos).
     */
   def curriculumInterleave(df: DataFrame, source: Column, key: Column): DataFrame = {
-    val keyed = df.select(key.as("id"), source.as("source"))
+    // Cast up front so a non-string source column (an int source id, say)
+    // works — the offset collect below reads the column as a string.
+    val keyed = df.select(key.as("id"), source.cast("string").as("source"))
     val ranked = GlobalRank.rowNumber(keyed,
       Seq(col("source"), h56(col("id")), col("id")), "rn_all")
     val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("c"))

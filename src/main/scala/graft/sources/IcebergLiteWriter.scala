@@ -1008,7 +1008,12 @@ object IcebergLiteWriter {
     * and data file reachable ONLY from expired snapshots. Reachability is
     * computed over ALL entry statuses, so a file that a retained snapshot
     * merely tombstoned (status 2) — still needed to reconstruct that
-    * snapshot's history — is never deleted.
+    * snapshot's history — is never deleted. On a merge-on-read table the
+    * parent CHAIN of any retained delete-carrying snapshot is retained
+    * too (the scan scopes equality deletes to their commit's parent
+    * listing), so expiry never strands a delete-applying reader —
+    * reclamation on MoR tables comes from [[compact]], which rewrites
+    * the deletes away, after which expiry reclaims the old layout.
     *
     * Scale note: the planning walk is proportional to manifest count, not
     * data size (same as scan planning), and deletes are issued per file —
@@ -1028,7 +1033,26 @@ object IcebergLiteWriter {
       val tailIds = snaps.takeRight(keepLast).flatMap(longOf(_, "snapshot-id")).toSet
       // Ref-targeted snapshots (tags/branches) are never expirable — the
       // whole point of a tag is to keep its snapshot addressable.
-      val keepIds = tailIds + currentId ++ refEntries(meta).map(_._2)
+      var keepIds = tailIds + currentId ++ refEntries(meta).map(_._2)
+      // MoR readability: the scan scopes an equality delete to the file
+      // listing at the delete snapshot's PARENT (IcebergLite.scan), so a
+      // retained snapshot that carries delete manifests needs its parent
+      // retained too — expiring the parent would leave the table
+      // unreadable in delete-applying mode ("snapshot not found"). Closed
+      // under iteration: a newly-retained parent may itself carry
+      // deletes. Bounded by the snapshot count.
+      val byId = snaps.flatMap(s => longOf(s, "snapshot-id").map(_ -> s)).toMap
+      var grown = true
+      while (grown) {
+        val parents = keepIds.flatMap(byId.get)
+          .filter(s => IcebergLite.currentManifests(conf, tableDir, meta,
+            longOf(s, "snapshot-id")).exists(_.content == 1))
+          .flatMap(s => longOf(s, "parent-snapshot-id"))
+          .filter(byId.contains)
+        val add = parents -- keepIds
+        grown = add.nonEmpty
+        keepIds ++= add
+      }
       snaps.filter(s => longOf(s, "snapshot-id").exists(keepIds))
     }
     val retainedIds = retained.flatMap(longOf(_, "snapshot-id")).toSet

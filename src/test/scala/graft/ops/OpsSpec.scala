@@ -1721,6 +1721,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("exactly-N sample: TakeOrdered and GlobalRank routes return the identical row set") {
+    val all = docs.select(col("doc_id"), col("lang"), col("source"))
+    val n = 50
+    // Force each route at the same n by moving the boundary around it.
+    val viaTakeOrdered = graft.ops.Sampling.sampleExactlyN(all, n, col("doc_id"),
+      driverSafeN = n)
+    val viaGlobalRank = graft.ops.Sampling.sampleExactlyN(all, n, col("doc_id"),
+      driverSafeN = n - 1)
+    val a = viaTakeOrdered.collect().map(_.getLong(0)).toSet
+    val b = viaGlobalRank.collect().map(_.getLong(0)).toSet
+    assert(a == b, s"routes disagree: ${(a diff b) ++ (b diff a)}")
+    assert(a.size == n)
+    // Schemas match too — the distributed route must not leak helper cols.
+    assert(viaTakeOrdered.columns.toSeq == viaGlobalRank.columns.toSeq)
+    // And the plans really differ: driver-merge head vs range exchange.
+    val pTake = viaTakeOrdered.queryExecution.executedPlan.toString
+    val pRank = viaGlobalRank.queryExecution.executedPlan.toString
+    assert(pTake.contains("TakeOrderedAndProject"), pTake.linesIterator.take(6).mkString("\n"))
+    assert(!pRank.contains("TakeOrderedAndProject"), pRank.linesIterator.take(6).mkString("\n"))
+  }
+
   test("integrity card counts missing pairs both ways and duplicate ids") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 3L).toDF("doc_id")
@@ -1938,6 +1959,18 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val junk = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     val z = graft.ops.MediaHeaders.audioStats(spark, junk).collect()(0)
     assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.getInt(3) == 0)
+    // A negative (high-bit) chunk size must terminate as malformed with
+    // zero stats — the naive walk steps i += 8 + sz and never advances
+    // (sz = -8), hanging the executor thread forever.
+    val bad = new java.io.ByteArrayOutputStream()
+    val h2 = graft.ops.MediaHeaders.synthWav(8000, 16, 1)
+    bad.write(h2, 0, h2.length)
+    "data".getBytes("US-ASCII").foreach(b => bad.write(b.toInt))
+    bad.write(0xf8); bad.write(0xff); bad.write(0xff); bad.write(0xff) // sz = -8
+    for (s <- Seq(100, -200)) { bad.write(s & 0xff); bad.write((s >>> 8) & 0xff) }
+    val badDf = Seq((9L, bad.toByteArray)).toDF("doc_id", "payload")
+    val m = graft.ops.MediaHeaders.audioStats(spark, badDf).collect()(0)
+    assert(m.getLong(1) == 0L && m.getLong(2) == 0L && m.getInt(3) == 0)
   }
 
   test("robust dim stats: hand-checked median/MAD, lower-median rank rule") {

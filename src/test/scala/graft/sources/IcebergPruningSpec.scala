@@ -741,4 +741,30 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     intercept[IcebergLite.ProbeError](
       IcebergLite.scan(spark, dir, snapshotId = Some(idC)).count())
   }
+
+  test("expiration keeps the parent chain of delete-carrying snapshots (MoR stays readable)") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_expire_mor") + "/warehouse/orders_expire_mor"
+    // S1 base, S2 atomic upsert (equality delete scoped to S1's listing),
+    // S3/S4 appends. keepLast = 3 would expire S1 by the tail rule alone —
+    // but the MoR scan resolves the S2 delete against S1's file listing,
+    // so expiring S1 makes every delete-applying read throw "snapshot not
+    // found". The retention closure must keep S1 alive.
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("o_orderkey", "o_totalprice")
+    IcebergLiteWriter.write(spark, base, dir)
+    IcebergLiteWriter.upsert(spark,
+      Seq((2L, 99.0)).toDF("o_orderkey", "o_totalprice"), dir, Seq("o_orderkey"))
+    IcebergLiteWriter.append(spark, Seq((4L, 40.0)).toDF("o_orderkey", "o_totalprice"), dir)
+    IcebergLiteWriter.append(spark, Seq((5L, 50.0)).toDF("o_orderkey", "o_totalprice"), dir)
+    val res = IcebergLiteWriter.expireSnapshots(spark, dir, keepLast = 3)
+    // Appends carry the delete manifest forward, so the closure walks the
+    // parent chain back to S1 — nothing is expirable here. That
+    // conservatism is the point: on a MoR table, reclamation comes from
+    // compaction (which rewrites the deletes away), not from expiry.
+    assert(res.expiredSnapshots == 0, s"MoR parent chain must be retained: $res")
+    val rows = IcebergLite.scan(spark, dir, applyDeletes = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L), rows)
+    assert(rows(2L) == 99.0, s"upserted value must win: $rows")
+  }
 }
