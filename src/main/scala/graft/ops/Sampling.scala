@@ -145,11 +145,19 @@ object Sampling {
     * interleaved-mixture order, engine-reproducible.
     *
     * Scale shape — NO per-source window (a mega-source would
-    * single-reduce): the within-source rank is the GLOBAL range-
-    * partitioned rank under (source, h56, key) minus each source's
-    * exclusive offset (a #sources-row table, broadcast); the interleave
-    * position is a second global rank under (rank, source). Two range
-    * exchanges, partition-offset arithmetic, nothing funnels.
+    * single-reduce) and only ONE range exchange: the within-source rank
+    * is the GLOBAL range-partitioned rank under (source, h56, key) minus
+    * each source's exclusive offset (a #sources-row table, broadcast).
+    * The interleave position then needs no second rank at all — it is
+    * CLOSED-FORM in (rs, source) given the per-source counts:
+    * pos = Σ_j min(c_j, rs−1)  (rows from every source with a smaller
+    * within-source rank) + #{sources before this one, by name, with
+    * c_j ≥ rs}  (same-rank rows from earlier sources) + 1. Both terms
+    * are per-row arithmetic over the #sources-sized count vector folded
+    * into the plan as literals — map-only, nothing funnels, nothing
+    * exchanges twice. (The earlier formulation ranked (rs, source, id)
+    * globally a second time; the whole second exchange + persist was
+    * constant cost for a value the counts already determine.)
     *
     * Returns (id named as input, source, rs, pos).
     */
@@ -159,17 +167,26 @@ object Sampling {
     val keyed = df.select(key.as("id"), source.cast("string").as("source"))
     val ranked = GlobalRank.rowNumber(keyed,
       Seq(col("source"), h56(col("id")), col("id")), "rn_all")
-    val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    // Counts come from the relation GlobalRank already persisted — no
+    // second pass over the raw input (h56 is not recomputed).
+    val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
     val exclusive = counts.map(_._1).zip(offsets.map(_._2)).toMap // source -> rows before it
     val session = df.sparkSession
     import session.implicits._
     val offDf = broadcast(exclusive.toSeq.toDF("source", "off"))
-    val withRs = ranked.join(offDf, "source")
+    def sq(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val cArr = counts.map(_._2).mkString("array(", "L, ", "L)")
+    val sArr = counts
+      .map { case (s, c) => s"named_struct('s', ${sq(s)}, 'c', ${c}L)" }
+      .mkString("array(", ", ", ")")
+    ranked.join(offDf, "source")
       .select(col("id"), col("source"), (col("rn_all") - col("off")).as("rs"))
-    GlobalRank.rowNumber(withRs, Seq(col("rs"), col("source"), col("id")), "pos")
-      .select(col("id"), col("source"), col("rs"), col("pos"))
+      .withColumn("pos", expr(
+        s"""CAST(aggregate($cArr, 0L, (a, x) -> a + least(x, rs - 1L))
+           | + size(filter($sArr, t -> t.s < source AND t.c >= rs)) + 1 AS BIGINT)"""
+          .stripMargin))
   }
 
   /** Distribution rebalancing (the data-mixing step of multilingual /
