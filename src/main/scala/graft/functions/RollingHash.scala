@@ -66,6 +66,7 @@ object GraftFunctions {
     reg("winnow_hashes", WinnowHashes.forArgs)
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
+    reg("bigram_bucket_counts", BigramBuckets.forArgs)
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)

@@ -340,31 +340,34 @@ object TextOps {
     * totals read "more target-like than corpus-average". Ratios/floats
     * never appear.
     *
-    * Scale shape: bigram+bucket generation is ROW-LOCAL (one md5 per
-    * occurrence); the bucket table is ONE map-side-combinable aggregate
-    * bounded by `buckets` rows (both distributions counted in the same
-    * pass via a filtered count); the stream then BROADCAST-joins that
-    * tiny table — no shuffle — and the per-doc sum partial-combines into
-    * the single doc-keyed shuffle. Two corpus scans, one shuffle.
+    * Scale shape: bigram hashing AND the per-document bucket counts are
+    * ROW-LOCAL — the codegen'd [[graft.functions.BigramBuckets]] kernel
+    * digests each pair straight from the token bytes and collapses a
+    * document's counts before anything explodes, so the exploded stream
+    * is one row per distinct (doc, bucket), not per occurrence. The
+    * bucket table is ONE map-side-combinable aggregate bounded by
+    * `buckets` rows (both distributions counted in the same pass via a
+    * filtered sum); the stream then BROADCAST-joins that tiny table — no
+    * shuffle — and the per-doc sum partial-combines into the single
+    * doc-keyed shuffle. The map-only feature lineage is computed once
+    * per consumer rather than pinned behind a shared aggregate exchange:
+    * A/B at the 10x slice (r11) reads 2.47 s without the shared exchange
+    * vs 4.17 s with it — the kernel made the re-scan cheaper than
+    * exchanging the corpus-sized (doc, bucket) relation (the r10
+    * exchange-share won only against the per-occurrence composed-SQL
+    * lineage, which cost 9.2 s here).
     *
     * Returns (doc_id, n_bigrams, dsir_bits).
     */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val feat = docs
       .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("bg")), 1, 14), 16, 10).cast("long") % buckets).as("b"))
-      // (doc, bucket) counts FIRST: both consumers — the bucket table and
-      // the per-doc scoring join — hang off this one aggregate's
-      // Exchange, so ReuseExchange runs the tokenize + md5 lineage ONCE.
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
+        explode(expr(s"bigram_bucket_counts(toks, $buckets)")).as(Seq("b", "c")))
     val bucketBits = feat.groupBy(col("b"))
       .agg(
         sum(col("c")).as("n_raw"),

@@ -340,20 +340,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   test("dsir weights: bucket table broadcasts, stream never shuffles for the join") {
     // The 4096-row bucket table is the ONLY join input that moves: it
-    // broadcasts, the corpus-sized bigram stream is joined map-side, and
-    // the doc aggregate partial-combines. A shuffle join here would move
-    // every bigram occurrence twice.
+    // broadcasts, the corpus-sized bucket-count stream is joined
+    // map-side, and the doc aggregate partial-combines. A shuffle join
+    // here would move the corpus relation twice. The feature lineage is
+    // the row-local bigram_bucket_counts kernel computed once per
+    // consumer (A/B-measured cheaper than a shared aggregate exchange,
+    // see TextOps.dsirWeights), so the plan must stay free of any
+    // corpus-keyed exchange beyond the final doc aggregate's.
     val df = SparkEntry.queries("p88_dsir_weights")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
     assert(p.contains("partial"), p)
-    // The tokenize + md5 lineage feeds both the bucket table and the
-    // scoring join through ONE (doc, bucket) aggregate exchange —
-    // visible as a ReusedExchange once AQE finalizes the plan.
-    df.queryExecution.toRdd.count()
-    val finalPlan = df.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert(p.contains("bigram_bucket_counts"), p)
   }
 
   test("kmeans training: E-step is a broadcast + max_by aggregate, never a window") {

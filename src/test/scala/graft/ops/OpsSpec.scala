@@ -1704,6 +1704,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(canonGroups <= exactGroups)
   }
 
+  test("bigram_bucket_counts matches the composed md5/conv form bucket by bucket") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = docs.limit(50)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val kernel = toks
+      .select(col("doc_id"), explode(expr("bigram_bucket_counts(toks, 64)")).as(Seq("b", "c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val composed = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("bg")), 1, 14), 16, 10).cast("long") % 64).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(kernel == composed,
+      s"diff: ${(kernel.toSet diff composed.toSet) ++ (composed.toSet diff kernel.toSet)}")
+  }
+
   test("exactly-N sample is stable under corpus growth") {
     val all = docs.select(col("doc_id"), col("lang"), col("source"))
     val n = 50
