@@ -67,6 +67,8 @@ object GraftFunctions {
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
     reg("bigram_bucket_counts", BigramBuckets.forArgs)
+    reg("term_counts", TermCounts.forArgs)
+    reg("pair_counts", exprs => PairCounts(exprs.head))
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)

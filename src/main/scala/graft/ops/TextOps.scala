@@ -250,45 +250,49 @@ object TextOps {
     * own pairs), so the quotient is always >= 1 and the join never drops
     * a row.
     *
-    * Scale shape: pair generation is ROW-LOCAL (same transform as p78);
-    * the corpus pair/context counts are vocabulary²-bounded map-side
-    * combinable aggregates, and their per-pair bit lengths are pre-joined
-    * on that SMALL relation — so the corpus-sized pair stream crosses the
-    * wire exactly twice (once combined into the pair counts, once
-    * re-keyed for the single bits join), and the final per-doc aggregate
-    * partial-combines before its shuffle. The two-join form (pair counts,
-    * then context counts) would re-shuffle the corpus-sized relation once
-    * per join; pre-reducing bits to one lookup table halves that.
+    * Scale shape: pair generation AND the per-document pair counts are
+    * ROW-LOCAL — the codegen'd [[graft.functions.PairCounts]] kernel
+    * collapses a document's duplicate pairs before anything explodes, so
+    * the exploded stream carries one (doc, pair, c) row per DISTINCT
+    * pair per document (the old per-occurrence struct transform ran its
+    * lambda frames interpreted). The corpus pair/context counts are
+    * vocabulary²-bounded map-side combinable aggregates, and their
+    * per-pair bit lengths are pre-joined on that SMALL relation — so the
+    * corpus-sized pair stream crosses the wire exactly twice (once
+    * combined into the pair counts, once re-keyed for the single bits
+    * join), and the final per-doc aggregate partial-combines before its
+    * shuffle. The two-join form (pair counts, then context counts) would
+    * re-shuffle the corpus-sized relation once per join; pre-reducing
+    * bits to one lookup table halves that. The map-only pair lineage is
+    * computed once per consumer rather than pinned behind a shared
+    * aggregate exchange (A/B at the 10x slice: the extra corpus-sized
+    * shuffle costs more than the re-scan saves).
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val pairs = withToks(docs)
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
-          .stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // NOTE: the tokenize + explode lineage is deliberately computed once
-    // per consumer (map-only) rather than pinned behind a shared
-    // (doc, pair) aggregate exchange — the A/B at the 10x slice showed
-    // the extra corpus-sized shuffle costs more than the re-scan saves
-    // (within-document pair duplication is too low to pay for it).
-    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("long").as("n_pair"))
-    val ctxCounts = pairCounts.groupBy(col("w1"))
+      .select(col("doc_id"), explode(expr("pair_counts(toks)")).as(Seq("pair", "c")))
+    val pairCounts = pairs.groupBy(col("pair"))
+      .agg(sum(col("c")).cast("long").as("n_pair"))
+    // Tokens split on the space, so the pair key's first space always
+    // separates w1 from w2 — substring_index recovers the context word.
+    val ctxCounts = pairCounts
+      .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
       .agg(sum(col("n_pair")).cast("long").as("n_ctx"))
-    val bits = pairCounts.join(ctxCounts, "w1")
-      .select(col("w1"), col("w2"),
-        (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
+    val bits = pairCounts
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(ctxCounts, "w1")
+      .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
     // shuffle_hash: the corpus-sized pair stream must not pay a
     // sort-merge sort — the vocabulary²-bounded bits side builds the
     // hash table, the stream probes.
     pairs
-      .join(bits.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(bits.hint("shuffle_hash"), Seq("pair"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).cast("long").as("n_pairs"),
-        sum(col("bits")).cast("long").as("bigram_bits"))
+        sum(col("c")).cast("long").as("n_pairs"),
+        sum(col("c") * col("bits")).cast("long").as("bigram_bits"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
@@ -543,13 +547,17 @@ object TextOps {
     * eval-set mining).
     *
     * Scale shape: the corpus is tokenized once; the posting slice keeps
-    * only tokens appearing in some query (broadcast semi-join BEFORE the
-    * (doc, term) aggregate, so the shuffle carries matching tokens only).
-    * Per-term document frequencies are a term-bounded aggregate joined
-    * back by broadcast; corpus stats are one 1-row aggregate. Ranking
-    * goes through the bounded-heap [[graft.functions.TopKByScore]] —
-    * partial aggregation caps every map-side buffer at k, so no
-    * per-query single-reducer window exists anywhere.
+    * only tokens appearing in some query, filtered ROW-LOCALLY inside
+    * the token array (an IN over the literal term set — Catalyst
+    * compiles large lists to a hashed InSet) BEFORE anything explodes,
+    * so the exploded stream and the (doc, term) aggregate see matching
+    * tokens only — the per-token explode of the whole corpus was the
+    * query's dominant constant. Per-term document frequencies are a
+    * term-bounded aggregate joined back by broadcast; corpus stats are
+    * one 1-row aggregate. Ranking goes through the bounded-heap
+    * [[graft.functions.TopKByScore]] — partial aggregation caps every
+    * map-side buffer at k, so no per-query single-reducer window exists
+    * anywhere.
     *
     * Determinism: per-(query, doc) scores sum the per-slot contributions
     * in FIXED slot order (conditional MAX pivot — each (query, doc,
@@ -573,13 +581,17 @@ object TextOps {
     val qdf = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) } }
       .toDF("query_id", "slot", "term")
+    GraftFunctions.register(spark)
     val base = withToks(docs)
+    def sqlLit(t: String) = "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val termList = queries.flatMap(_._2).distinct.map(sqlLit).mkString(", ")
+    // term_counts computes the per-doc posting slice row-locally (hashed
+    // set probe per token, codegen'd), so no per-token explode and no
+    // (doc, term) count aggregate exist at all — (doc, term) is unique
+    // by construction after the map explode.
     val posting = base
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .join(broadcast(qdf.select("term").distinct()), Seq("term"))
-      .groupBy(col("doc_id"), col("term"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+        explode(expr(s"term_counts(toks, array($termList))")).as(Seq("term", "tf")))
     val stats = base.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(size(col("toks")).cast("long")).as("sum_dl"))
