@@ -69,6 +69,7 @@ object GraftFunctions {
     reg("bigram_bucket_counts", BigramBuckets.forArgs)
     reg("term_counts", TermCounts.forArgs)
     reg("pair_counts", exprs => PairCounts(exprs.head))
+    reg("vec_fold_sum", exprs => VecFoldSum(exprs.head))
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)

@@ -433,13 +433,21 @@ object Similarity {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
     var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
+      // Level 1 folds WHOLE scaled vectors per bucket — the elementwise
+      // vec_fold_sum over the vec_id-sorted collect is bit-identical to
+      // a per-position scalar fold in the same order, but the corpus is
+      // never position-exploded: only the #buckets bucket-sum vectors
+      // explode (a metadata-sized relation) before the per-position
+      // level-2 fold. Per-group state stays max(2^bucketShift,
+      // N / 2^bucketShift) rows, as before.
       val w = vecs
         .withColumn("s", call_function("vec_dot", col("vd"), typedlit(v.toSeq)))
-        .select(col("vec_id"), col("bkt"), col("s"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy(col("pos"), col("bkt"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), (col("x") * col("s")).as("xs")))).as("arr"))
-        .select(col("pos"), col("bkt"),
-          expr("aggregate(transform(arr, t -> t.xs), 0D, (a, b) -> a + b)").as("bs"))
+        .withColumn("xs", expr("transform(vd, x -> x * s)"))
+        .groupBy(col("bkt"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("xs")))).as("arr"))
+        .select(col("bkt"),
+          expr("vec_fold_sum(transform(arr, t -> t.xs))").as("bsv"))
+        .select(col("bkt"), posexplode(col("bsv")).as(Seq("pos", "bs")))
         .groupBy(col("pos"))
         .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"))
         .select(col("pos"),
