@@ -102,12 +102,23 @@ object Quantiles {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
       .filter(col("pos") < dims)
       .groupBy(col("pos"), col("x").as("v")).agg(count(lit(1)).as("cnt"))
+    // One WindowExec computes BOTH the running count and the per-dimension
+    // total (same partitioning + ordering, different frames), so each
+    // median references its input exactly once — no join branch, no
+    // second scan of the counts relation. Beyond the execution saving,
+    // this keeps the WHOLE plan tree small: the former two-branch form,
+    // referenced again by the deviation pass, compounded into a tree
+    // Catalyst took multiple seconds to re-plan per run (planning, not
+    // execution, was ~90% of the query's wall at the 10x fixture).
     def rankMedian(counts: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy(col("pos")).orderBy(col("v"))
+      val cumW = Window.partitionBy(col("pos")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts.withColumn("cle", sum(col("cnt")).over(w))
-      val tot = counts.groupBy(col("pos")).agg(sum(col("cnt")).as("n"))
-      cum.join(tot, "pos")
+      val totW = Window.partitionBy(col("pos")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .select(col("pos"), col("v"),
+          sum(col("cnt")).over(cumW).as("cle"),
+          sum(col("cnt")).over(totW).as("n"))
         .groupBy(col("pos"))
         .agg(min(when(col("cle") >= ceil(lit(0.5) * col("n")).cast("long"), col("v")))
           .as(out))
