@@ -408,7 +408,78 @@ object DialectRewriter {
     "list_sort" -> "sort_array",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
-    "array_to_string" -> "array_join")
+    "array_to_string" -> "array_join",
+    // r11 additions — still pure renames with aligned semantics:
+    // arg_min/arg_max are Spark's min_by/max_by; list_value builds an
+    // array; list_concat is Spark's array concat; list_reverse is
+    // reverse; list_append/list_prepend match array_append/array_prepend
+    // (Spark 3.4/3.5+); regexp_matches and regexp_like both do partial
+    // (find-style) matching on two args — the 3-arg flags form fails
+    // arity at analysis, loudly.
+    "arg_min" -> "min_by",
+    "arg_max" -> "max_by",
+    "list_value" -> "array",
+    "list_concat" -> "concat",
+    "list_reverse" -> "reverse",
+    "list_append" -> "array_append",
+    "list_prepend" -> "array_prepend",
+    "regexp_matches" -> "regexp_like")
+
+  /** DuckDB functions with NO safe Spark rename (different return
+    * contract, lambda-as-string arguments, or format-code languages that
+    * do not line up). Detected at call positions so a user gets a precise
+    * 400 naming the limitation instead of Spark's UNRESOLVED_ROUTINE for
+    * a function the gateway nominally speaks the dialect of — the same
+    * design as the flat-file leftover detector. list_position/
+    * list_intersect are here deliberately: Spark's array_position returns
+    * 0 (not NULL) on a miss and array_intersect dedups, so a rename would
+    * silently change answers.
+    */
+  private val DuckUnsupported: Set[String] = Set(
+    "list_aggregate", "list_aggr", "list_apply", "list_reduce",
+    "list_unique", "list_has_any", "list_has_all",
+    "list_position", "list_indexof", "list_intersect",
+    "struct_pack", "struct_extract", "struct_insert",
+    "strftime", "strptime",
+    "epoch", "epoch_ms", "epoch_us", "epoch_ns")
+
+  private[gateway] def unsupportedDuckDbMessage(fn: String): String =
+    s"unsupported DuckDB function $fn; supported DuckDB-dialect functions: " +
+      (DuckRenames.keys ++ DuckSplitNames).toSeq.sorted.mkString(", ") +
+      "; plus read_csv/read_json/read_parquet single-path forms, " +
+      "iceberg_scan/iceberg_* table functions, and bracket slices x[i:j]"
+
+  /** Reject known-DuckDB functions with no mapping, at CALL positions
+    * outside literals/identifiers/comments. A separate pass — NOT inside
+    * [[convertDuckDbDialect]] — so the pre-pass itself stays TOTAL and
+    * idempotent over any text (the oracle corpus legitimately contains
+    * `struct_pack` destined for DuckDB); the gateway calls this only on
+    * statements about to run on Spark.
+    */
+  def rejectUnknownDuckFunctions(sql: String): Unit = {
+    val ranges = protectedRanges(sql)
+    val n = sql.length
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = 0
+    while (i < n) {
+      if (ranges.exists { case (a, b) => i >= a && i < b }) {
+        // Skip to the end of the protected range containing i.
+        i = ranges.collectFirst { case (a, b) if i >= a && i < b => b }.get
+      } else {
+        val c = sql.charAt(i)
+        if (isWordChar(c) && !c.isDigit && (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+          var j = i
+          while (j < n && isWordChar(sql.charAt(j))) j += 1
+          val word = sql.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+          var k = j
+          while (k < n && sql.charAt(k).isWhitespace) k += 1
+          if (k < n && sql.charAt(k) == '(' && DuckUnsupported.contains(word))
+            throw new IllegalArgumentException(unsupportedDuckDbMessage(word))
+          i = j
+        } else i += 1
+      }
+    }
+  }
 
   /** DuckDB's literal-delimiter split family: `split` in Spark takes a
     * REGEX, so the delimiter needs quoting, not just a rename.

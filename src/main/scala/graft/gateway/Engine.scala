@@ -62,6 +62,12 @@ object Engine {
     // Iceberg metadata/footer IO, or temp-view creation as side effects.
     val converted = DialectRewriter.convertDuckDbDialect(
       DialectRewriter.convertReadParquet(sql, cfg))
+    // Known-DuckDB functions with no safe Spark mapping get a precise 400
+    // naming the limitation (and the supported surface) instead of
+    // Spark's UNRESOLVED_ROUTINE — same design as the flat-file leftover
+    // detector, run only on statements about to execute on Spark.
+    try DialectRewriter.rejectUnknownDuckFunctions(converted)
+    catch { case e: IllegalArgumentException => throw EngineError(400, e.getMessage) }
     val (bound, binders) =
       try DialectRewriter.plan(spark, converted, cfg) // text-only (may reject a malformed travel timestamp)
       catch { case e: Exception => throw EngineError(400, s"Query execution failed: ${e.getMessage}") }

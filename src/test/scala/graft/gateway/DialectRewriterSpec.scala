@@ -144,6 +144,36 @@ class DialectRewriterSpec extends AnyFunSuite {
     assert(binders.isEmpty && ok.contains("read_csv(x, header=true)"))
   }
 
+  test("r11 renames: arg_min/arg_max, list_value, list_concat, regexp_matches") {
+    assert(duck("SELECT arg_min(a, b), arg_max(a, b) FROM t") ==
+      "SELECT min_by(a, b), max_by(a, b) FROM t")
+    assert(duck("SELECT list_value(1, 2, 3), list_concat(x, y) FROM t") ==
+      "SELECT array(1, 2, 3), concat(x, y) FROM t")
+    assert(duck("SELECT list_reverse(a), list_append(a, 1), list_prepend(0, a) FROM t") ==
+      "SELECT reverse(a), array_append(a, 1), array_prepend(0, a) FROM t")
+    assert(duck("SELECT * FROM t WHERE regexp_matches(s, 'ab+')") ==
+      "SELECT * FROM t WHERE regexp_like(s, 'ab+')")
+  }
+
+  test("known-DuckDB functions with no mapping get a precise rejection, not UNRESOLVED_ROUTINE") {
+    for (fn <- Seq("list_aggregate", "struct_pack", "strftime", "list_position")) {
+      val err = intercept[IllegalArgumentException](
+        DialectRewriter.rejectUnknownDuckFunctions(s"SELECT $fn(a, b) FROM t"))
+      assert(err.getMessage.contains(s"unsupported DuckDB function $fn"), err.getMessage)
+      assert(err.getMessage.contains("supported DuckDB-dialect functions"), err.getMessage)
+      assert(err.getMessage.contains("list_transform"), err.getMessage)
+    }
+    // Call position only: a bare word is a column, and literals/comments
+    // stay silent.
+    DialectRewriter.rejectUnknownDuckFunctions("SELECT strftime FROM t")
+    DialectRewriter.rejectUnknownDuckFunctions(
+      "SELECT 'strftime(a, b)' AS s FROM t -- struct_pack(x := 1)")
+    // The detector never fires on the converted oracle corpus's SPARK
+    // side; it is a gateway-only pass. (The pre-pass itself stays total
+    // over text containing struct_pack destined for DuckDB — see the
+    // idempotence test below.)
+  }
+
   test("the pre-pass is idempotent over the whole oracle corpus") {
     // The corpus' oracle SQL is real DuckDB dialect (unnest, len,
     // list_transform, generate_series all appear). One application must

@@ -223,6 +223,16 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
       "Drama" -> 2, "Crime" -> 1, "Sci-Fi" -> 1, "Adventure" -> 1))
   }
 
+  test("an unmapped DuckDB function returns a precise 400, not UNRESOLVED_ROUTINE") {
+    val r = post("/api/query",
+      s"""{"sql":"SELECT list_aggregate(a, 'sum') FROM t","connection":$connJson}""")
+    assert(r.statusCode() == 400, r.body())
+    val detail = obj(r).str("detail").getOrElse("")
+    assert(detail.contains("unsupported DuckDB function list_aggregate"), detail)
+    assert(detail.contains("supported DuckDB-dialect functions"), detail)
+    assert(!detail.contains("UNRESOLVED_ROUTINE"), detail)
+  }
+
   test("CORS headers present; unknown route 404") {
     val r = get("/nope")
     assert(r.statusCode() == 404)
