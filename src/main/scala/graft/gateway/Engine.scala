@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-import graft.sources.{IcebergLite, TableInfo}
+import graft.sources.{IcebergLite, IcebergLiteWriter, TableInfo}
 
 /** Per-request query execution (the reference's `run_query` +
   * `_duckdb_connection`, /root/reference/backend/main.py:361-388,567-620).
@@ -102,6 +102,59 @@ object Engine {
       rows = rows.toSeq.map(_.toSeq),
       stats = QueryStats(elapsedMs, bytes, rows.length.toLong),
       truncated = rows.length >= rowLimit)
+  }
+
+  /** Result of one maintenance compaction request: the delete-applying
+    * rewrite's counts plus the small-file compaction's.
+    */
+  final case class MaintenanceResult(
+      deletesApplied: Boolean, rewriteRewritten: Int, rewriteWritten: Int,
+      compactRewritten: Int, compactWritten: Int)
+
+  /** Maintenance endpoints mutate tables, so unlike the read-only query
+    * path they are OFF by default; `-Dgraft.gateway.maintenance=true`
+    * (or GRAFT_MAINTENANCE=true) opts in.
+    */
+  def maintenanceEnabled: Boolean =
+    sys.props.get("graft.gateway.maintenance")
+      .orElse(sys.env.get("GRAFT_MAINTENANCE"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Table maintenance: the delete guard's own remediation ("compact the
+    * table first") run in-house — a delete-applying rewrite when the
+    * table carries row-level deletes (no-op otherwise), then small-file
+    * compaction. Mirrors what the reference documents as an external
+    * `rewrite_data_files` call (backend/main.py:398-414).
+    */
+  def runCompaction(root: SparkSession, config: ConnectionConfig,
+      targetBytes: Long = 128L << 20,
+      tablePath: Option[String] = None): MaintenanceResult = {
+    if (!maintenanceEnabled)
+      throw EngineError(403,
+        "maintenance is disabled: compaction rewrites table data, so it is " +
+          "off by default on this read-only gateway; start with " +
+          "-Dgraft.gateway.maintenance=true (or GRAFT_MAINTENANCE=true) to enable it")
+    val cfg = Try(ConnectionConfig.validated(config)) match {
+      case Success(c) => c
+      case Failure(e) => throw EngineError(400, e.getMessage)
+    }
+    // A request-level tablePath (any path iceberg_scan could address —
+    // same trust model as the SQL table function) wins over the
+    // connection's S3-only tablePath field.
+    val path = tablePath.filter(_.nonEmpty).orElse(cfg.tablePath).getOrElse(
+      throw EngineError(400, "tablePath is required for compaction"))
+    val spark = root.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    applyStorageSettings(spark, cfg)
+    try {
+      val rw = IcebergLiteWriter.rewriteApplyingDeletes(spark, path)
+      val cp = IcebergLiteWriter.compact(spark, path, targetBytes)
+      MaintenanceResult(rw.written > 0, rw.rewritten, rw.written,
+        cp.rewritten, cp.written)
+    } catch {
+      case e: IcebergLite.ProbeError => throw EngineError(400, e.getMessage)
+      case e: Exception => throw EngineError(400, s"Compaction failed: ${firstLine(e)}")
+    }
   }
 
   /** Apply the request's storage settings as PER-SESSION per-bucket S3A

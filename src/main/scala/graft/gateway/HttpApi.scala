@@ -101,6 +101,26 @@ final class HttpApi(spark: SparkSession, port: Int, demoTablePath: Option[String
         case Failure(e) => respond(ex, Failure(e))
       }
     })
+    // Table maintenance (beyond-reference): the delete guard's own
+    // remediation run in-house — delete-applying rewrite + small-file
+    // compaction. Mutating, so gated off by default
+    // (-Dgraft.gateway.maintenance=true); see Engine.runCompaction.
+    server.createContext("/api/maintenance/compact", handlerWithBody { body =>
+      val conn = connectionFrom(body)
+      val targetBytes = body.flatMap(_.int("targetBytes")).map(_.toLong)
+        .getOrElse(128L << 20)
+      val r = Engine.runCompaction(spark, conn, targetBytes,
+        body.flatMap(_.str("tablePath")))
+      (200, JObj(
+        "status" -> JStr("success"),
+        "deletesApplied" -> JBool(r.deletesApplied),
+        "deleteRewrite" -> JObj(
+          "rewritten" -> JValue.num(r.rewriteRewritten.toLong),
+          "written" -> JValue.num(r.rewriteWritten.toLong)),
+        "compaction" -> JObj(
+          "rewritten" -> JValue.num(r.compactRewritten.toLong),
+          "written" -> JValue.num(r.compactWritten.toLong))))
+    })
     // SQL formatter (A15): the reference formats in the editor
     // (frontend/js/app.js:352-369); the engine exposes the same transform
     // as an endpoint so any client gets identical output.

@@ -563,11 +563,18 @@ object IcebergLite {
     val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
 
-    // Merge-on-read applies BOTH delete kinds (the default path still
-    // refuses all deletes via assertNoDeletes, matching the reference's
-    // guard, main.py:398-414 — opting in must not silently weaken it).
+    // Merge-on-read applies BOTH delete kinds. Without the opt-in, a
+    // delete-carrying LISTING is refused HERE, not just in
+    // [[assertNoDeletes]]: the scaladoc's "callers must guard first" was
+    // a convention, and the gateway's iceberg_scan('<path>') binder — a
+    // caller the connection-level guard never sees — could silently
+    // return removed rows (r11 fix; mirrors the reference's guard,
+    // main.py:398-414). Per-SNAPSHOT, so time travel to a pre-delete
+    // snapshot still reads cleanly while the current one is blocked.
     val posDeleteFiles = entries.filter(e => e.fileContent == 1 && e.status != 2).map(_.path)
     val eqDeleteEntries = entries.filter(e => e.fileContent == 2 && e.status != 2)
+    if (!applyDeletes && (posDeleteFiles.nonEmpty || eqDeleteEntries.nonEmpty))
+      throw DeleteGuardError(DeleteGuardMessage)
     val needDeletes = applyDeletes && (posDeleteFiles.nonEmpty || eqDeleteEntries.nonEmpty)
     val withFp = if (needDeletes) base.withColumn("__fp", col("_metadata.file_path")) else base
     // Position deletes: anti-join on (file path, row position). The delete
@@ -906,6 +913,14 @@ object IcebergLite {
 
   final case class DeleteGuardError(message: String) extends RuntimeException(message)
 
+  private[sources] val DeleteGuardMessage: String =
+    "Table has row-level deletes (position or equality). Reads would " +
+      "return rows the Iceberg metadata has marked removed, so the " +
+      "query is blocked rather than silently wrong. Compact the table " +
+      "first — this gateway's POST /api/maintenance/compact applies " +
+      "the deletes and rewrites the data files (start with " +
+      "-Dgraft.gateway.maintenance=true to enable it) — then retry."
+
   /** Delete-guard (reference main.py:391-423): block queries over tables
     * with row-level deletes; a probe *failure* degrades to a warning
     * rather than blocking (main.py:421-423).
@@ -913,11 +928,7 @@ object IcebergLite {
   def assertNoDeletes(spark: SparkSession, tablePath: String): Unit =
     Try(hasDeletes(sessionHadoopConf(spark), tablePath)) match {
       case Success(true) =>
-        throw DeleteGuardError(
-          "Table has row-level deletes (position or equality). Reads would " +
-            "return rows the Iceberg metadata has marked removed, so the " +
-            "query is blocked rather than silently wrong. Compact the table " +
-            "first, then retry.")
+        throw DeleteGuardError(DeleteGuardMessage)
       case Success(false) => ()
       case Failure(_) => () // degraded: cannot validate -> proceed with caution
     }

@@ -544,6 +544,55 @@ object IcebergLiteWriter {
     CompactionResult(rewritten, newFiles.size)
   }
 
+  /** Rewrite the table's CURRENT merged state (row-level deletes APPLIED)
+    * into fresh data files and commit the result as a REPLACE snapshot
+    * that carries no delete manifests — the in-engine analog of Iceberg's
+    * `rewrite_data_files`, i.e. the remediation the delete guard's
+    * "compact the table first" message tells users to run
+    * (reference backend/main.py:398-414 points at EXTERNAL engines for
+    * this; the gateway's maintenance endpoint closes that loop in-house).
+    * After the rewrite the table passes [[IcebergLite.assertNoDeletes]];
+    * time travel to pre-rewrite snapshots still reads the MoR layout.
+    *
+    * No-op (0, 0) on a table without deletes — plain [[compact]] covers
+    * the small-file case there. Returns (rewritten = live data files
+    * replaced, written = new files).
+    */
+  def rewriteApplyingDeletes(spark: SparkSession, tableDir: String): CompactionResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = IcebergLite.latestMetadataPath(conf, tableDir).getOrElse(
+      throw IcebergLite.ProbeError(s"No Iceberg metadata at $tableDir"))
+    val meta = IcebergLite.readMetadataJson(conf, metaPath)
+    val entries = IcebergLite.fileEntries(conf, tableDir)
+    if (!entries.exists(e => e.fileContent != 0 || e.manifestContent != 0))
+      return CompactionResult(0, 0)
+    val liveData = entries.filter(e =>
+      e.fileContent == 0 && e.manifestContent == 0 && e.status != 2)
+    val partCols = IcebergLite.partitionSpecDsl(meta)
+    val merged = IcebergLite.scan(spark, tableDir, applyDeletes = true)
+    val dataPath = new Path(s"$tableDir/data")
+    val fs = dataPath.getFileSystem(conf)
+    val before =
+      if (fs.exists(dataPath)) listParquet(fs, dataPath).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    writeStampedParquet(spark, merged, dataPath.toString, SaveMode.Append, partCols)
+    val newFiles = listParquet(fs, dataPath)
+      .filter(s => !before.contains(s.getPath.toString) &&
+        !s.getPath.getName.startsWith("delete-"))
+    val newEntries = newFiles.map { s =>
+      val stats = footerStats(conf, s.getPath)
+      entryRecord(1, s.getPath.toString, stats.recordCount, s.getLen,
+        partitionValuesOf(dataPath, s.getPath), stats.lower, stats.upper, stats.nullCounts)
+    }
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val manifestPath = new Path(s"$tableDir/metadata/manifest-$snapshotId-m0.avro")
+    val manifestLen = writeAvro(conf, manifestPath, ManifestEntrySchema, newEntries)
+    commitSnapshot(conf, tableDir, Some(meta), snapshotId,
+      Seq((manifestPath.toString, manifestLen, 0)), schemaJson = None,
+      partCols = partCols, carryPriorManifests = false, operation = "replace")
+    CompactionResult(liveData.size, newFiles.size)
+  }
+
   /** Commit a position-delete snapshot: writes the (file_path, pos) rows as
     * a real parquet delete file plus a content=1 manifest, carrying the
     * prior snapshot's manifests forward. `IcebergLite.scan(...,

@@ -233,6 +233,51 @@ class HttpApiSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterAll {
     assert(!detail.contains("UNRESOLVED_ROUTINE"), detail)
   }
 
+  test("maintenance compaction: 403 when disabled, remediated MoR table when enabled") {
+    import spark.implicits._
+    val dir = tmpDir("http_maint") + "/warehouse/maint/docs"
+    IcebergLiteWriter.write(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), dir)
+    IcebergLiteWriter.upsert(spark,
+      Seq((2L, 99.0)).toDF("id", "v"), dir, Seq("id"))
+    // The delete guard blocks queries on the MoR table and names the
+    // remediation endpoint (iceberg_scan's own guard; local paths can't
+    // ride connection.tablePath, which is S3-only by validation).
+    val blocked = post("/api/query",
+      s"""{"sql":"SELECT COUNT(*) AS n FROM iceberg_scan('$dir')","connection":$connJson}""")
+    assert(blocked.statusCode() == 400, blocked.body())
+    assert(obj(blocked).str("detail").getOrElse("").contains("/api/maintenance/compact"),
+      blocked.body())
+    // Off by default: mutating endpoints need the explicit opt-in.
+    assert(!Engine.maintenanceEnabled)
+    val denied = post("/api/maintenance/compact",
+      s"""{"tablePath":"$dir","connection":$connJson}""")
+    assert(denied.statusCode() == 403, denied.body())
+    assert(obj(denied).str("detail").getOrElse("").contains("maintenance is disabled"))
+    // Enabled: the delete-applying rewrite runs, and the table passes the
+    // guard with the upserted value winning.
+    System.setProperty("graft.gateway.maintenance", "true")
+    try {
+      val ok = post("/api/maintenance/compact",
+        s"""{"tablePath":"$dir","connection":$connJson}""")
+      assert(ok.statusCode() == 200, ok.body())
+      val o = obj(ok)
+      assert(o.get("deletesApplied").contains(JBool(true)), ok.body())
+      val q = post("/api/query",
+        s"""{"sql":"SELECT v FROM iceberg_scan('$dir') WHERE id = 2","connection":$connJson}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(obj(q).get("rows").contains(
+        JArr(Vector(JArr(Vector(JNum(BigDecimal(99.0))))))), q.body())
+    } finally System.clearProperty("graft.gateway.maintenance")
+    // A missing tablePath is a 400, not a crash.
+    System.setProperty("graft.gateway.maintenance", "true")
+    try {
+      val bad = post("/api/maintenance/compact", s"""{"connection":$connJson}""")
+      assert(bad.statusCode() == 400, bad.body())
+      assert(obj(bad).str("detail").getOrElse("").contains("tablePath"))
+    } finally System.clearProperty("graft.gateway.maintenance")
+  }
+
   test("CORS headers present; unknown route 404") {
     val r = get("/nope")
     assert(r.statusCode() == 404)

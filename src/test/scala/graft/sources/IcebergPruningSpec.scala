@@ -377,8 +377,11 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(!merged.select("r_regionkey").collect()
       .map(_.getAs[Number](0).longValue())
       .contains(victim.getAs[Number](2).longValue()))
-    // Without opting in, the raw scan still returns all 5 rows.
-    assert(IcebergLite.scan(spark, dir).count() == 5)
+    // Without opting in, the scan is refused OUTRIGHT (r11): the guard
+    // lives in scan itself, so a caller that skips assertNoDeletes —
+    // e.g. the gateway's iceberg_scan('<path>') binder — can never
+    // silently read removed rows.
+    assertThrows[IcebergLite.DeleteGuardError](IcebergLite.scan(spark, dir))
   }
 
   test("equality deletes: applied on the MoR path, scoped by commit order") {
@@ -391,10 +394,11 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     IcebergLiteWriter.addEqualityDeletes(spark, dir,
       Seq(1L, 3L).toDF("r_regionkey"))
 
-    // Default path still guarded, exactly as for position deletes.
+    // Default path still guarded, exactly as for position deletes —
+    // both at the metadata probe and in scan itself (r11).
     assertThrows[IcebergLite.DeleteGuardError](
       IcebergLite.assertNoDeletes(spark, dir))
-    assert(IcebergLite.scan(spark, dir).count() == 5)
+    assertThrows[IcebergLite.DeleteGuardError](IcebergLite.scan(spark, dir))
 
     // Opt-in merge removes exactly the matching rows — no refusal.
     val merged = IcebergLite.scan(spark, dir, applyDeletes = true)
@@ -416,8 +420,12 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergLite.scan(spark, dir,
       snapshotId = Some(preDeleteSnap), applyDeletes = true).count() == 5)
 
-    // Both kinds compose: position-delete one surviving row on top.
-    val victim = IcebergLite.scan(spark, dir)
+    // Both kinds compose: position-delete one surviving row on top. The
+    // victim's physical address comes from the PRE-DELETE snapshot scan
+    // (a delete-free listing, so the in-scan guard passes): key 2's
+    // original data file and row index are immutable across the later
+    // commits.
+    val victim = IcebergLite.scan(spark, dir, snapshotId = Some(preDeleteSnap))
       .select(col("_metadata.file_path"), col("_metadata.row_index"), col("r_regionkey"))
       .filter(col("r_regionkey") === 2).limit(1).collect()(0)
     IcebergLiteWriter.addPositionDeletes(spark, dir,
@@ -565,9 +573,9 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     val err = intercept[IcebergLite.ProbeError](
       IcebergLite.scan(spark, dir, applyDeletes = true))
     assert(err.getMessage.contains("equality-delete"))
-    // The default (no merge) scan is unaffected — the guard above is what
-    // protects it, exactly as for position deletes.
-    assert(IcebergLite.scan(spark, dir).count() == 5)
+    // The default (no merge) scan is refused by the in-scan guard (r11),
+    // exactly as for position deletes.
+    assertThrows[IcebergLite.DeleteGuardError](IcebergLite.scan(spark, dir))
   }
 
   test("scan planning fans out across many manifests deterministically") {
@@ -740,6 +748,38 @@ class IcebergPruningSpec extends AnyFunSuite with SparkFixture {
     // ...and expired snapshots are gone from the metadata.
     intercept[IcebergLite.ProbeError](
       IcebergLite.scan(spark, dir, snapshotId = Some(idC)).count())
+  }
+
+  test("rewriteApplyingDeletes turns a MoR table back into a guard-passing one") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg_rewrite_mor") + "/warehouse/orders_rewrite_mor"
+    IcebergLiteWriter.write(spark,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergLiteWriter.upsert(spark, Seq((2L, 99.0, "a")).toDF("id", "v", "p"), dir, Seq("id"))
+    val preRewriteSnap = IcebergLite.readMetadataJson(conf,
+      IcebergLite.latestMetadataPath(conf, dir).get)
+      .get("current-snapshot-id").collect {
+        case graft.gateway.JValue.JNum(n) => n.toLong
+      }.get
+    intercept[IcebergLite.DeleteGuardError](IcebergLite.assertNoDeletes(spark, dir))
+    val r = IcebergLiteWriter.rewriteApplyingDeletes(spark, dir)
+    assert(r.written > 0, s"$r")
+    // The guard passes now, and the merged state survived the rewrite —
+    // including the partition column (the rewrite re-partitions by the
+    // table's own spec).
+    IcebergLite.assertNoDeletes(spark, dir)
+    val rows = IcebergLite.scan(spark, dir)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getString(2)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), rows)
+    assert(rows(2L) == ((99.0, "a")), rows)
+    // Time travel to the pre-rewrite snapshot still reads the MoR layout.
+    assert(IcebergLite.scan(spark, dir, snapshotId = Some(preRewriteSnap),
+      applyDeletes = true).count() == 3)
+    // A clean table is a no-op, not a spurious rewrite.
+    assert(IcebergLiteWriter.rewriteApplyingDeletes(spark, dir) ==
+      IcebergLiteWriter.CompactionResult(0, 0))
   }
 
   test("expiration keeps the parent chain of delete-carrying snapshots (MoR stays readable)") {
