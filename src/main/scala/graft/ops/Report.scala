@@ -132,4 +132,90 @@ object Report {
     nDocs.crossJoin(nVecs).crossJoin(docsNoVec).crossJoin(vecsNoDoc)
       .crossJoin(dupDocs).crossJoin(dupVecs)
   }
+
+  /** Classifier CALIBRATION card — the reliability-diagram table an eval
+    * pass derives before trusting a quality filter's scores as
+    * probabilities (Guo et al. 2017's ECE input): the corpus bucketed by
+    * the hash classifier's score ([[TextOps.hashClassifierScore]]'s
+    * wsum / n_tokens), with each bucket's observed positive rate against
+    * a deterministic reference label (lang = 'en' here; a pipeline
+    * substitutes its labeled eval slice). A well-calibrated filter shows
+    * the rate rising monotonically with the bin.
+    *
+    * Integer-exact end to end: the bin is
+    * least((wsum + 6·n)·bins div (12·n), bins−1) — the score's [−6, 6]
+    * range shifted non-negative BEFORE the division, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree (they diverge on
+    * negative quotients) — and the rate is the cleared-denominator
+    * integer (n_pos << 20) div n. Scale shape: one row-local projection
+    * + ONE map-side-combinable aggregate keyed by the (≤ bins) bin ids —
+    * scan speed at any corpus size.
+    *
+    * Returns (bin, n_docs, n_pos, pos_rate_q20, sum_wsum, sum_tokens).
+    */
+  def calibrationCard(docs: DataFrame, dim: Int = 1024, bins: Int = 8): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val scored = TextOps.hashClassifierScore(docs, dim)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("n_tokens") > 0)
+      .select(
+        least(
+          expr(s"(wsum + 6 * n_tokens) * $bins div (12 * n_tokens)"),
+          lit(bins - 1).cast("long")).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        col("wsum"), col("n_tokens"))
+    scored
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("wsum")).cast("long").as("sum_wsum"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("CAST((n_pos * 1048576) DIV n_docs AS BIGINT)").as("pos_rate_q20"),
+        col("sum_wsum"), col("sum_tokens"))
+  }
+
+  /** Zipf-law card — the rank-frequency power-law check a corpus health
+    * pass runs on the vocabulary (natural text follows freq ∝ rank^(−s)
+    * with s ≈ 1; heavy template/boilerplate contamination or synthetic
+    * text bends the curve): the least-squares slope of floor(log2 tf)
+    * against floor(log2 rank), with the regression emitted as its EXACT
+    * integer numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) so any
+    * engine reproduces it bit-for-bit, plus the one-IEEE-division slope.
+    * The final products are computed in DECIMAL(38,0) (DuckDB: HUGEINT):
+    * n·Σxy grows like n²·log²(n) and leaves int64 already at a ~5·10⁷
+    * term vocabulary — a size real web corpora exceed.
+    *
+    * Scale shape: one token explode into a vocabulary-bounded (word, tf)
+    * aggregate; the rank comes from [[GlobalRank.rowNumber]] under
+    * (−tf, word) — range exchange + partition offsets, no single-reducer
+    * window even at a billion-term vocabulary; the regression sums are
+    * ONE map-side-combinable aggregate over bit lengths. Returns one row
+    * (n_terms, zipf_num, zipf_den, slope).
+    */
+  def zipfCard(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    val ranked = GlobalRank.rowNumber(tf, Seq(-col("tf"), col("word")), "rank")
+    ranked
+      .select(
+        (length(bin(col("rank"))) - 1).cast("long").as("x"),
+        (length(bin(col("tf"))) - 1).cast("long").as("y"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx").cast(Dec).as("sx"), col("sy").cast(Dec).as("sy"),
+        col("sxy").cast(Dec).as("sxy"), col("sxx").cast(Dec).as("sxx"))
+      .select(
+        col("n").as("n_terms"),
+        (col("n").cast(Dec) * col("sxy") - col("sx") * col("sy")).cast(Dec).as("zipf_num"),
+        (col("n").cast(Dec) * col("sxx") - col("sx") * col("sx")).cast(Dec).as("zipf_den"))
+      .select(col("n_terms"), col("zipf_num"), col("zipf_den"),
+        (col("zipf_num").cast("double") / col("zipf_den").cast("double")).as("slope"))
+  }
+
+  private val Dec = "decimal(38,0)"
 }

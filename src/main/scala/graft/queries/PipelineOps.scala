@@ -2589,6 +2589,56 @@ object PipelineOps {
         |FROM t""".stripMargin) { (s, dir) =>
       graft.ops.Sampling.packingCard(t(s, dir, "documents"), 512)
     },
+
+    // Classifier calibration card: corpus bucketed by the p56 hash
+    // classifier's score, per-bin positive rate vs the lang='en'
+    // reference label — integer bins (range shifted non-negative before
+    // the division so both engines' integer division agrees) and
+    // cleared-denominator rates; ONE map-side-combinable aggregate.
+    Q.df(
+      "p113_calibration_card",
+      """WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, w ->
+        |    (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024) % 13 - 6)) AS BIGINT) AS wsum
+        |  FROM tok WHERE len(toks) > 0),
+        |b AS (SELECT
+        |  least((wsum + 6 * n_tokens) * 8 // (12 * n_tokens), 7) AS bin,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, wsum, n_tokens FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST((SUM(pos) * 1048576) // COUNT(*) AS BIGINT) AS pos_rate_q20,
+        |  CAST(SUM(wsum) AS BIGINT) AS sum_wsum,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Report.calibrationCard(t(s, dir, "documents"), 1024, 8)
+    },
+
+    // Zipf-law card: least-squares slope of floor(log2 tf) against
+    // floor(log2 rank) over the vocabulary, emitted as exact integer
+    // numerator/denominator plus the one-IEEE-division slope. The rank
+    // is the distributed GlobalRank (the oracle's single-reducer window
+    // is exactly what the op avoids at a billion-term vocabulary).
+    Q.df(
+      "p114_zipf_card",
+      """WITH tf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS rank FROM tf),
+        |b AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+        |  CAST(length(bin(tf)) - 1 AS BIGINT) AS y FROM r),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM b)
+        |SELECT n AS n_terms,
+        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS zipf_num,
+        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS zipf_den,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
+        |FROM s""".stripMargin) { (s, dir) =>
+      graft.ops.Report.zipfCard(t(s, dir, "documents"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1763,6 +1763,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!pRank.contains("TakeOrderedAndProject"), pRank.linesIterator.take(6).mkString("\n"))
   }
 
+  test("zipf card: hand-checked regression over a known rank-frequency ladder") {
+    import spark.implicits._
+    // tf = 8, 4, 2, 1 -> ranks 1..4; x = floor(log2 rank) = 0,1,1,2;
+    // y = floor(log2 tf) = 3,2,1,0. n=4 sx=4 sy=6 sxy=3 sxx=6:
+    // num = 4*3 - 4*6 = -12, den = 4*6 - 16 = 8, slope = -1.5.
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.ops.Report.zipfCard(d).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDecimal(1).longValueExact() == -12L)
+    assert(r.getDecimal(2).longValueExact() == 8L)
+    assert(r.getDouble(3) == -1.5)
+  }
+
+  test("calibration card: bins partition the corpus; rates are exact cleared integers") {
+    val card = graft.ops.Report.calibrationCard(docs).collect()
+    val total = docs.filter(org.apache.spark.sql.functions
+      .size(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(col("text")), " ")) > 0).count()
+    assert(card.map(_.getLong(1)).sum == total, "bins must partition the corpus")
+    card.foreach { r =>
+      val (bin, n, pos, rate) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin < 8, s"bin $bin out of range")
+      assert(pos <= n)
+      assert(rate == (pos << 20) / n, s"rate mismatch at bin $bin")
+    }
+  }
+
   test("integrity card counts missing pairs both ways and duplicate ids") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 3L).toDF("doc_id")
