@@ -70,6 +70,7 @@ object GraftFunctions {
     reg("term_counts", TermCounts.forArgs)
     reg("pair_counts", exprs => PairCounts(exprs.head))
     reg("vec_fold_sum", exprs => VecFoldSum(exprs.head))
+    reg("hash_weight_sum", HashWeightSum.forArgs)
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)

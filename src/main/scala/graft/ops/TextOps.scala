@@ -706,18 +706,19 @@ object TextOps {
     * model swaps in a broadcast weight array without changing the plan.
     *
     * Scale shape: map-only — one projection over the scan, the token sum
-    * folds row-locally in codegen'd `aggregate`, no shuffle at any
-    * corpus size. The integer weight sum is exact; the single final
-    * division is one IEEE op, so scores are engine-reproducible.
+    * is the codegen'd [[graft.functions.HashWeightSum]] kernel (one
+    * digest per token over the raw bytes; the composed higher-order
+    * `aggregate` ran its lambda frames interpreted with an md5-to-hex
+    * string and a base-16 parse per token), no shuffle at any corpus
+    * size. The integer weight sum is exact; the single final division is
+    * one IEEE op, so scores are engine-reproducible.
     */
   def hashClassifierScore(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val scored = withToks(docs).select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
-      expr(
-        s"""aggregate(toks, 0L, (a, w) ->
-           |  a + ((CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $dim) % 13 - 6))"""
-          .stripMargin).as("wsum"))
+      expr(s"hash_weight_sum(toks, $dim)").as("wsum"))
     val score = col("wsum").cast("double") / col("n_tokens").cast("double")
     scored.select(
       col("doc_id"), col("n_tokens"), col("wsum"),
