@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkFixture
+
+/** Property tests for the r11 codegen kernels: each must be bit/value-
+  * identical to the composed form it replaced, on arbitrary token
+  * arrays — the kernels exist for speed, never for different answers.
+  * Generators are sampled directly with fixed seeds (the
+  * scalatest-scalacheck bridge is not in the offline cache), and the
+  * reference computations are written independently (JVM BigInt/MD5 on
+  * strings), not by calling the kernel twice.
+  */
+class KernelPropertySpec extends AnyFunSuite with SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1337L + i)))
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("the", "a", "über", "日本", "", "x'y", "a b")) // incl. empty + multibyte
+  private val toks: Gen[Array[String]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, token).map(_.toArray))
+
+  private def arrayData(ts: Array[String]): GenericArrayData =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t).asInstanceOf[AnyRef]))
+
+  private def md5Prefix(s: String, bytes: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    (0 until bytes).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+  }
+
+  test("bigram_bucket_counts == per-occurrence md5 prefix mod buckets (150 samples)") {
+    samples(toks, 150).foreach { ts =>
+      val m = BigramBuckets.compute(arrayData(ts), 64)
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray.getLong(i) -> m.valueArray.getLong(i)).toMap
+      val want = ts.sliding(2).filter(_.length == 2)
+        .map(p => md5Prefix(p(0) + " " + p(1), 7) % 64)
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, ts.mkString("[", ",", "]"))
+    }
+  }
+
+  test("term_counts == filtered frequency map (150 samples)") {
+    val termSet = new java.util.HashSet[UTF8String]()
+    Seq("the", "a", "日本", "").foreach(t => termSet.add(UTF8String.fromString(t)))
+    samples(toks, 150).foreach { ts =>
+      val m = TermCounts.compute(arrayData(ts), termSet)
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray.getUTF8String(i).toString -> m.valueArray.getLong(i)).toMap
+      val want = ts.filter(Set("the", "a", "日本", "").contains)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      assert(got == want, ts.mkString("[", ",", "]"))
+    }
+  }
+
+  test("pair_counts == adjacent-pair frequency map (150 samples)") {
+    samples(toks, 150).foreach { ts =>
+      val m = PairCounts.compute(arrayData(ts))
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray.getUTF8String(i).toString -> m.valueArray.getLong(i)).toMap
+      val want = ts.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + " " + p(1))
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, ts.mkString("[", ",", "]"))
+    }
+  }
+
+  test("hash_weight_sum == per-token md5 bucket weights (150 samples)") {
+    samples(toks, 150).foreach { ts =>
+      val got = HashWeightSum.compute(arrayData(ts), 1024)
+      val want = ts.map(t => (md5Prefix(t, 4) % 1024) % 13 - 6).sum
+      assert(got == want, ts.mkString("[", ",", "]"))
+    }
+  }
+
+  test("vec_fold_sum == per-position sequential scalar fold, bit for bit (100 samples)") {
+    val vec: Gen[Array[Double]] = Gen.listOfN(8,
+      Gen.oneOf(Gen.chooseNum(-1e9, 1e9), Gen.oneOf(0.0, -0.0, 1e-300, -1e300)))
+      .map(_.toArray)
+    val vecs: Gen[Array[Array[Double]]] =
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, vec).map(_.toArray))
+    samples(vecs, 100).foreach { vs =>
+      val in = new GenericArrayData(
+        vs.map(v => new GenericArrayData(v).asInstanceOf[AnyRef]))
+      val got = VecFoldSum.compute(in).toDoubleArray()
+      val want = Array.tabulate(if (vs.isEmpty) 0 else 8) { p =>
+        vs.foldLeft(0.0)((a, v) => a + v(p)) // same +0.0 seed, same order
+      }
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(java.lang.Double.doubleToRawLongBits(g) ==
+          java.lang.Double.doubleToRawLongBits(w), s"$g vs $w")
+      }
+    }
+  }
+
+  test("FirstKBySeq == global sort-take under arbitrary partition splits (100 samples)") {
+    val row: Gen[(Long, Long, String)] = for {
+      ts <- Gen.chooseNum(0L, 50L) // small range forces seq ties
+      id <- Gen.chooseNum(0L, 1000000L)
+      s <- token
+    } yield (ts, id, s)
+    val rows: Gen[List[(Long, Long, String)]] =
+      Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, row))
+    val agg = new FirstKBySeq(5)
+    samples(rows, 100).foreach { rs =>
+      // Distinct ids make (seq, id) a total order, as the op requires.
+      val distinct = rs.distinctBy(_._2)
+      // Random 3-way split + per-partition reduce + merge in both orders.
+      val parts = distinct.zipWithIndex.groupBy(_._2 % 3).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      val mergedRev = parts.reverse.foldLeft(agg.zero)(agg.merge)
+      val want = distinct.sortBy(t => (t._1, t._2)).take(5).map(_._3)
+      assert(agg.finish(merged) == want)
+      assert(agg.finish(mergedRev) == want)
+    }
+  }
+}
