@@ -71,6 +71,7 @@ object GraftFunctions {
     reg("pair_counts", exprs => PairCounts(exprs.head))
     reg("vec_fold_sum", exprs => VecFoldSum(exprs.head))
     reg("hash_weight_sum", HashWeightSum.forArgs)
+    reg("pq_code", PqCode.forArgs)
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)
