@@ -33,9 +33,10 @@ case class PqCode(left: Expression, right: Expression,
       right.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"pq_code requires array<double> subvectors, got ${right.dataType.catalogString}")
-    else if (ks < 1 || subDim < 1 || cbFlat.length % (ks * subDim) != 0)
+    else if (ks < 1 || subDim < 1 || cbFlat.length == 0 ||
+      cbFlat.length % (ks * subDim) != 0)
       TypeCheckResult.TypeCheckFailure(
-        s"pq_code codebook length ${cbFlat.length} is not a multiple of ks*subDim")
+        s"pq_code codebook length ${cbFlat.length} must be a nonzero multiple of ks*subDim")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = IntegerType
@@ -90,6 +91,15 @@ object PqCode {
   /** Referenced from generated code — keep public and stable. */
   def compute(sub: Int, sv: ArrayData, cbFlat: Array[Double],
       ks: Int, subDim: Int): Int = {
+    // Validate before indexing: a short subvector or an out-of-range
+    // subspace index gets a named error, not an AIOOBE from codegen.
+    val m = cbFlat.length / (ks * subDim)
+    if (sub < 0 || sub >= m)
+      throw new IllegalArgumentException(
+        s"pq_code: subspace index $sub out of range [0, $m)")
+    if (sv.numElements() < subDim)
+      throw new IllegalArgumentException(
+        s"pq_code: subvector has ${sv.numElements()} dims, codebook expects $subDim")
     val base = sub * ks * subDim
     var bestJ = 0
     var bestD = java.lang.Double.POSITIVE_INFINITY

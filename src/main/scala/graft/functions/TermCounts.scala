@@ -30,9 +30,10 @@ case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpres
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if terms.nonEmpty => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) =>
-      TypeCheckResult.TypeCheckFailure("term_counts requires a non-empty term set")
+    // An empty term set is legal and returns an empty map — callers
+    // composing the term list dynamically (bm25TopK with no queries)
+    // must not fail at analysis time.
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"term_counts requires array<string>, got ${other.catalogString}")
   }

@@ -440,13 +440,104 @@ object DialectRewriter {
     "list_unique", "list_has_any", "list_has_all",
     "list_position", "list_indexof", "list_intersect",
     "struct_pack", "struct_extract", "struct_insert",
-    "strftime", "strptime",
     "epoch", "epoch_ms", "epoch_us", "epoch_ns")
+
+  /** DuckDB's C-style format-code functions (r12): translated to
+    * date_format/to_timestamp when the format is a string literal whose
+    * codes all sit in [[FormatCodes]]; anything else keeps a precise 400
+    * naming the exact reason (unknown code, computed format, arity).
+    */
+  private val DuckFormatFns = Set("strftime", "strptime")
+
+  /** C strftime code → Spark datetime pattern fragment. Only codes whose
+    * Spark pattern is value-identical are mapped — %g (DuckDB millis) and
+    * %n (nanos) are deliberately absent: a wrong fraction width would
+    * silently change answers, the list_position design rule.
+    */
+  private[gateway] val FormatCodes: Map[String, String] = Map(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
+    "%f" -> "SSSSSS", "%j" -> "DDD", "%p" -> "a",
+    "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
+    "%-d" -> "d", "%-m" -> "M", "%-H" -> "H", "%-I" -> "h",
+    "%-M" -> "m", "%-S" -> "s", "%-j" -> "D", "%%" -> "%")
+
+  /** Translate a C strftime format string into a Spark datetime pattern.
+    * Literal runs containing a letter (or a quote) are single-quoted —
+    * letters are pattern-reserved in Java's DateTimeFormatter and an
+    * embedded quote doubles. Left(reason) on any code outside the table.
+    */
+  private[gateway] def translateFormat(fmt: String): Either[String, String] = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        val code =
+          if (i + 2 < fmt.length && fmt.charAt(i + 1) == '-') fmt.substring(i, i + 3)
+          else if (i + 1 < fmt.length) fmt.substring(i, i + 2)
+          else return Left("dangling % at end of format")
+        FormatCodes.get(code) match {
+          case Some("%") => lit.append('%') // %% is literal text
+          case Some(p) => flush(); out.append(p)
+          case None => return Left(
+            s"format code $code has no exact Spark datetime-pattern equivalent " +
+              s"(supported: ${FormatCodes.keys.toSeq.sorted.mkString(" ")})")
+        }
+        i += code.length
+      } else { lit.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    Right(out.toString)
+  }
+
+  /** Attempt to translate a `strftime`/`strptime` call whose opening
+    * paren sits at `open`: Right((replacement, closeIdx)) or Left(reason).
+    * The format is identified as the string-literal argument containing a
+    * `%` code, so both DuckDB's (value, format) order and the Python-ish
+    * (format, value) order translate. TOTAL over arbitrary text — the
+    * convert pre-pass leaves Left cases untouched and the reject pass
+    * turns the same Left into the precise 400.
+    */
+  private def translateFormatCall(word: String, sql: String,
+      open: Int): Either[String, (String, Int)] =
+    splitArgs(sql, open) match {
+      case Some((args, close)) if args.length == 2 =>
+        val trimmed = args.map(_.trim)
+        val fmtIdx = trimmed.indexWhere {
+          case SimpleLiteralRe(body) => body.contains('%')
+          case _ => false
+        }
+        if (fmtIdx < 0)
+          Left(s"$word needs a string-literal format containing % codes " +
+            "(a computed format cannot be translated at rewrite time)")
+        else {
+          val body = SimpleLiteralRe.findFirstMatchIn(trimmed(fmtIdx)).get.group(1)
+          translateFormat(body.replace("''", "'")).map { pattern =>
+            val value = convertDuckDbDialect(trimmed(1 - fmtIdx))
+            val patLit =
+              "'" + pattern.replace("\\", "\\\\").replace("'", "''") + "'"
+            val fn = if (word == "strftime") "date_format" else "to_timestamp"
+            (s"$fn($value, $patLit)", close)
+          }
+        }
+      case Some((args, _)) =>
+        Left(s"$word takes (value, format); got ${args.length} arguments")
+      case None => Left(s"$word call has unbalanced parentheses")
+    }
 
   private[gateway] def unsupportedDuckDbMessage(fn: String): String =
     s"unsupported DuckDB function $fn; supported DuckDB-dialect functions: " +
       (DuckRenames.keys ++ DuckSplitNames).toSeq.sorted.mkString(", ") +
-      "; plus read_csv/read_json/read_parquet single-path forms, " +
+      "; plus strftime/strptime with a string-literal format, " +
+      "read_csv/read_json/read_parquet single-path forms, " +
       "iceberg_scan/iceberg_* table functions, and bracket slices x[i:j]"
 
   /** Reject known-DuckDB functions with no mapping, at CALL positions
@@ -475,6 +566,12 @@ object DialectRewriter {
           while (k < n && sql.charAt(k).isWhitespace) k += 1
           if (k < n && sql.charAt(k) == '(' && DuckUnsupported.contains(word))
             throw new IllegalArgumentException(unsupportedDuckDbMessage(word))
+          if (k < n && sql.charAt(k) == '(' && DuckFormatFns.contains(word))
+            translateFormatCall(word, sql, k) match {
+              case Left(reason) => throw new IllegalArgumentException(
+                s"unsupported DuckDB function $word call: $reason")
+              case Right(_) => // translatable — convert pass handles it
+            }
           i = j
         } else i += 1
       }
@@ -526,7 +623,14 @@ object DialectRewriter {
         var k = j
         while (k < n && sql.charAt(k).isWhitespace) k += 1
         val isCall = k < n && sql.charAt(k) == '('
-        if (isCall && DuckSplitNames.contains(word)) {
+        if (isCall && DuckFormatFns.contains(word)) {
+          translateFormatCall(word, sql, k) match {
+            case Right((replacement, close)) =>
+              out.append(replacement); i = close + 1
+            case Left(_) => // untranslatable — reject pass gives the 400
+              out.append(sql, i, j); i = j
+          }
+        } else if (isCall && DuckSplitNames.contains(word)) {
           splitArgs(sql, k) match {
             case Some((args, close)) if args.length == 2 =>
               out.append("split(")

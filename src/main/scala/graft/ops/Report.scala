@@ -185,7 +185,12 @@ object Report {
     * engine reproduces it bit-for-bit, plus the one-IEEE-division slope.
     * The final products are computed in DECIMAL(38,0) (DuckDB: HUGEINT):
     * n·Σxy grows like n²·log²(n) and leaves int64 already at a ~5·10⁷
-    * term vocabulary — a size real web corpora exceed.
+    * term vocabulary — a size real web corpora exceed. The num/den
+    * columns are EMITTED as strings on both engines (the snapshot-id
+    * stringification precedent, reference backend/main.py:489-490):
+    * pandas loads Spark DECIMAL as object and DuckDB HUGEINT as float64,
+    * so a numeric emission is dtype-unstable at dtype-sensitive readers
+    * while the decimal string is exact and identical from both.
     *
     * Scale shape: one token explode into a vocabulary-bounded (word, tf)
     * aggregate; the rank comes from [[GlobalRank.rowNumber]] under
@@ -213,7 +218,9 @@ object Report {
         col("n").as("n_terms"),
         (col("n").cast(Dec) * col("sxy") - col("sx") * col("sy")).cast(Dec).as("zipf_num"),
         (col("n").cast(Dec) * col("sxx") - col("sx") * col("sx")).cast(Dec).as("zipf_den"))
-      .select(col("n_terms"), col("zipf_num"), col("zipf_den"),
+      .select(col("n_terms"),
+        col("zipf_num").cast("string").as("zipf_num"),
+        col("zipf_den").cast("string").as("zipf_den"),
         (col("zipf_num").cast("double") / col("zipf_den").cast("double")).as("slope"))
   }
 

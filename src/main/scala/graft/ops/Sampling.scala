@@ -171,6 +171,11 @@ object Sampling {
     // second pass over the raw input (h56 is not recomputed).
     val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // Empty input: the string-built array literals below would be
+    // malformed (`array(L)`), so return the (empty) ranked shape directly.
+    if (counts.isEmpty)
+      return ranked.select(col("id"), col("source"),
+        col("rn_all").as("rs"), col("rn_all").as("pos"))
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
     val exclusive = counts.map(_._1).zip(offsets.map(_._2)).toMap // source -> rows before it
     val session = df.sparkSession

@@ -572,11 +572,17 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
     require(queries.forall(q => q._2.distinct.size == q._2.size),
       "terms within a query must be distinct")
     val spark = docs.sparkSession
     import spark.implicits._
+    // No queries / no terms: empty result with the output schema (the
+    // pre-kernel broadcast-semi-join form's behavior), not an analysis
+    // failure from an empty inlined term-array literal.
+    if (queries.isEmpty || queries.forall(_._2.isEmpty))
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "doc_id", "rnk", "bm25")
+    require(queries.forall(_._2.nonEmpty), "each query needs at least one term")
     val maxSlots = queries.map(_._2.size).max
     val qdf = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) } }

@@ -2632,8 +2632,8 @@ object PipelineOps {
         |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
         |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM b)
         |SELECT n AS n_terms,
-        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS zipf_num,
-        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS zipf_den,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS zipf_num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS zipf_den,
         |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
         |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
         |FROM s""".stripMargin) { (s, dir) =>

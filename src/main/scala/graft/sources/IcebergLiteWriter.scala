@@ -304,7 +304,7 @@ object IcebergLiteWriter {
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
       mode: SaveMode, withDeleteManifest: Boolean, partitionBy: Seq[String],
       extraSummary: Map[String, String] = Map.empty): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val dataDir = s"$tableDir/data"
 
     // For appends: carry forward prior manifests + snapshot log, and only
@@ -398,7 +398,7 @@ object IcebergLiteWriter {
       else {
         val mode =
           if (IcebergLite.latestMetadataPath(
-            spark.sparkContext.hadoopConfiguration, tableDir).isEmpty) SaveMode.Overwrite
+            IcebergLite.sessionHadoopConf(spark), tableDir).isEmpty) SaveMode.Overwrite
           else SaveMode.Append
         commit(spark, df, tableDir, mode, withDeleteManifest = false, partitionBy,
           extraSummary = Map(StreamingBatchIdKey -> batchId.toString))
@@ -419,7 +419,7 @@ object IcebergLiteWriter {
     * (a listing + at most one JSON read) — restart recovery costs no data IO.
     */
   def committedStreamingBatchIds(spark: SparkSession, tableDir: String): Set[Long] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     IcebergLite.latestMetadataPath(conf, tableDir) match {
       case None => Set.empty
       case Some(p) =>
@@ -486,7 +486,7 @@ object IcebergLiteWriter {
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L << 20): CompactionResult = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val metaPath = IcebergLite.latestMetadataPath(conf, tableDir).getOrElse(
       throw IcebergLite.ProbeError(s"No Iceberg metadata at $tableDir"))
     val meta = IcebergLite.readMetadataJson(conf, metaPath)
@@ -559,12 +559,18 @@ object IcebergLiteWriter {
     * replaced, written = new files).
     */
   def rewriteApplyingDeletes(spark: SparkSession, tableDir: String): CompactionResult = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val metaPath = IcebergLite.latestMetadataPath(conf, tableDir).getOrElse(
       throw IcebergLite.ProbeError(s"No Iceberg metadata at $tableDir"))
     val meta = IcebergLite.readMetadataJson(conf, metaPath)
     val entries = IcebergLite.fileEntries(conf, tableDir)
-    if (!entries.exists(e => e.fileContent != 0 || e.manifestContent != 0))
+    // Match the scan guard's predicate (status != 2, like the filters on
+    // posDeleteFiles/eqDeleteEntries below): fileEntries already drops
+    // tombstoned entries today, but if that ever changes, a snapshot
+    // whose delete entries are all tombstoned applies nothing on read
+    // and must not trigger a full-table rewrite here.
+    if (!entries.exists(e =>
+        (e.fileContent != 0 || e.manifestContent != 0) && e.status != 2))
       return CompactionResult(0, 0)
     val liveData = entries.filter(e =>
       e.fileContent == 0 && e.manifestContent == 0 && e.status != 2)
@@ -601,7 +607,7 @@ object IcebergLiteWriter {
   def addPositionDeletes(spark: SparkSession, tableDir: String,
       deletes: Seq[(String, Long)], fileContent: Int = 1): Unit = {
     require(deletes.nonEmpty, "addPositionDeletes needs at least one (file, pos)")
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val prior = IcebergLite.latestMetadataPath(conf, tableDir)
       .map(p => IcebergLite.readMetadataJson(conf, p))
       .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))
@@ -643,7 +649,7 @@ object IcebergLiteWriter {
   def addEqualityDeletes(spark: SparkSession, tableDir: String,
       deleteRows: org.apache.spark.sql.DataFrame): Unit = {
     require(deleteRows.columns.nonEmpty, "equality delete needs at least one column")
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val prior = IcebergLite.latestMetadataPath(conf, tableDir)
       .map(p => IcebergLite.readMetadataJson(conf, p))
       .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))
@@ -691,7 +697,7 @@ object IcebergLiteWriter {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     require(keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.mkString(",")} must exist in the upsert batch")
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = IcebergLite.sessionHadoopConf(spark)
     val prior = IcebergLite.latestMetadataPath(conf, tableDir)
       .map(p => IcebergLite.readMetadataJson(conf, p))
       .getOrElse(throw IcebergLite.ProbeError(s"No Iceberg table at $tableDir"))

@@ -124,4 +124,43 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
       assert(agg.finish(mergedRev) == want)
     }
   }
+
+  test("pq_code == independent min-by-sqdist argmin with smaller-id ties (100 samples)") {
+    val cfg: Gen[(Int, Int, Int)] = for {
+      m <- Gen.chooseNum(1, 4)
+      ks <- Gen.chooseNum(1, 8)
+      subDim <- Gen.chooseNum(1, 6)
+    } yield (m, ks, subDim)
+    // Coarse values make distance ties actually occur.
+    val coarse: Gen[Double] = Gen.chooseNum(-2, 2).map(_.toDouble)
+    samples(cfg, 100).zipWithIndex.foreach { case ((m, ks, subDim), i) =>
+      val cb = samples(coarse, m * ks * subDim).toArray
+      val sv = samples(coarse, subDim).toArray
+      (0 until m).foreach { sub =>
+        val got = PqCode.compute(sub,
+          new GenericArrayData(sv.map(java.lang.Double.valueOf(_).asInstanceOf[AnyRef])),
+          cb, ks, subDim)
+        // Independent reference: same sequential fold, scala-side argmin.
+        val want = (0 until ks).map { j =>
+          val off = sub * ks * subDim + j * subDim
+          var d = 0.0
+          (0 until subDim).foreach { p => val x = sv(p) - cb(off + p); d += x * x }
+          (d, j)
+        }.minBy(identity)._2 // (d, j) lexicographic: ties keep smaller j
+        assert(got == want, s"sample $i sub $sub")
+      }
+    }
+  }
+
+  test("pq_code validates subvector length and subspace range with named errors") {
+    val cb = Array(0.0, 1.0, 2.0, 3.0) // m=1, ks=2, subDim=2
+    val short = new GenericArrayData(Array[AnyRef](java.lang.Double.valueOf(0.0)))
+    val e1 = intercept[IllegalArgumentException](PqCode.compute(0, short, cb, 2, 2))
+    assert(e1.getMessage.contains("subvector"))
+    val ok = new GenericArrayData(
+      Array[AnyRef](java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(1.0)))
+    val e2 = intercept[IllegalArgumentException](PqCode.compute(1, ok, cb, 2, 2))
+    assert(e2.getMessage.contains("out of range"))
+    assert(PqCode.compute(0, ok, cb, 2, 2) == 0)
+  }
 }

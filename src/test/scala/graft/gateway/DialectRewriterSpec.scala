@@ -3,7 +3,7 @@ package graft.gateway
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Mirrors /root/reference/backend/tests/test_query_conversion.py. */
-class DialectRewriterSpec extends AnyFunSuite {
+class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
 
   private val noCatalog = ConnectionConfig(
     storageType = "minio", endpoint = "http://localhost:9000",
@@ -156,7 +156,7 @@ class DialectRewriterSpec extends AnyFunSuite {
   }
 
   test("known-DuckDB functions with no mapping get a precise rejection, not UNRESOLVED_ROUTINE") {
-    for (fn <- Seq("list_aggregate", "struct_pack", "strftime", "list_position")) {
+    for (fn <- Seq("list_aggregate", "struct_pack", "list_position")) {
       val err = intercept[IllegalArgumentException](
         DialectRewriter.rejectUnknownDuckFunctions(s"SELECT $fn(a, b) FROM t"))
       assert(err.getMessage.contains(s"unsupported DuckDB function $fn"), err.getMessage)
@@ -172,6 +172,51 @@ class DialectRewriterSpec extends AnyFunSuite {
     // side; it is a gateway-only pass. (The pre-pass itself stays total
     // over text containing struct_pack destined for DuckDB — see the
     // idempotence test below.)
+  }
+
+  test("strftime/strptime with literal C formats translate to date_format/to_timestamp") {
+    assert(duck("SELECT strftime(ts, '%Y-%m-%d') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
+    assert(duck("SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM t")
+    // Python-ish (format, value) arg order also resolves: the format is
+    // the literal argument carrying % codes.
+    assert(duck("SELECT strptime('%d/%m/%Y', d) FROM t") ==
+      "SELECT to_timestamp(d, 'dd/MM/yyyy') FROM t")
+    // %% is literal text; %-d is the unpadded day; literal letter runs
+    // get pattern-quoted.
+    assert(duck("SELECT strftime(ts, '%-d of %B, 100%%') FROM t") ==
+      "SELECT date_format(ts, 'd'' of ''MMMM, 100%') FROM t")
+    // Nested dialect in the value argument converts too.
+    assert(duck("SELECT strptime(list_min(xs), '%H:%M') FROM t") ==
+      "SELECT to_timestamp(array_min(xs), 'HH:mm') FROM t")
+    // Spark round-trip sanity on the translated patterns.
+    val row = spark.sql(
+      duck("SELECT strftime(TIMESTAMP '2024-03-07 09:05:01', '%Y-%m-%dT%H:%M:%S %p') AS s, " +
+        "strptime('07/03/2024', '%d/%m/%Y') AS ts")).collect()(0)
+    assert(row.getString(0) == "2024-03-07T09:05:01 AM")
+    assert(row.getTimestamp(1).toString == "2024-03-07 00:00:00.0")
+  }
+
+  test("untranslatable strftime keeps a precise rejection naming the reason") {
+    // Unknown code.
+    val e1 = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions("SELECT strftime(ts, '%G') FROM t"))
+    assert(e1.getMessage.contains("unsupported DuckDB function strftime"), e1.getMessage)
+    assert(e1.getMessage.contains("%G"), e1.getMessage)
+    // Computed format.
+    val e2 = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions("SELECT strptime(a, b) FROM t"))
+    assert(e2.getMessage.contains("string-literal format"), e2.getMessage)
+    // The convert pass stays TOTAL on untranslatable calls (reject is a
+    // separate pass), and translated output is a fixpoint.
+    val kept = duck("SELECT strftime(ts, '%G') FROM t")
+    assert(kept == "SELECT strftime(ts, '%G') FROM t")
+    val once = duck("SELECT strftime(ts, '%Y-%m-%dT%H:%M') FROM t")
+    assert(duck(once) == once)
+    // Bare word / literal / comment positions stay silent in reject.
+    DialectRewriter.rejectUnknownDuckFunctions(
+      "SELECT strftime FROM t -- strptime(a, '%Q')")
   }
 
   test("the pre-pass is idempotent over the whole oracle corpus") {

@@ -1773,8 +1773,9 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val d = Seq((1L, text)).toDF("doc_id", "text")
     val r = graft.ops.Report.zipfCard(d).collect()(0)
     assert(r.getLong(0) == 4L)
-    assert(r.getDecimal(1).longValueExact() == -12L)
-    assert(r.getDecimal(2).longValueExact() == 8L)
+    // num/den are emitted as decimal STRINGS (dtype-stable across engines).
+    assert(r.getString(1) == "-12")
+    assert(r.getString(2) == "8")
     assert(r.getDouble(3) == -1.5)
   }
 
@@ -1836,6 +1837,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     out.groupBy(_._2).foreach { case (src, rows) =>
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.length), src)
     }
+  }
+
+  test("curriculum interleave on an empty input returns an empty frame, not a parse error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    val out = graft.ops.Sampling.curriculumInterleave(
+      empty, col("source"), col("doc_id"))
+    assert(out.columns.toSeq == Seq("id", "source", "rs", "pos"))
+    assert(out.count() == 0L)
+  }
+
+  test("bm25 top-k with no queries returns an empty typed frame, not an analysis error") {
+    import spark.implicits._
+    val tiny = Seq((1L, "apple")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(tiny, Seq.empty)
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "rnk", "bm25"))
+    assert(out.count() == 0L)
+    val out2 = TextOps.bm25TopK(tiny, Seq(0L -> Seq.empty))
+    assert(out2.count() == 0L)
   }
 
   test("charset entropy separates clean prose from mixed-class noise") {
