@@ -44,6 +44,54 @@ object GlobalRank {
       .drop("__rn", "__tot")
   }
 
+  /** Exact NTILE(buckets) under the total order (value, tie) — identical
+    * boundaries to [[ntile]] / the single-reducer window — WITHOUT range-
+    * repartitioning the data relation. [[ntile]]'s shape costs the range
+    * sampler (a full extra computation of the input lineage), a corpus-
+    * sized range exchange, and a corpus-sized persist; for an input whose
+    * lineage is itself expensive (a scored corpus behind joins and
+    * aggregates) those three dominate the query (the r11 p90 floor).
+    *
+    * Here the global rank is decomposed as
+    *   rn = (# rows with smaller `value`)  +  (local rank of `tie` within
+    *        this row's `value` group)
+    * — the first term from a VALUE-COUNT relation (map-side-combined
+    * aggregate, cardinality-bounded) prefix-summed by [[prefixSum]], the
+    * second from a value-PARTITIONED window (hash exchange, per-group
+    * local sort — no single reducer, no range sampler). The data relation
+    * crosses the wire exactly once (hash on `value`), and the value-keyed
+    * join immediately after the window reuses that partitioning, so only
+    * the narrow count relation moves to meet it.
+    *
+    * Caveat: per-group state is one sort run over each `value` tie group
+    * — safe unless one single value dominates the corpus (a degenerate
+    * scoring); [[ntile]] remains the choice for such distributions.
+    * `tie` must complete a total order for cross-engine-exact ranks.
+    */
+  def ntileByValue(df: DataFrame, buckets: Int, value: Column, tie: Column,
+      out: String = "ntile"): DataFrame = {
+    require(buckets > 0, "ntile needs at least one bucket")
+    val counts = df.groupBy(value.as("__nbv_v")).agg(count(lit(1)).as("__nbv_cnt"))
+    // prefixSum persists its ranged copy of the narrow count relation, so
+    // the total below re-reads that persist, not the corpus aggregate.
+    val pref = prefixSum(counts, Seq(col("__nbv_v")), col("__nbv_cnt"), "__nbv_cum")
+      .select(col("__nbv_v"), col("__nbv_cnt"),
+        (col("__nbv_cum") - col("__nbv_cnt")).as("__nbv_off"))
+    val totDf = pref.agg(max(col("__nbv_off") + col("__nbv_cnt")).as("__tot"))
+    val lw = Window.partitionBy(value).orderBy(tie)
+    val big = col("__tot").divide(buckets).cast("long") + 1L
+    val r = col("__tot") % buckets
+    val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
+      .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
+    df.withColumn("__nbv_lrn", row_number().over(lw).cast("long"))
+      .join(pref.select(col("__nbv_v"), col("__nbv_off")).hint("shuffle_hash"),
+        value === col("__nbv_v"))
+      .withColumn("__rn", col("__nbv_off") + col("__nbv_lrn"))
+      .crossJoin(broadcast(totDf))
+      .withColumn(out, floor(bucket).cast("int"))
+      .drop("__nbv_v", "__nbv_off", "__nbv_lrn", "__rn", "__tot")
+  }
+
   /** Exact global running sum of `value` under `order` (inclusive of the
     * current row), as column `out` — the distributed form of
     * `SUM(value) OVER (ORDER BY ...)`, which Spark would otherwise

@@ -284,11 +284,20 @@ object TextOps {
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(ctxCounts, "w1")
       .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
-    // shuffle_hash: the corpus-sized pair stream must not pay a
-    // sort-merge sort — the vocabulary²-bounded bits side builds the
-    // hash table, the stream probes.
+    // BROADCAST the bits table: it is the corpus bigram LM — model
+    // state, exactly what production CCNet ships to every scoring node —
+    // bounded by OBSERVED distinct pairs, not corpus rows (3.9k at the
+    // 100x fixture; low millions for a real web vocabulary). The
+    // broadcast keeps the corpus-sized pair stream map-only end to end:
+    // its only exchange left is the partial-combined per-doc aggregate.
+    // (The r11 form shuffle_hash-joined here, paying a full exchange of
+    // the 27M-row stream at 100x — the single largest cost of the
+    // surprisal family. A deployment whose pair table outgrows broadcast
+    // — ~50M+ distinct pairs — should flip this join back to
+    // .hint("shuffle_hash"); the stream side's partial-agg shape is
+    // unchanged either way.)
     pairs
-      .join(bits.hint("shuffle_hash"), Seq("pair"))
+      .join(broadcast(bits), Seq("pair"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).cast("long").as("n_pairs"),
@@ -316,11 +325,18 @@ object TextOps {
       scaleBits: Int = 20): DataFrame = {
     require(buckets > 0 && scaleBits >= 0 && scaleBits < 22,
       "buckets must be positive; scaleBits in [0, 22) keeps the product exact")
+    // Persisted: ntileByValue consumes the scored relation on two
+    // branches (value counts + the windowed data pass) and the surprisal
+    // lineage behind it is the expensive part of the query — one
+    // materialization of the narrow (doc, n_pairs, score) relation
+    // replaces three recomputations (r12; the r11 form's range-ntile also
+    // re-ran the lineage for its range sampler).
     val scored = bigramSurprisal(docs)
       .select(col("doc_id"), col("n_pairs"),
         expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")
           .as("ppl_scaled"))
-    GlobalRank.ntile(scored, buckets, Seq(col("ppl_scaled"), col("doc_id")), "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GlobalRank.ntileByValue(scored, buckets, col("ppl_scaled"), col("doc_id"), "bucket")
       .select(col("doc_id"), col("n_pairs"), col("ppl_scaled"), col("bucket"))
   }
 
@@ -546,26 +562,35 @@ object TextOps {
     * in one pass (retrieval-based quality filtering, dataset search,
     * eval-set mining).
     *
-    * Scale shape: the corpus is tokenized once; the posting slice keeps
-    * only tokens appearing in some query, filtered ROW-LOCALLY inside
-    * the token array (an IN over the literal term set — Catalyst
-    * compiles large lists to a hashed InSet) BEFORE anything explodes,
-    * so the exploded stream and the (doc, term) aggregate see matching
-    * tokens only — the per-token explode of the whole corpus was the
-    * query's dominant constant. Per-term document frequencies are a
-    * term-bounded aggregate joined back by broadcast; corpus stats are
-    * one 1-row aggregate. Ranking goes through the bounded-heap
-    * [[graft.functions.TopKByScore]] — partial aggregation caps every
-    * map-side buffer at k, so no per-query single-reducer window exists
-    * anywhere.
+    * Scale shape — TWO paths on one contract, picked by query-set size:
     *
-    * Determinism: per-(query, doc) scores sum the per-slot contributions
-    * in FIXED slot order (conditional MAX pivot — each (query, doc,
-    * slot) has at most one row, and max-of-doubles is order-independent
-    * — then a left-to-right scalar + chain), and idf is the un-logged
-    * rational from [[bm25]]; every double op is row-local IEEE
-    * arithmetic any engine reproduces bit-for-bit. Ties rank
-    * score-desc, doc_id-asc — a total order.
+    *  - FOLDED (total distinct terms <= [[Bm25FoldLimit]], the common
+    *    retrieval-probe case and the benched one): per-term document
+    *    frequencies and corpus stats come back from ONE 1-row
+    *    conditional-count aggregate (bounded by the term count, which the
+    *    caller supplied as literals — scale-safe to collect), and the
+    *    per-(query, doc) SCORE is then a row-local literal-folded
+    *    expression over the term_counts map — the postings LUT the r11
+    *    verdict asked to broadcast, folded all the way into codegen. The
+    *    per-(query, doc) relation never exists as exchanged data: the
+    *    only thing that ever shuffles is the bounded-heap top-k partials
+    *    (#partitions x k rows per query). Two corpus passes, both
+    *    map-only.
+    *
+    *  - JOINED (huge query sets, where folding thousands of terms into
+    *    one expression tree would blow up codegen): the query set stays
+    *    DATA — the r11 shape: row-local term_counts posting slice,
+    *    term-bounded dft aggregate broadcast back, conditional-MAX slot
+    *    pivot, one per-(query, doc) exchange, bounded-heap top-k.
+    *
+    * Both paths produce bit-identical doubles: idf is the un-logged
+    * rational from [[bm25]], contributions multiply/divide in the same
+    * operand order, and per-query sums run in FIXED slot order (the
+    * folded path adds its own terms left-to-right; the joined path's
+    * conditional-MAX pivot then left-to-right + chain adds trailing
+    * +0.0s for absent slots, which IEEE leaves bit-exact on these
+    * strictly-positive contributions). Ties rank score-desc, doc_id-asc
+    * — a total order.
     *
     * Queries must use distinct terms within a query. Returns
     * (query_id, doc_id, rnk, bm25).
@@ -583,6 +608,82 @@ object TextOps {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "doc_id", "rnk", "bm25")
     require(queries.forall(_._2.nonEmpty), "each query needs at least one term")
+    if (queries.flatMap(_._2).distinct.size <= Bm25FoldLimit)
+      bm25TopKFolded(docs, queries, k, k1, b)
+    else bm25TopKJoined(docs, queries, k, k1, b)
+  }
+
+  /** Above this many distinct terms the folded score expression stops
+    * being a codegen win (one when-chain per term per query) and the
+    * data-driven joined path takes over.
+    */
+  private val Bm25FoldLimit = 256
+
+  /** Folded path: postings statistics as literals, scores row-local,
+    * nothing corpus-sized ever exchanges. See [[bm25TopK]].
+    */
+  private[ops] def bm25TopKFolded(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    def sqlLit(t: String) = "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val allTerms = queries.flatMap(_._2).distinct
+    val termList = allTerms.map(sqlLit).mkString(", ")
+    val withM = withToks(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        expr(s"term_counts(toks, array($termList))").as("m"))
+    // ONE corpus pass for n_docs, sum_dl AND every per-term document
+    // frequency (conditional counts over the row-local posting map);
+    // the result is one row, wide by the term count the caller wrote.
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      allTerms.zipWithIndex.map { case (t, i) =>
+        count(when(col("m").getItem(t).isNotNull, 1)).cast("long").as(s"df$i")
+      }
+    val stats = withM
+      .agg(count(lit(1)).cast("long").as("n_docs"), statCols: _*)
+      .collect()(0)
+    val nDocs = stats.getAs[Long]("n_docs")
+    require(nDocs > 0, "empty corpus")
+    // Driver doubles reproduce the joined path's expression values
+    // bit-for-bit: same operand order as the old contrib column.
+    val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val idf = allTerms.zipWithIndex.map { case (t, i) =>
+      val dfT = stats.getAs[Long](s"df$i").toDouble
+      t -> ((nDocs.toDouble - dfT + 0.5) / (dfT + 0.5))
+    }.toMap
+    val dlD = col("dl").cast("double")
+    def scoreFor(ts: Seq[String]): Column = ts.map { t =>
+      val tf = col("m").getItem(t).cast("double")
+      when(tf.isNotNull,
+        lit(idf(t)) * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    def presentFor(ts: Seq[String]): Column =
+      ts.map(t => col("m").getItem(t).isNotNull).reduce(_ || _)
+    val qStructs = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"), scoreFor(ts).as("bm25"),
+        presentFor(ts).as("keep"))
+    }
+    withM
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("qs"))
+      .filter(col("qs.keep"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.bm25").as("bm25"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(col("bm25"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col._1").as("bm25"))
+  }
+
+  /** Joined path for query sets too large to fold: the r11 shape — query
+    * set as data, one per-(query, doc) exchange. See [[bm25TopK]].
+    */
+  private[ops] def bm25TopKJoined(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val maxSlots = queries.map(_._2.size).max
     val qdf = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) } }

@@ -257,6 +257,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       p.linesIterator.take(12).mkString("\n"))
     assert(p.contains("partial"), p)
     assert(p.contains("Generate"), p)
+    // r12: the vocabulary-bounded bits table must BROADCAST onto the
+    // corpus-sized pair stream — a ShuffledHashJoin/SortMergeJoin here
+    // means the stream pays a full exchange again (the r11 p80/p90 cost).
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("perplexity buckets: no range sampler over the scored lineage, no single-reducer window") {
+    // r12 ntileByValue shape: every window partitions (by the score value
+    // or prefix-sum __pid) — a windowspec without a partitionBy would be
+    // the single-reducer global NTILE. The scored relation must come out
+    // of InMemoryRelation (persisted once), and the corpus-sized data
+    // pass must not range-repartition (only ntileByValue's narrow
+    // value-count relation goes through prefixSum's range exchange).
+    val p = plan("p90_perplexity_buckets")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("ppl_scaled") || s.contains("__pid")),
+      specs.mkString("\n"))
+    assert(p.contains("InMemoryRelation"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("vocab coverage: no single-reducer window, total broadcasts") {
@@ -429,17 +450,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial"), p)
   }
 
-  test("bm25 top-k: query set broadcasts, bounded-heap agg, never a per-query window") {
-    // The posting slice must semi-join the broadcast query terms BEFORE
-    // the (doc, term) aggregate, and ranking must be the TopKByScore
-    // aggregate — a ROW_NUMBER window would single-reduce each query's
-    // entire matching set.
+  test("bm25 top-k: literal-folded scoring joins NOTHING; only top-k partials exchange") {
+    // r12 folded path: per-term document frequencies and corpus stats are
+    // collected once (term-bounded) and folded into the score expression
+    // as literals, so the scoring pass has NO join of any kind and no
+    // per-(query, doc) exchange — the only shuffle is the bounded-heap
+    // TopKByScore partials. A join or window reappearing means the
+    // postings LUT stopped being folded.
     val df = SparkEntry.queries("p97_bm25_topk")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(p.contains("TopKByScore") || p.contains("topkbyscore") || p.contains("partial"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected only the top-k partial exchange, got $exchanges:\n$p")
   }
 
   test("domain rank: the corpus-touching stage is one partial hash aggregate") {

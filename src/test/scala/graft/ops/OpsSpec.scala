@@ -1848,6 +1848,24 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == 0L)
   }
 
+  test("bm25 top-k folded and joined paths agree bit-for-bit") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple apple banana kiwi"),
+      (2L, "apple"),
+      (3L, "banana cherry kiwi kiwi"),
+      (4L, "cherry"),
+      (5L, "plum plum plum")).toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("apple", "banana"), 1L -> Seq("cherry"),
+      2L -> Seq("kiwi", "plum", "apple"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).sortBy(t => (t._1, t._3))
+    val folded = rows(TextOps.bm25TopKFolded(tiny, queries, 3, 1.2, 0.75))
+    val joined = rows(TextOps.bm25TopKJoined(tiny, queries, 3, 1.2, 0.75))
+    assert(folded.nonEmpty && folded.toSeq == joined.toSeq)
+  }
+
   test("bm25 top-k with no queries returns an empty typed frame, not an analysis error") {
     import spark.implicits._
     val tiny = Seq((1L, "apple")).toDF("doc_id", "text")
