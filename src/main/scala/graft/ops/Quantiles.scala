@@ -97,11 +97,18 @@ object Quantiles {
     */
   def robustDimStats(emb: DataFrame, dims: Int = 64): DataFrame = {
     require(dims > 0, "dims must be positive")
+    // posexplode the RAW float array and aggregate on the FLOAT key: the
+    // former transform(embedding, x -> CAST AS DOUBLE) was a higher-order
+    // lambda — interpreted, allocating a fresh 64-element array per row,
+    // and breaking GenerateExec out of whole-stage codegen. Casting the
+    // CARDINALITY-BOUNDED distinct values after the aggregate is the
+    // identical relation (float→double is injective and order-preserving)
+    // at a fraction of the per-row cost.
     val byValue = emb
-      .select(posexplode(
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .filter(col("pos") < dims)
-      .groupBy(col("pos"), col("x").as("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("pos"), col("xf")).agg(count(lit(1)).as("cnt"))
+      .select(col("pos"), col("xf").cast("double").as("v"), col("cnt"))
     // One WindowExec computes BOTH the running count and the per-dimension
     // total (same partitioning + ordering, different frames), so each
     // median references its input exactly once — no join branch, no
