@@ -221,15 +221,20 @@ object Similarity {
     val n = normalized(emb)
     val cents = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // max_by over (ccos, -c_id) = argmax by cosine with min-c_id tiebreak.
-    // A hash aggregate with map-side combine: no window shuffle-sort, and
-    // the 16-row-per-vector fanout collapses before any exchange.
+    assignCells(n, cents)
+  }
+
+  /** Max-cosine cell per vector against a broadcast centroid table.
+    * max_by over (ccos, -c_id) = argmax by cosine with min-c_id tiebreak.
+    * A hash aggregate with map-side combine: no window shuffle-sort, and
+    * the cells-per-vector fanout collapses before any exchange.
+    */
+  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame =
     n.crossJoin(broadcast(cents))
       .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
       .select(col("vec_id"), col("cell"))
-  }
 
   /** IVF search: probe the `nprobe` nearest cells per query, rank only the
     * candidates in those cells. Candidate generation is a broadcast of the
@@ -261,6 +266,52 @@ object Similarity {
         .filter(col("vec_id") =!= col("q_id"))
         // (q_id, vec_id) is already unique: each vector lives in exactly one
         // cell and the probed cells per query are distinct.
+        .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))),
+      k)
+  }
+
+  /** FILTERED vector search (r12) — top-k under a metadata predicate,
+    * the retrieval-under-constraint every curation pipeline runs
+    * ("nearest neighbors among label-L vectors only": dedup against one
+    * source, per-class hard negatives, licensed-subset retrieval). The
+    * semantics are PRE-FILTERING over the shared index: centroids and
+    * probe-cell selection come from the FULL corpus (the index is built
+    * once; a query-time predicate must not change the codebook), while
+    * candidate vectors are restricted to the admitted labels BEFORE the
+    * cell join — so the result is the exact top-k of (probed cells ∩
+    * filter), and recall-vs-nprobe behaves like unfiltered IVF on the
+    * admitted subset.
+    *
+    * Scale shape: the label predicate is a scan-level pushdown
+    * (PushedFilters on the parquet read — only admitted row groups are
+    * even read), assignment of the admitted vectors is the same
+    * broadcast-codebook fanout-collapse as [[ivfAssign]] (argmax against
+    * FULL-corpus centroids commutes with the filter, so no second
+    * index), and everything downstream is [[ivfTopK]]'s candidate
+    * equi-join + bounded-heap top-k. Post-filtering (search first, drop
+    * non-matching) is deliberately NOT offered: under a selective filter
+    * it silently returns fewer than k with no recall control.
+    */
+  def filteredIvfTopK(emb: DataFrame, queries: DataFrame, labels: Seq[Int],
+      k: Int = 5, nprobe: Int = 4, cells: Int = 16): DataFrame = {
+    require(labels.nonEmpty, "need at least one admitted label")
+    val nAll = normalized(emb)
+    val cents = nAll.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val nf = normalized(emb.filter(col("label").isin(labels: _*)))
+    val withCell = nf.join(assignCells(nf, cents), "vec_id")
+    val q = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qTop = q.crossJoin(broadcast(cents))
+      .withColumn("qcos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+      .groupBy(col("q_id"))
+      .agg(slice(
+        sort_array(collect_list(struct(-col("qcos"), col("c_id")))),
+        1, nprobe).as("top"))
+      .select(col("q_id"), explode(col("top.c_id")).as("cell"))
+    rankTopK(
+      qTop.join(broadcast(q), "q_id").join(withCell, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))),
       k)
   }

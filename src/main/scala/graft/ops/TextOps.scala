@@ -741,6 +741,40 @@ object TextOps {
     * (letters + spaces dominate). Returns (doc_id, n_chars_total,
     * class_bits) restricted to non-empty docs.
     */
+  /** Gopher's duplicate-n-gram repetition rule (Rae et al. 2021 §A1.1:
+    * "fraction of characters in duplicate n-grams" — the within-document
+    * repetition filter the p76 battery's dominant-token rule
+    * approximates but does not state), at n = 2: per document, how many
+    * bigram OCCURRENCES belong to a bigram that repeats, and how many
+    * BYTES those occurrences span. All integers — the keep verdict is
+    * the cleared-denominator inequality dup_occ * 5 <= n_pairs
+    * (duplicate-occurrence fraction <= 0.2, Gopher's 2-gram threshold)
+    * — so any engine reproduces the flags bit-for-bit; byte counts
+    * (octet_length / strlen) rather than character counts keep
+    * multi-byte text engine-neutral.
+    *
+    * Scale shape: the codegen'd [[graft.functions.PairCounts]] kernel
+    * collapses each document's pair multiset row-locally, so the
+    * exploded stream is one row per DISTINCT (doc, pair) and the per-doc
+    * sums partial-combine before the single doc-keyed exchange — the p80
+    * stream shape without the corpus LM join. Returns (doc_id, n_pairs,
+    * dup_pair_occ, dup_pair_bytes, ok_dup_pairs) for docs with >= 2
+    * tokens.
+    */
+  def dupNgramStats(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    withToks(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr("pair_counts(toks)")).as(Seq("pair", "c")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_pairs"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("long").as("dup_pair_occ"),
+        sum(when(col("c") >= 2, col("c") * octet_length(col("pair")).cast("long"))
+          .otherwise(0L)).cast("long").as("dup_pair_bytes"))
+      .withColumn("ok_dup_pairs", col("dup_pair_occ") * 5 <= col("n_pairs"))
+  }
+
   def charsetEntropy(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("long")
     def kept(re: String) = (n - length(regexp_replace(col("text"), re, "")).cast("long"))

@@ -2639,6 +2639,66 @@ object PipelineOps {
         |FROM s""".stripMargin) { (s, dir) =>
       graft.ops.Report.zipfCard(t(s, dir, "documents"))
     },
+
+    // Gopher duplicate-n-gram repetition rule at n=2 (r12): duplicate
+    // bigram occurrences + the bytes they span, keep verdict as the
+    // cleared-denominator integer inequality (fraction <= 0.2).
+    Q.df(
+      "p115_dup_ngram_card",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM tok WHERE len(toks) >= 2),
+        |dp AS (SELECT doc_id, pair, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_pair_occ,
+        |  CAST(COALESCE(SUM(c * strlen(pair)) FILTER (WHERE c >= 2), 0) AS BIGINT)
+        |    AS dup_pair_bytes,
+        |  COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) * 5 <= SUM(c) AS ok_dup_pairs
+        |FROM dp GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.dupNgramStats(t(s, dir, "documents"))
+    },
+
+    // Filtered vector search (r12): exact top-k under a label predicate
+    // over the shared full-corpus IVF index — pre-filtering semantics
+    // (candidates restricted BEFORE the cell join; codebook unchanged).
+    Q.df(
+      "p116_filtered_ann",
+      s"""WITH $embCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |nf AS (SELECT n.vec_id, n.v, n.nrm FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+         |  WHERE e.label IN (1, 2)),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT nf.vec_id, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY nf.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(nf.v)), i -> nf.v[i] * cent.cv[i])) / (nf.nrm * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM nf, cent) x WHERE r = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 4),
+         |qc AS (SELECT q_id, qv, qn, cell FROM (
+         |  SELECT q.q_id, q.qv, q.qn, cent.c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * cent.cv[i])) / (q.qn * cent.cn) DESC,
+         |      cent.c_id) AS r
+         |  FROM q, cent) y WHERE r <= 4),
+         |cand AS (
+         |  SELECT qc.q_id, qc.qv, qc.qn, nf.vec_id, nf.v, nf.nrm
+         |  FROM qc JOIN asg ON qc.cell = asg.cell JOIN nf ON nf.vec_id = asg.vec_id
+         |  WHERE nf.vec_id <> qc.q_id)
+         |SELECT q_id, n_id, rnk, cos FROM (
+         |  SELECT q_id, vec_id AS n_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) / (qn * nrm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) / (qn * nrm) DESC,
+         |      vec_id) AS rnk
+         |  FROM cand) z
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredIvfTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+        Seq(1, 2), 5, 4, 16)
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

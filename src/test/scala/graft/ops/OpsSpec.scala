@@ -1876,6 +1876,40 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out2.count() == 0L)
   }
 
+  test("filtered ANN: only admitted labels appear; full admit + full probe == brute force") {
+    val emb = graft.Tables.t(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+    val admitted = Set(1L, 2L)
+    val labelOf = emb.collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val res = graft.ops.Similarity.filteredIvfTopK(emb, q, Seq(1, 2), 5, 4, 16).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(admitted.contains(labelOf(r.getLong(1))),
+      s"vec ${r.getLong(1)} label ${labelOf(r.getLong(1))} not admitted"))
+    // All labels admitted + probing every cell degrades to exact search.
+    val all = labelOf.values.toSeq.distinct.map(_.toInt)
+    val full = graft.ops.Similarity.filteredIvfTopK(emb, q, all, 5, 16, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("dup-ngram card: hand-checked duplicate bigram occurrences, bytes, verdict") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b a b c"),     // pairs: "a b"x2, "b a", "b c" -> dup occ 2, bytes 2*3
+      (2L, "x y z"),         // no duplicate pair
+      (3L, "w w w w w w"),   // "w w"x5 -> all 5 occurrences duplicated
+      (4L, "solo")).toDF("doc_id", "text") // <2 tokens: excluded
+    val r = TextOps.dupNgramStats(tiny).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((4L, 2L, 6L, false)))  // 2*5=10 > 4
+    assert(r(2L) == ((2L, 0L, 0L, true)))
+    assert(r(3L) == ((5L, 5L, 15L, false)))
+  }
+
   test("charset entropy separates clean prose from mixed-class noise") {
     import spark.implicits._
     val tiny = Seq(
