@@ -182,6 +182,7 @@ object MediaHeaders {
       .orElse(parseGif(payload).map { case (w, h, c) => ContainerMeta(id, "gif", w, h, c) })
       .orElse(parseWav(payload).map { case (sr, bits, ch) => ContainerMeta(id, "wav", sr, bits, ch) })
       .orElse(parseMp4(payload).map { case (w, h, t) => ContainerMeta(id, "mp4", w, h, t) })
+      .orElse(parseY4m(payload).map { case (w, h) => ContainerMeta(id, "y4m", w, h, 3) })
       .getOrElse(ContainerMeta(id, "unknown", -1, -1, -1))
   }
 
@@ -560,6 +561,149 @@ object MediaHeaders {
         (id, nSamples, sumSq, peak)
       })
       .toDF("doc_id", "n_samples", "sum_sq", "peak")
+  }
+
+  // ---- uncompressed video (YUV4MPEG2): real bytes, real frame decode ----
+
+  /** y4m stream-header sniff: Some((width, height)) for a payload whose
+    * magic and W/H parameters parse.
+    */
+  def parseY4m(b: Array[Byte]): Option[(Int, Int)] = {
+    val magic = "YUV4MPEG2 "
+    if (b.length <= magic.length ||
+      new String(b.take(magic.length), "US-ASCII") != magic) None
+    else {
+      val nl = b.indexOf('\n'.toByte)
+      if (nl <= 0) None
+      else {
+        val params = new String(b.slice(magic.length - 1, nl), "US-ASCII")
+          .trim.split(' ').filter(_.nonEmpty)
+        def num(tag: Char): Option[Int] = params.collectFirst {
+          case p if p.length > 1 && p.head == tag &&
+            p.tail.forall(_.isDigit) => p.tail.toInt
+        }
+        for { w <- num('W'); h <- num('H'); if w > 0 && h > 0 } yield (w, h)
+      }
+    }
+  }
+
+  /** Genuine YUV4MPEG2 (y4m) bytes — the uncompressed interchange format
+    * ffmpeg pipes (`-f yuv4mpeg`): textual stream header, then per frame
+    * a `FRAME\n` marker followed by raw Y, U, V planes (C444 = one byte
+    * per pixel per plane). Pixel values are row arithmetic so an oracle
+    * replays the decoded statistics exactly (the synthWavPcm pattern):
+    * Y(f, p) = (id*31 + f*17 + p*7) mod 256, and U/V from different
+    * primes so a plane-walk bug cannot cancel out.
+    */
+  def synthY4m(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII"))
+    val n = width * height
+    var f = 0
+    while (f < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var p = 0
+      while (p < n) { out.write((((id * 31 + f * 17 + p * 7) % 256).toInt + 256) % 256); p += 1 }
+      p = 0
+      while (p < n) { out.write((((id * 13 + f * 5 + p * 3) % 256).toInt + 256) % 256); p += 1 }
+      p = 0
+      while (p < n) { out.write((((id * 7 + f * 11 + p * 19) % 256).toInt + 256) % 256); p += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, synthY4m(id, (id % 8 + 4).toInt, (id % 6 + 3).toInt,
+        (id % 7 + 2).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL video frame decode for uncompressed y4m payloads: byte-walk the
+    * stream header (space-separated W/H/C parameters), then per frame
+    * verify the `FRAME` marker, skip its optional parameters to the
+    * newline, and read the raw planes — Y fully (integer sum/min/max),
+    * U and V by exact plane-size stride (C444: w*h each; C420: the
+    * half-resolution (w/2)*(h/2) planes of even-dimension streams). A
+    * payload that is not y4m yields no rows; a stream that goes
+    * malformed mid-walk keeps the frames decoded before the fault (the
+    * audioStats defensive posture). Closes the "video decode is a stub"
+    * gap for the codec-free part of the format space the same way
+    * p101/p102 closed WAV/PNG: the bytes, the walk, and the pixel math
+    * are all real — only COMPRESSED codecs (H.264 etc.) remain
+    * environmental, exactly as a JNI/ffmpeg hook would slot in here.
+    *
+    * Scale/plumbing shape: per-partition iteration over the typed binary
+    * column, one output row per sampled frame (every `step`-th), no
+    * shuffle — identical batch shape to a subprocess decoder. Returns
+    * (doc_id, frame_idx, width, height, y_sum, y_min, y_max).
+    */
+  def videoFrameStats(spark: SparkSession, media: DataFrame,
+      step: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(step > 0, "step must be positive")
+    media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val magic = "YUV4MPEG2 "
+        val rows = Seq.newBuilder[(Long, Int, Int, Int, Long, Int, Int)]
+        if (b.length > magic.length &&
+          new String(b.take(magic.length), "US-ASCII") == magic) {
+          val nl0 = b.indexOf('\n'.toByte)
+          if (nl0 > 0) {
+            val params = new String(b.slice(magic.length - 1, nl0), "US-ASCII")
+              .trim.split(' ').filter(_.nonEmpty)
+            def num(tag: Char): Option[Int] = params.collectFirst {
+              case p if p.length > 1 && p.head == tag &&
+                p.tail.forall(_.isDigit) => p.tail.toInt
+            }
+            val chroma = params.collectFirst {
+              case p if p.startsWith("C") => p.tail
+            }.getOrElse("420") // y4m default when no C parameter
+            (num('W'), num('H')) match {
+              case (Some(w), Some(h)) if w > 0 && h > 0 &&
+                  (chroma == "444" || (chroma.startsWith("420") &&
+                    w % 2 == 0 && h % 2 == 0)) =>
+                val ySize = w * h
+                val cSize = if (chroma == "444") ySize else (w / 2) * (h / 2)
+                var i = nl0 + 1
+                var fIdx = 0
+                var ok = true
+                while (ok && i < b.length) {
+                  // FRAME marker + optional params up to the newline.
+                  if (i + 5 <= b.length &&
+                    new String(b.slice(i, i + 5), "US-ASCII") == "FRAME") {
+                    val nl = b.indexOf('\n'.toByte, i)
+                    val frameEnd = if (nl < 0) -1L
+                      else nl.toLong + 1L + ySize.toLong + 2L * cSize.toLong
+                    if (nl >= 0 && frameEnd <= b.length) {
+                      if (fIdx % step == 0) {
+                        var sum = 0L; var mn = 255; var mx = 0
+                        var p = nl + 1
+                        val end = nl + 1 + ySize
+                        while (p < end) {
+                          val v = b(p) & 0xff
+                          sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                          p += 1
+                        }
+                        rows += ((id, fIdx, w, h, sum, mn, mx))
+                      }
+                      i = frameEnd.toInt
+                      fIdx += 1
+                    } else ok = false
+                  } else ok = false
+                }
+              case _ => // unsupported geometry/chroma: honest empty
+            }
+          }
+        }
+        rows.result()
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "y_sum", "y_min", "y_max")
   }
 
   def synthesizeContainers(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -2699,6 +2699,28 @@ object PipelineOps {
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
         Seq(1, 2), 5, 4, 16)
     },
+
+    // REAL uncompressed-video frame decode (r12): genuine YUV4MPEG2
+    // bytes (stream header + FRAME markers + raw C444 planes) decoded
+    // back by an actual byte walk; the oracle states the per-frame luma
+    // statistics arithmetically (the p101/p102 real-decode pattern).
+    Q.df(
+      "p117_video_decode",
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(doc_id % 8 + 4 AS INT) AS width,
+        |  CAST(doc_id % 6 + 3 AS INT) AS height,
+        |  CAST(list_sum(ys) AS BIGINT) AS y_sum,
+        |  CAST(list_aggregate(ys, 'min') AS INT) AS y_min,
+        |  CAST(list_aggregate(ys, 'max') AS INT) AS y_max
+        |FROM (
+        |  SELECT doc_id, f, list_transform(
+        |    generate_series(0, CAST((doc_id % 8 + 4) * (doc_id % 6 + 3) - 1 AS INT)),
+        |    p -> (doc_id * 31 + f * 17 + p * 7) % 256) AS ys
+        |  FROM documents CROSS JOIN generate_series(0, 7) t(f)
+        |  WHERE f <= doc_id % 7 + 1) x""".stripMargin) { (s, dir) =>
+      graft.ops.MediaHeaders.videoFrameStats(s,
+        graft.ops.MediaHeaders.synthesizeVideos(s, t(s, dir, "documents")))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -2059,6 +2059,51 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(1) == 0L && z.getInt(3) == -1)
   }
 
+  test("video decode: y4m planes decode exactly; C420 stride; malformed keeps prior frames") {
+    import spark.implicits._
+    // Hand-check: id=3, 4x3, 2 frames, C444 — replay the pixel formula.
+    val b = graft.ops.MediaHeaders.synthY4m(3L, 4, 3, 2)
+    val df = Seq((3L, b)).toDF("doc_id", "payload")
+    val r = graft.ops.MediaHeaders.videoFrameStats(spark, df).collect()
+      .map(x => x.getInt(1) -> ((x.getLong(4), x.getInt(5), x.getInt(6)))).toMap
+    def ys(f: Int) = (0 until 12).map(p => ((3 * 31 + f * 17 + p * 7) % 256))
+    assert(r.keySet == Set(0, 1))
+    (0 to 1).foreach(f =>
+      assert(r(f) == ((ys(f).map(_.toLong).sum, ys(f).min, ys(f).max)), s"frame $f"))
+    // C420 with even dims: hand-build header + one frame with known planes.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W4 H2 F25:1 C420jpeg\n".getBytes("US-ASCII"))
+    out.write("FRAME\n".getBytes("US-ASCII"))
+    (1 to 8).foreach(out.write)            // Y: 1..8
+    (0 until 2).foreach(_ => out.write(9)) // U: (4/2)*(2/2) = 2 bytes
+    (0 until 2).foreach(_ => out.write(9)) // V
+    out.write("FRAME\n".getBytes("US-ASCII"))
+    (11 to 18).foreach(out.write)
+    (0 until 4).foreach(_ => out.write(0))
+    val r420 = graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((5L, out.toByteArray)).toDF("doc_id", "payload")).collect()
+      .map(x => (x.getInt(1), x.getLong(4), x.getInt(5), x.getInt(6))).sortBy(_._1)
+    assert(r420.toSeq == Seq((0, 36L, 1, 8), (1, 116L, 11, 18)))
+    // Truncated second frame: the first decoded frame survives.
+    val cut = b.take(b.length - 5)
+    val rc = graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((3L, cut)).toDF("doc_id", "payload")).collect()
+    assert(rc.map(_.getInt(1)).toSeq == Seq(0))
+    // Non-y4m and odd-dimension C420 are honest empties.
+    assert(graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).count() == 0)
+    val odd = "YUV4MPEG2 W3 H3 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill(20)(1.toByte)
+    assert(graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((9L, odd)).toDF("doc_id", "payload")).count() == 0)
+    // Step sampling keeps frames 0, step, 2*step...
+    val many = graft.ops.MediaHeaders.synthY4m(1L, 4, 3, 7)
+    val rs = graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((1L, many)).toDF("doc_id", "payload"), step = 3).collect()
+    assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(0, 3, 6))
+    // Header sniff surfaces in parse().
+    assert(graft.ops.MediaHeaders.parse(1L, b).fmt == "y4m")
+  }
+
   test("audio stats: real chunk walk survives junk chunks and odd sizes") {
     import spark.implicits._
     // Hand-build: RIFF/WAVE + fmt + an odd-sized junk chunk (forces the
