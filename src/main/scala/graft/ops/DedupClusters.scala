@@ -221,4 +221,25 @@ object DedupClusters {
           (-col("doc_id")).as("nid"))).as("best"))
       .select(col("cluster_id"),
         col("best.doc_id").as("doc_id"), col("best.quality").as("quality"))
+
+  /** Cluster-size histogram (r12) — the dedup QA card a pipeline
+    * publishes with its release: duplicate-cluster sizes bucketed by BIT
+    * LENGTH (bucket b holds clusters of 2^b..2^(b+1)−1 members — exact
+    * integers via the `length(bin(n)) - 1` trick, so any engine derives
+    * identical buckets), with the cluster count and total documents per
+    * bucket. Singletons land in bucket 0; a corpus with a pathological
+    * mega-cluster shows up as a populated high bucket — the signal this
+    * card exists to surface before training.
+    *
+    * Scale shape: [[connectedComponents]]'s labeling, then two map-side-
+    * combinable aggregates (per-cluster count → per-bucket counts); the
+    * output is log2(corpus)-bounded (≤ ~40 rows at any scale). Returns
+    * (size_bits, n_clusters, n_docs).
+    */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(docs, pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin(col("sz"))) - 1).cast("int").as("size_bits"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_docs"))
 }

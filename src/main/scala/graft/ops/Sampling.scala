@@ -379,4 +379,45 @@ object Sampling {
             sort_array(collect_list(struct(col("rn"), col("h")))),
             s => s.getField("h")),
           "")).as("shard_md5"))
+
+  /** DoReMi-flavored domain reweighting step (r12; Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): upweight domains with EXCESS loss, here the
+    * integerized bigram-surprisal rate standing in for the proxy-model
+    * excess loss. DoReMi's multiplicative-weights update w ∝ exp(η·excess)
+    * is stated base-2 in EXACT integers: per source,
+    * rate_scaled = (Σbits << 10) div Σpairs, excess = rate − min rate,
+    * and weight_num = 1L << min(excess div etaDen, cap) with
+    * weight_den = Σ weight_num — the mixture fraction as an exact
+    * rational any engine reproduces bit-for-bit (no exp, no float until
+    * the reader divides). η maps to 1/etaDen in bit units; cap bounds
+    * the ratio between the most- and least-upweighted domains at 2^cap.
+    *
+    * Scale shape: [[graft.ops.TextOps.bigramSurprisal]]'s map-combinable
+    * pipeline, one doc_id-keyed join to recover the source, then a
+    * #sources-bounded aggregate PERSISTED once — the min/denominator
+    * cross-joins re-read that tiny relation, never the corpus. Returns
+    * (source, pairs, bits, rate_scaled, excess, weight_num, weight_den).
+    */
+  def domainReweight(docs: DataFrame, etaDen: Int = 64, cap: Int = 32): DataFrame = {
+    require(etaDen > 0 && cap > 0 && cap < 63, "etaDen > 0, cap in (0, 63)")
+    val bySrc = graft.ops.TextOps.bigramSurprisal(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_pairs")).cast("long").as("pairs"),
+        sum(col("bigram_bits")).cast("long").as("bits"))
+      .withColumn("rate_scaled",
+        expr("cast(shiftleft(bits, 10) div pairs as bigint)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minRate = bySrc.agg(min(col("rate_scaled")).as("min_rate"))
+    val ex = bySrc.crossJoin(broadcast(minRate))
+      .withColumn("excess", col("rate_scaled") - col("min_rate"))
+      .withColumn("weight_num", expr(
+        s"shiftleft(cast(1 as bigint), cast(least(excess div $etaDen, ${cap}L) as int))"))
+    val den = ex.agg(sum(col("weight_num")).as("weight_den"))
+    ex.crossJoin(broadcast(den))
+      .select(col("source"), col("pairs"), col("bits"), col("rate_scaled"),
+        col("excess"), col("weight_num").cast("long").as("weight_num"),
+        col("weight_den").cast("long").as("weight_den"))
+  }
 }

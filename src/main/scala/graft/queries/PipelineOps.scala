@@ -2721,6 +2721,75 @@ object PipelineOps {
       graft.ops.MediaHeaders.videoFrameStats(s,
         graft.ops.MediaHeaders.synthesizeVideos(s, t(s, dir, "documents")))
     },
+
+    // Dedup cluster-size histogram (r12): the release QA card — cluster
+    // sizes bucketed by bit length (exact integers; singletons bucket
+    // 0), surfacing a pathological mega-cluster before training.
+    Q.df(
+      "p118_cluster_histogram",
+      s"""WITH RECURSIVE $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairx AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT i, j FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+         |  FROM pairx JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j) p
+         |  WHERE jac >= 0.8),
+         |e AS (SELECT i AS src, j AS dst FROM jp UNION SELECT j AS src, i AS dst FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id,
+         |  CAST(CASE WHEN comp.min_reach IS NULL OR d.doc_id < comp.min_reach
+         |       THEN d.doc_id ELSE comp.min_reach END AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) - 1 AS INT) AS size_bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.DedupClusters.clusterSizeHistogram(
+        docs, Dedup.ngramJaccardPairs(docs, 3, 0.8))
+    },
+
+    // DoReMi-flavored domain reweighting (r12): multiplicative-weights
+    // over per-source excess surprisal, stated base-2 in exact integers
+    // (no exp, no float) — the data-mixing step after the quality pass.
+    Q.df(
+      "p119_domain_reweight",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |  FROM tok WHERE len(toks) >= 2) u),
+        |dp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2, 3),
+        |pc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS n_pair FROM dp GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(c * (length(bin(n_ctx // n_pair)) - 1)) AS BIGINT) AS bits
+        |  FROM dp JOIN pc USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY doc_id),
+        |bysrc AS (SELECT d.source,
+        |  CAST(SUM(sc.n_pairs) AS BIGINT) AS pairs,
+        |  CAST(SUM(sc.bits) AS BIGINT) AS bits
+        |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1),
+        |r AS (SELECT source, pairs, bits,
+        |  CAST((bits * 1024) // pairs AS BIGINT) AS rate_scaled FROM bysrc),
+        |m AS (SELECT MIN(rate_scaled) AS min_rate FROM r),
+        |ex AS (SELECT source, pairs, bits, rate_scaled,
+        |  CAST(rate_scaled - min_rate AS BIGINT) AS excess,
+        |  CAST(CAST(1 AS BIGINT) << CAST(least((rate_scaled - min_rate) // 64, 32) AS INT)
+        |    AS BIGINT) AS weight_num
+        |  FROM r, m)
+        |SELECT source, pairs, bits, rate_scaled, excess, weight_num,
+        |  CAST((SELECT SUM(weight_num) FROM ex) AS BIGINT) AS weight_den
+        |FROM ex""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.domainReweight(t(s, dir, "documents"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1876,6 +1876,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out2.count() == 0L)
   }
 
+  test("cluster-size histogram: hand-built clusters land in their bit buckets") {
+    import spark.implicits._
+    // 7 docs: {1,2,3} one cluster (size 3 -> bucket 1), {4,5} (size 2 ->
+    // bucket 1), {6}, {7} singletons (bucket 0).
+    val d = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    val h = graft.ops.DedupClusters.clusterSizeHistogram(d, pairs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h == Map(0 -> ((2L, 2L)), 1 -> ((2L, 5L))))
+  }
+
+  test("domain reweight: exact rational weights, monotone in excess surprisal") {
+    val out = graft.ops.Sampling.domainReweight(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val den = out.map(_._4).sum
+    out.foreach { case (_, _, excess, num, d) =>
+      assert(d == den, "den must be the shared sum of numerators")
+      assert(num == (1L << math.min(excess / 64, 32L)), "num = 2^min(excess/64, cap)")
+    }
+    // The minimum-rate source carries excess 0 and weight_num 1.
+    assert(out.minBy(_._2)._3 == 0L && out.minBy(_._2)._4 == 1L)
+    // Monotone: larger excess never gets a smaller numerator.
+    out.sortBy(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4)
+      case _ => ()
+    }
+  }
+
   test("filtered ANN: only admitted labels appear; full admit + full probe == brute force") {
     val emb = graft.Tables.t(spark, sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 4)
