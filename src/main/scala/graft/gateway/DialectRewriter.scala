@@ -511,10 +511,19 @@ object DialectRewriter {
     splitArgs(sql, open) match {
       case Some((args, close)) if args.length == 2 =>
         val trimmed = args.map(_.trim)
-        val fmtIdx = trimmed.indexWhere {
+        def isFmtLiteral(a: String) = a match {
           case SimpleLiteralRe(body) => body.contains('%')
           case _ => false
         }
+        // DuckDB's documented order is (value, format): prefer arg 2 as
+        // the format whenever it qualifies, so a VALUE literal that
+        // happens to contain '%' (strptime('12%M', '%H:%M')) can never
+        // be mistaken for the format; arg 1 is only consulted for the
+        // Python-ish (format, value) order.
+        val fmtIdx =
+          if (isFmtLiteral(trimmed(1))) 1
+          else if (isFmtLiteral(trimmed(0))) 0
+          else -1
         if (fmtIdx < 0)
           Left(s"$word needs a string-literal format containing % codes " +
             "(a computed format cannot be translated at rewrite time)")

@@ -83,9 +83,13 @@ object GlobalRank {
     val r = col("__tot") % buckets
     val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
       .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
+    // Null-safe equality: a NULL value forms its own count group (Spark
+    // sorts nulls first, matching [[ntile]]'s range partitioning), and a
+    // plain === would silently drop those rows while still counting them
+    // in the total.
     df.withColumn("__nbv_lrn", row_number().over(lw).cast("long"))
       .join(pref.select(col("__nbv_v"), col("__nbv_off")).hint("shuffle_hash"),
-        value === col("__nbv_v"))
+        value <=> col("__nbv_v"))
       .withColumn("__rn", col("__nbv_off") + col("__nbv_lrn"))
       .crossJoin(broadcast(totDf))
       .withColumn(out, floor(bucket).cast("int"))

@@ -568,7 +568,18 @@ object MediaHeaders {
   /** y4m stream-header sniff: Some((width, height)) for a payload whose
     * magic and W/H parameters parse.
     */
-  def parseY4m(b: Array[Byte]): Option[(Int, Int)] = {
+  def parseY4m(b: Array[Byte]): Option[(Int, Int)] =
+    y4mHeader(b).map { case (w, h, _, _) => (w, h) }
+
+  /** The ONE y4m stream-header grammar, shared by [[parseY4m]] (the
+    * container sniff) and [[videoFrameStats]] (the decoder):
+    * Some((width, height, chroma, headerEnd)) — `headerEnd` is the index
+    * just past the header newline. Numeric parameters are capped at 9
+    * digits so a hostile W/H digit-run degrades to None (the honest-
+    * empty contract) instead of throwing NumberFormatException inside an
+    * executor task.
+    */
+  private[ops] def y4mHeader(b: Array[Byte]): Option[(Int, Int, String, Int)] = {
     val magic = "YUV4MPEG2 "
     if (b.length <= magic.length ||
       new String(b.take(magic.length), "US-ASCII") != magic) None
@@ -579,10 +590,14 @@ object MediaHeaders {
         val params = new String(b.slice(magic.length - 1, nl), "US-ASCII")
           .trim.split(' ').filter(_.nonEmpty)
         def num(tag: Char): Option[Int] = params.collectFirst {
-          case p if p.length > 1 && p.head == tag &&
+          case p if p.length > 1 && p.length <= 10 && p.head == tag &&
             p.tail.forall(_.isDigit) => p.tail.toInt
         }
-        for { w <- num('W'); h <- num('H'); if w > 0 && h > 0 } yield (w, h)
+        val chroma = params.collectFirst {
+          case p if p.startsWith("C") => p.tail
+        }.getOrElse("420") // y4m default when no C parameter
+        for { w <- num('W'); h <- num('H'); if w > 0 && h > 0 }
+          yield (w, h, chroma, nl + 1)
       }
     }
   }
@@ -647,59 +662,46 @@ object MediaHeaders {
     media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
-        val magic = "YUV4MPEG2 "
         val rows = Seq.newBuilder[(Long, Int, Int, Int, Long, Int, Int)]
-        if (b.length > magic.length &&
-          new String(b.take(magic.length), "US-ASCII") == magic) {
-          val nl0 = b.indexOf('\n'.toByte)
-          if (nl0 > 0) {
-            val params = new String(b.slice(magic.length - 1, nl0), "US-ASCII")
-              .trim.split(' ').filter(_.nonEmpty)
-            def num(tag: Char): Option[Int] = params.collectFirst {
-              case p if p.length > 1 && p.head == tag &&
-                p.tail.forall(_.isDigit) => p.tail.toInt
+        y4mHeader(b) match {
+          case Some((w, h, chroma, headerEnd))
+              if chroma == "444" || (chroma.startsWith("420") &&
+                w % 2 == 0 && h % 2 == 0) =>
+            // Long strides: a hostile W*H whose product overflows Int
+            // must fail the frameEnd bound below, not wrap into a bogus
+            // "decoded" row.
+            val ySize = w.toLong * h.toLong
+            val cSize = if (chroma == "444") ySize else (w / 2).toLong * (h / 2).toLong
+            var i = headerEnd
+            var fIdx = 0
+            var ok = true
+            while (ok && i < b.length) {
+              // FRAME marker + optional params up to the newline.
+              if (i + 5 <= b.length &&
+                new String(b.slice(i, i + 5), "US-ASCII") == "FRAME") {
+                val nl = b.indexOf('\n'.toByte, i)
+                val frameEnd = if (nl < 0) -1L
+                  else nl.toLong + 1L + ySize + 2L * cSize
+                if (nl >= 0 && frameEnd <= b.length) {
+                  if (fIdx % step == 0) {
+                    var sum = 0L; var mn = 255; var mx = 0
+                    var p = nl + 1
+                    val end = nl + 1 + ySize.toInt // <= b.length, so Int-safe
+                    while (p < end) {
+                      val v = b(p) & 0xff
+                      sum += v
+                      if (v < mn) mn = v
+                      if (v > mx) mx = v
+                      p += 1
+                    }
+                    rows += ((id, fIdx, w, h, sum, mn, mx))
+                  }
+                  i = frameEnd.toInt
+                  fIdx += 1
+                } else ok = false
+              } else ok = false
             }
-            val chroma = params.collectFirst {
-              case p if p.startsWith("C") => p.tail
-            }.getOrElse("420") // y4m default when no C parameter
-            (num('W'), num('H')) match {
-              case (Some(w), Some(h)) if w > 0 && h > 0 &&
-                  (chroma == "444" || (chroma.startsWith("420") &&
-                    w % 2 == 0 && h % 2 == 0)) =>
-                val ySize = w * h
-                val cSize = if (chroma == "444") ySize else (w / 2) * (h / 2)
-                var i = nl0 + 1
-                var fIdx = 0
-                var ok = true
-                while (ok && i < b.length) {
-                  // FRAME marker + optional params up to the newline.
-                  if (i + 5 <= b.length &&
-                    new String(b.slice(i, i + 5), "US-ASCII") == "FRAME") {
-                    val nl = b.indexOf('\n'.toByte, i)
-                    val frameEnd = if (nl < 0) -1L
-                      else nl.toLong + 1L + ySize.toLong + 2L * cSize.toLong
-                    if (nl >= 0 && frameEnd <= b.length) {
-                      if (fIdx % step == 0) {
-                        var sum = 0L; var mn = 255; var mx = 0
-                        var p = nl + 1
-                        val end = nl + 1 + ySize
-                        while (p < end) {
-                          val v = b(p) & 0xff
-                          sum += v
-                          if (v < mn) mn = v
-                          if (v > mx) mx = v
-                          p += 1
-                        }
-                        rows += ((id, fIdx, w, h, sum, mn, mx))
-                      }
-                      i = frameEnd.toInt
-                      fIdx += 1
-                    } else ok = false
-                  } else ok = false
-                }
-              case _ => // unsupported geometry/chroma: honest empty
-            }
-          }
+          case _ => // non-y4m / unsupported geometry or chroma: honest empty
         }
         rows.result()
       }

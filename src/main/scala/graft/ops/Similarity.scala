@@ -244,15 +244,26 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
       nprobe: Int = 4, cells: Int = 16): DataFrame = {
     val n = normalized(emb)
-    val assigned = ivfAssign(emb, cells)
-    val withCell = n.join(assigned, "vec_id")
-    val cents = n.filter(col("vec_id") < cells)
+    val withCell = n.join(ivfAssign(emb, cells), "vec_id")
+    ivfSearch(centroidsOf(n, cells), normalizedQueries(queries), withCell, k, nprobe)
+  }
+
+  private def centroidsOf(n: DataFrame, cells: Int): DataFrame =
+    n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val q = normalized(queries)
+
+  private def normalizedQueries(queries: DataFrame): DataFrame =
+    normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // Probe-cell selection: nprobe best cells per query via an array sort of
-    // the per-query (qcos, c_id) pairs — #cells entries per query, no window
-    // exchange. sort_array over struct(-qcos, c_id) = qcos desc, c_id asc.
+
+  /** Shared IVF search tail for the unfiltered and filtered paths:
+    * probe-cell selection — nprobe best cells per query via an array
+    * sort of the per-query (qcos, c_id) pairs, #cells entries per query,
+    * no window exchange (sort_array over struct(-qcos, c_id) = qcos
+    * desc, c_id asc) — then the cell equi-join and bounded-heap top-k.
+    */
+  private def ivfSearch(cents: DataFrame, q: DataFrame, withCell: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val qTop = q.crossJoin(broadcast(cents))
       .withColumn("qcos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
       .groupBy(col("q_id"))
@@ -295,25 +306,10 @@ object Similarity {
   def filteredIvfTopK(emb: DataFrame, queries: DataFrame, labels: Seq[Int],
       k: Int = 5, nprobe: Int = 4, cells: Int = 16): DataFrame = {
     require(labels.nonEmpty, "need at least one admitted label")
-    val nAll = normalized(emb)
-    val cents = nAll.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = centroidsOf(normalized(emb), cells) // FULL-corpus codebook
     val nf = normalized(emb.filter(col("label").isin(labels: _*)))
     val withCell = nf.join(assignCells(nf, cents), "vec_id")
-    val q = normalized(queries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val qTop = q.crossJoin(broadcast(cents))
-      .withColumn("qcos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
-      .groupBy(col("q_id"))
-      .agg(slice(
-        sort_array(collect_list(struct(-col("qcos"), col("c_id")))),
-        1, nprobe).as("top"))
-      .select(col("q_id"), explode(col("top.c_id")).as("cell"))
-    rankTopK(
-      qTop.join(broadcast(q), "q_id").join(withCell, "cell")
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))),
-      k)
+    ivfSearch(cents, normalizedQueries(queries), withCell, k, nprobe)
   }
 
   /** Symmetric int8 quantization per vector: scale = 127/max|x| (1.0 for

@@ -643,7 +643,13 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_docs"), statCols: _*)
       .collect()(0)
     val nDocs = stats.getAs[Long]("n_docs")
-    require(nDocs > 0, "empty corpus")
+    // Empty corpus: the typed empty frame (the joined path's and the
+    // pre-r12 behavior), not a construction-time exception.
+    if (nDocs == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "doc_id", "rnk", "bm25")
+    }
     // Driver doubles reproduce the joined path's expression values
     // bit-for-bit: same operand order as the old contrib column.
     val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs.toDouble

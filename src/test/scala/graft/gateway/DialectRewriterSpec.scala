@@ -219,6 +219,22 @@ class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
       "SELECT strftime FROM t -- strptime(a, '%Q')")
   }
 
+  test("strptime value literal containing % never swaps with the format argument") {
+    // Both args are literals with % codes: arg 2 is the documented
+    // format position and must win.
+    assert(duck("SELECT strptime('12%M', '%H:%M') FROM t") ==
+      "SELECT to_timestamp('12%M', 'HH:mm') FROM t")
+    // A value literal with a stray % plus a COMPUTED second argument is
+    // indistinguishable from a Python-ish (format, value) call, so it is
+    // tried as one and 400s naming the offending code — deterministic
+    // and precise either way.
+    val e = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions(
+        "SELECT strptime('sale: 50% off', fmt_col) FROM t"))
+    assert(e.getMessage.contains("has no exact Spark datetime-pattern equivalent"),
+      e.getMessage)
+  }
+
   test("the pre-pass is idempotent over the whole oracle corpus") {
     // The corpus' oracle SQL is real DuckDB dialect (unnest, len,
     // list_transform, generate_series all appear). One application must

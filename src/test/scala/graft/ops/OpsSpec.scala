@@ -424,6 +424,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(distCum.exceptAll(winCum).isEmpty && winCum.exceptAll(distCum).isEmpty)
   }
 
+  test("ntileByValue matches the window NTILE, including rows with a NULL value") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = ((1L to 40L).map(i => (i, Some(i % 5))) ++
+      Seq((41L, None), (42L, None), (43L, None))).toDF("id", "v")
+    for (buckets <- Seq(3, 4)) {
+      val dist = GlobalRank.ntileByValue(rows, buckets, col("v"), col("id"), "q")
+        .select(col("id"), col("q"))
+      val window = rows.select(col("id"),
+        ntile(buckets).over(Window.orderBy(col("v"), col("id"))).as("q"))
+      assert(dist.count() == 43L, "null-valued rows must not be dropped")
+      assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty,
+        s"ntileByValue($buckets) mismatch")
+    }
+  }
+
   test("pq: m codes per vector in [0, ks); seed codebook vectors encode themselves") {
     // Codes stay well-formed under the trained (default) codebook.
     val codes = ProductQuant.pqAssign(emb).collect()
@@ -1874,6 +1890,11 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == 0L)
     val out2 = TextOps.bm25TopK(tiny, Seq(0L -> Seq.empty))
     assert(out2.count() == 0L)
+    // An EMPTY CORPUS also yields the typed empty frame on both paths.
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out3 = TextOps.bm25TopK(none, Seq(0L -> Seq("apple")))
+    assert(out3.columns.toSeq == Seq("query_id", "doc_id", "rnk", "bm25"))
+    assert(out3.count() == 0L)
   }
 
   test("cluster-size histogram: hand-built clusters land in their bit buckets") {
@@ -2124,6 +2145,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val odd = "YUV4MPEG2 W3 H3 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill(20)(1.toByte)
     assert(graft.ops.MediaHeaders.videoFrameStats(spark,
       Seq((9L, odd)).toDF("doc_id", "payload")).count() == 0)
+    // Hostile headers degrade to honest empties, never an exception or
+    // a bogus row: a W digit-run past Int range, and a W*H product that
+    // overflows Int (46341^2 < 0 in Int32) with a tiny payload.
+    val hugeW = ("YUV4MPEG2 W99999999999 H4 C444\nFRAME\n" + "x" * 32).getBytes("US-ASCII")
+    assert(graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((9L, hugeW)).toDF("doc_id", "payload")).count() == 0)
+    assert(graft.ops.MediaHeaders.parse(9L, hugeW).fmt == "unknown")
+    val ovf = ("YUV4MPEG2 W46341 H46341 C444\nFRAME\n" + "x" * 8).getBytes("US-ASCII")
+    assert(graft.ops.MediaHeaders.videoFrameStats(spark,
+      Seq((9L, ovf)).toDF("doc_id", "payload")).count() == 0)
     // Step sampling keeps frames 0, step, 2*step...
     val many = graft.ops.MediaHeaders.synthY4m(1L, 4, 3, 7)
     val rs = graft.ops.MediaHeaders.videoFrameStats(spark,
