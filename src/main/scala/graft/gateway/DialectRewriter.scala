@@ -418,6 +418,14 @@ object DialectRewriter {
     // arity at analysis, loudly.
     "arg_min" -> "min_by",
     "arg_max" -> "max_by",
+    // r12: DuckDB's integer epoch extractors are Spark's unix_* family —
+    // both return BIGINT ms/us since the epoch for a timestamp argument.
+    // (DuckDB also overloads epoch_ms(BIGINT) as ms->timestamp; that
+    // form fails Spark analysis loudly, the regexp_matches precedent.
+    // Plain `epoch` returns DOUBLE seconds and epoch_ns has no Spark
+    // counterpart — both stay precisely rejected.)
+    "epoch_ms" -> "unix_millis",
+    "epoch_us" -> "unix_micros",
     "list_value" -> "array",
     "list_concat" -> "concat",
     "list_reverse" -> "reverse",
@@ -440,7 +448,7 @@ object DialectRewriter {
     "list_unique", "list_has_any", "list_has_all",
     "list_position", "list_indexof", "list_intersect",
     "struct_pack", "struct_extract", "struct_insert",
-    "epoch", "epoch_ms", "epoch_us", "epoch_ns")
+    "epoch", "epoch_ns")
 
   /** DuckDB's C-style format-code functions (r12): translated to
     * date_format/to_timestamp when the format is a string literal whose

@@ -219,6 +219,20 @@ class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
       "SELECT strftime FROM t -- strptime(a, '%Q')")
   }
 
+  test("epoch_ms/epoch_us rename to unix_millis/unix_micros; epoch/epoch_ns stay rejected") {
+    assert(duck("SELECT epoch_ms(ts), epoch_us(ts) FROM t") ==
+      "SELECT unix_millis(ts), unix_micros(ts) FROM t")
+    val row = spark.sql(duck(
+      "SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01.5') AS ms, " +
+        "epoch_us(TIMESTAMP '1970-01-01 00:00:01.5') AS us")).collect()(0)
+    assert(row.getLong(0) == 1500L && row.getLong(1) == 1500000L)
+    for (fn <- Seq("epoch", "epoch_ns")) {
+      val err = intercept[IllegalArgumentException](
+        DialectRewriter.rejectUnknownDuckFunctions(s"SELECT $fn(ts) FROM t"))
+      assert(err.getMessage.contains(s"unsupported DuckDB function $fn"), err.getMessage)
+    }
+  }
+
   test("strptime value literal containing % never swaps with the format argument") {
     // Both args are literals with % codes: arg 2 is the documented
     // format position and must win.
