@@ -553,4 +553,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("r12 additions: dup-ngram card is the p80 stream shape without the LM join") {
+    // Row-local pair_counts kernel, Generate, partial aggregation; no
+    // join, no window, no cartesian anywhere — the whole query is one
+    // doc-keyed partial-combined exchange.
+    val p = plan("p115_dup_ngram_card")
+    assert(p.contains("Generate") && p.contains("pair_counts"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("r12 additions: filtered ANN pushes the label filter to the scan, probes without a window") {
+    // The label predicate must reach the parquet reader (PushedFilters),
+    // the codebook/query sides broadcast, and ranking is the bounded
+    // heap — a window or cartesian means the IVF shape rotted.
+    val p = plan("p116_filtered_ann")
+    assert(p.contains("PushedFilters: [In(label") || p.contains("PushedFilters: [IsNotNull(label"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("r12 additions: video decode is map-only — zero exchanges") {
+    // flatMap over the typed binary column: per-partition decode, one
+    // row per sampled frame, nothing shuffles at any corpus size.
+    val df = SparkEntry.queries("p117_video_decode")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("r12 additions: domain reweight persists the tiny per-source relation once") {
+    // The surprisal pipeline runs ONCE into the #sources-bounded persist
+    // (InMemoryRelation); min/denominator ride broadcast loops over that
+    // relation, and no window exists anywhere.
+    val p = plan("p119_domain_reweight")
+    assert(p.contains("InMemoryRelation"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
