@@ -766,4 +766,53 @@ object Dedup {
       if (kUsed == 0) 0L else (common << 20) / kUsed))
       .toDF("k_used", "kth_min", "n_common", "jaccard_q20")
   }
+
+  /** Pairwise SOURCE-overlap matrix (r12) — the "dataset venn" card a
+    * multi-source corpus release publishes: for every pair of sources, a
+    * KMV bottom-k Jaccard estimate between their shingle sets (the
+    * [[corpusOverlapSketch]] estimator, matrixed). High off-diagonal
+    * overlap means two ingests crawled the same sites — the signal that
+    * decides whether cross-source dedup must run before mixing.
+    *
+    * Scale shape: ONE corpus pass builds all per-source sketches — the
+    * (source, h) distinct aggregate is map-side combined, and the
+    * per-source bottom-k runs through the cap-bounded
+    * [[graft.functions.FirstKBySeq]] accumulator (≤ 2k entries per
+    * buffer; never a per-source sort or window). Only #sources × k
+    * longs reach the driver, where the #sources² pair merges are
+    * driver-local integer arithmetic over those sketches — bounded by
+    * the source-dimension cardinality, not the corpus. Estimates are the
+    * same cleared-denominator integers as [[corpusOverlapSketch]]:
+    * jaccard_q20 = (|common in merged bottom-k| << 20) div k_used.
+    * Returns (src_a, src_b, k_used, n_common, jaccard_q20), src_a <
+    * src_b.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val session = docs.sparkSession
+    import session.implicits._
+    val hs = shingles(docs, n, distinct = true)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), Sampling.h56(col("shingle")).as("h"))
+      .distinct()
+    val sk = hs.groupBy(col("source"))
+      .agg(graft.functions.FirstKBySeq.firstK(k)(
+        col("h"), col("h"), col("h").cast("string")).as("sketch"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).map(_.toLong).toArray)
+      .sortBy(_._1)
+    val rows = for {
+      (sa, ha) <- sk.toSeq
+      (sb, hb) <- sk.toSeq
+      if sa < sb
+    } yield {
+      val merged = (ha ++ hb).distinct.sorted.take(k)
+      val inA = ha.toSet
+      val inB = hb.toSet
+      val common = merged.count(x => inA(x) && inB(x)).toLong
+      val kUsed = merged.length.toLong
+      (sa, sb, kUsed, common, if (kUsed == 0) 0L else (common << 20) / kUsed)
+    }
+    rows.toDF("src_a", "src_b", "k_used", "n_common", "jaccard_q20")
+  }
 }

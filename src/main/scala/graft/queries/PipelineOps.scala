@@ -2790,6 +2790,38 @@ object PipelineOps {
         |FROM ex""".stripMargin) { (s, dir) =>
       graft.ops.Sampling.domainReweight(t(s, dir, "documents"))
     },
+
+    // Pairwise source-overlap matrix (r12): KMV bottom-k Jaccard between
+    // every source pair — the "dataset venn" card deciding whether
+    // cross-source dedup must run before mixing.
+    Q.df(
+      "p120_source_overlap",
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT DISTINCT d.source,
+         |  CAST('0x' || substr(md5(sh.shingle), 1, 14) AS BIGINT) AS h
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+         |  FROM hs) x WHERE r <= 256),
+         |pairs AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |u AS (SELECT p.src_a, p.src_b, s.h FROM pairs p
+         |  JOIN sk s ON s.source IN (p.src_a, p.src_b) GROUP BY 1, 2, 3),
+         |m AS (SELECT src_a, src_b, h FROM (
+         |  SELECT src_a, src_b, h,
+         |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r FROM u) x
+         |  WHERE r <= 256),
+         |c AS (SELECT m.src_a, m.src_b, m.h,
+         |  CASE WHEN EXISTS (SELECT 1 FROM sk WHERE sk.source = m.src_a AND sk.h = m.h)
+         |    AND EXISTS (SELECT 1 FROM sk WHERE sk.source = m.src_b AND sk.h = m.h)
+         |  THEN 1 ELSE 0 END AS in_both FROM m)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |  CAST(SUM(in_both) AS BIGINT) AS n_common,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN 0
+         |    ELSE (SUM(in_both) * 1048576) // COUNT(*) END AS BIGINT) AS jaccard_q20
+         |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -1897,6 +1897,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out3.count() == 0L)
   }
 
+  test("source overlap matrix: identical sources read 1.0, disjoint 0, all pairs present") {
+    import spark.implicits._
+    val textA = (1 to 30).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"omega$i psi$i chi$i phi$i").mkString(" ")
+    val d = Seq(
+      (1L, "web", textA), (2L, "web", textA),
+      (3L, "books", textA),          // books == web content
+      (4L, "code", textB)).toDF("doc_id", "source", "text")
+    val m = graft.ops.Dedup.sourceOverlapMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m.keySet == Set(("books", "web"), ("books", "code"), ("code", "web")))
+    val (kBW, commonBW, jBW) = m(("books", "web"))
+    assert(commonBW == kBW && jBW == (1L << 20), "identical sketch sets read 1.0")
+    assert(m(("books", "code"))._3 == 0L && m(("code", "web"))._3 == 0L)
+  }
+
   test("cluster-size histogram: hand-built clusters land in their bit buckets") {
     import spark.implicits._
     // 7 docs: {1,2,3} one cluster (size 3 -> bucket 1), {4,5} (size 2 ->
