@@ -447,7 +447,7 @@ object DialectRewriter {
     "list_aggregate", "list_aggr", "list_apply", "list_reduce",
     "list_unique", "list_has_any", "list_has_all",
     "list_position", "list_indexof", "list_intersect",
-    "struct_pack", "struct_extract", "struct_insert",
+    "struct_insert",
     "epoch", "epoch_ns")
 
   /** DuckDB's C-style format-code functions (r12): translated to
@@ -505,6 +505,54 @@ object DialectRewriter {
     flush()
     Right(out.toString)
   }
+
+  /** DuckDB's struct constructors/accessors (r12): translated when the
+    * shape maps exactly — `struct_pack(a := x, b := y)` is Spark's
+    * `named_struct('a', x, 'b', y)` (construction and `.field` access
+    * align), and `struct_extract(s, 'a')` is the parenthesized field
+    * access `(s).a`. Anything else (positional struct_extract,
+    * struct_insert, malformed := args) keeps a precise 400.
+    */
+  private val DuckStructFns = Set("struct_pack", "struct_extract")
+
+  private val StructFieldRe: Regex =
+    """^([A-Za-z_][A-Za-z0-9_]*)\s*:=\s*([\s\S]+)$""".r
+
+  private def translateStructCall(word: String, sql: String,
+      open: Int): Either[String, (String, Int)] =
+    splitArgs(sql, open) match {
+      case Some((args, close)) if word == "struct_pack" =>
+        val trimmed = args.map(_.trim)
+        if (trimmed.isEmpty || trimmed == Seq(""))
+          Left("struct_pack needs at least one name := value argument")
+        else {
+          val fields = trimmed.map {
+            case StructFieldRe(name, value) =>
+              Right(s"'$name', ${convertDuckDbDialect(value.trim)}")
+            case other => Left(
+              s"struct_pack argument '$other' is not of the form name := value")
+          }
+          fields.collectFirst { case Left(reason) => Left(reason) }.getOrElse {
+            val inner = fields.collect { case Right(f) => f }.mkString(", ")
+            Right((s"named_struct($inner)", close))
+          }
+        }
+      case Some((args, close)) if args.length == 2 => // struct_extract
+        val field = args(1).trim match {
+          case SimpleLiteralRe(body)
+              if body.matches("[A-Za-z_][A-Za-z0-9_]*") => Some(body)
+          case _ => None
+        }
+        field match {
+          case Some(f) =>
+            Right((s"(${convertDuckDbDialect(args.head.trim)}).$f", close))
+          case None => Left("struct_extract needs a string-literal field name " +
+            "(positional extraction has no Spark equivalent)")
+        }
+      case Some((args, _)) =>
+        Left(s"$word takes (struct, field); got ${args.length} arguments")
+      case None => Left(s"$word call has unbalanced parentheses")
+    }
 
   /** Attempt to translate a `strftime`/`strptime` call whose opening
     * paren sits at `open`: Right((replacement, closeIdx)) or Left(reason).
@@ -589,6 +637,12 @@ object DialectRewriter {
                 s"unsupported DuckDB function $word call: $reason")
               case Right(_) => // translatable — convert pass handles it
             }
+          if (k < n && sql.charAt(k) == '(' && DuckStructFns.contains(word))
+            translateStructCall(word, sql, k) match {
+              case Left(reason) => throw new IllegalArgumentException(
+                s"unsupported DuckDB function $word call: $reason")
+              case Right(_) => // translatable — convert pass handles it
+            }
           i = j
         } else i += 1
       }
@@ -642,6 +696,13 @@ object DialectRewriter {
         val isCall = k < n && sql.charAt(k) == '('
         if (isCall && DuckFormatFns.contains(word)) {
           translateFormatCall(word, sql, k) match {
+            case Right((replacement, close)) =>
+              out.append(replacement); i = close + 1
+            case Left(_) => // untranslatable — reject pass gives the 400
+              out.append(sql, i, j); i = j
+          }
+        } else if (isCall && DuckStructFns.contains(word)) {
+          translateStructCall(word, sql, k) match {
             case Right((replacement, close)) =>
               out.append(replacement); i = close + 1
             case Left(_) => // untranslatable — reject pass gives the 400

@@ -156,7 +156,7 @@ class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
   }
 
   test("known-DuckDB functions with no mapping get a precise rejection, not UNRESOLVED_ROUTINE") {
-    for (fn <- Seq("list_aggregate", "struct_pack", "list_position")) {
+    for (fn <- Seq("list_aggregate", "struct_insert", "list_position")) {
       val err = intercept[IllegalArgumentException](
         DialectRewriter.rejectUnknownDuckFunctions(s"SELECT $fn(a, b) FROM t"))
       assert(err.getMessage.contains(s"unsupported DuckDB function $fn"), err.getMessage)
@@ -217,6 +217,36 @@ class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
     // Bare word / literal / comment positions stay silent in reject.
     DialectRewriter.rejectUnknownDuckFunctions(
       "SELECT strftime FROM t -- strptime(a, '%Q')")
+  }
+
+  test("struct_pack/struct_extract translate to named_struct/field access") {
+    assert(duck("SELECT struct_pack(a := 1, b := x + 1) FROM t") ==
+      "SELECT named_struct('a', 1, 'b', x + 1) FROM t")
+    assert(duck("SELECT struct_extract(s, 'name') FROM t") ==
+      "SELECT (s).name FROM t")
+    // Nested dialect inside the field values converts; nested calls
+    // compose (struct_extract over a fresh struct_pack).
+    assert(duck("SELECT struct_pack(xs := list_min(v)) FROM t") ==
+      "SELECT named_struct('xs', array_min(v)) FROM t")
+    assert(duck("SELECT struct_extract(struct_pack(a := 1), 'a') AS v") ==
+      "SELECT (named_struct('a', 1)).a AS v")
+    // Spark round-trip sanity on the translated forms.
+    val row = spark.sql(duck(
+      "SELECT struct_extract(struct_pack(a := 7, b := 'z'), 'a') AS a")).collect()(0)
+    assert(row.getInt(0) == 7)
+    // Untranslatable shapes keep a precise 400: positional args and
+    // positional extraction.
+    val e1 = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions("SELECT struct_pack(a, b) FROM t"))
+    assert(e1.getMessage.contains("name := value"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions("SELECT struct_extract(s, 1) FROM t"))
+    assert(e2.getMessage.contains("string-literal field name"), e2.getMessage)
+    // The oracle corpus's own struct_pack (inside a DuckDB lambda)
+    // converts idempotently.
+    val lam = duck("SELECT list_transform(g, i -> struct_pack(w1 := toks[i])) FROM t")
+    assert(lam == "SELECT transform(g, i -> named_struct('w1', toks[i])) FROM t")
+    assert(duck(lam) == lam)
   }
 
   test("epoch_ms/epoch_us rename to unix_millis/unix_micros; epoch/epoch_ns stay rejected") {
