@@ -29,6 +29,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bounded-cache contract: drop the blocks this query's operators
+      // persisted (GlobalRank's pinned partitioning, perplexityBuckets'
+      // scored relation, ...) now that the parquet dump is complete —
+      // otherwise the full-corpus run accumulates every query's persists
+      // on the shared block manager.
+      finally graft.ops.CacheScope.releaseCurrent()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -470,12 +470,24 @@ object DialectRewriter {
     "%-d" -> "d", "%-m" -> "M", "%-H" -> "H", "%-I" -> "h",
     "%-M" -> "m", "%-S" -> "s", "%-j" -> "D", "%%" -> "%")
 
+  /** Codes whose FORMATTING is value-identical but whose PARSING
+    * diverges: C strptime maps two-digit years 69-99 to the 1900s while
+    * Spark's 'yy' (Java reduced-year, base 2000) parses every two-digit
+    * value into 2000-2099, so strptime('69-01-01', '%y-%m-%d') would
+    * silently return 2069 instead of 1969 — the silent value change the
+    * %g/%n exclusion rule forbids. strftime keeps these (a two-digit
+    * year PRINTS identically); strptime gets the precise 400.
+    */
+  private[gateway] val FormatOnlyCodes: Set[String] = Set("%y")
+
   /** Translate a C strftime format string into a Spark datetime pattern.
     * Literal runs containing a letter (or a quote) are single-quoted —
     * letters are pattern-reserved in Java's DateTimeFormatter and an
-    * embedded quote doubles. Left(reason) on any code outside the table.
+    * embedded quote doubles. Left(reason) on any code outside the table,
+    * or (when `parsing`) on a [[FormatOnlyCodes]] member.
     */
-  private[gateway] def translateFormat(fmt: String): Either[String, String] = {
+  private[gateway] def translateFormat(fmt: String,
+      parsing: Boolean = false): Either[String, String] = {
     val out = new StringBuilder
     val lit = new StringBuilder
     def flush(): Unit = if (lit.nonEmpty) {
@@ -493,6 +505,10 @@ object DialectRewriter {
           else if (i + 1 < fmt.length) fmt.substring(i, i + 2)
           else return Left("dangling % at end of format")
         FormatCodes.get(code) match {
+          case Some(_) if parsing && FormatOnlyCodes(code) => return Left(
+            s"format code $code parses differently in Spark (two-digit years " +
+              "69-99 read as 2069-2099, not 1969-1999); it is supported for " +
+              "strftime only")
           case Some("%") => lit.append('%') // %% is literal text
           case Some(p) => flush(); out.append(p)
           case None => return Left(
@@ -585,7 +601,8 @@ object DialectRewriter {
             "(a computed format cannot be translated at rewrite time)")
         else {
           val body = SimpleLiteralRe.findFirstMatchIn(trimmed(fmtIdx)).get.group(1)
-          translateFormat(body.replace("''", "'")).map { pattern =>
+          translateFormat(body.replace("''", "'"),
+              parsing = word == "strptime").map { pattern =>
             val value = convertDuckDbDialect(trimmed(1 - fmtIdx))
             val patLit =
               "'" + pattern.replace("\\", "\\\\").replace("'", "''") + "'"

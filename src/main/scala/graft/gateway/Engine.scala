@@ -37,6 +37,21 @@ object Engine {
       rowLimit: Int = DefaultRowLimit): QueryResult = {
     if (rowLimit > MaxRowLimit)
       throw EngineError(400, s"rowLimit must be <= $MaxRowLimit")
+    // Bounded-cache contract for the long-running gateway: any
+    // intermediate an operator persists during this request (tracked via
+    // CacheScope) is released once the rows are collected — per-request
+    // newSession() isolates conf/catalog but NOT the block manager, so
+    // without this, persisted blocks would accumulate across requests
+    // for the lifetime of the shared SparkContext.
+    try executeQueryInner(root, sql, config, rowLimit)
+    finally graft.ops.CacheScope.releaseCurrent()
+  }
+
+  private def executeQueryInner(
+      root: SparkSession,
+      sql: String,
+      config: ConnectionConfig,
+      rowLimit: Int): QueryResult = {
     val t0 = System.nanoTime()
     val cfg = Try(ConnectionConfig.validated(config)) match {
       case Success(c) => c

@@ -791,8 +791,13 @@ object Dedup {
     require(k > 0, "k must be positive")
     val session = docs.sparkSession
     import session.implicits._
+    // NULL sources are excluded up front: a corpus with unset source
+    // degrades to the pair matrix over the non-null sources (exactly the
+    // rows the oracle's inner join keeps) instead of NPE-ing in the
+    // driver-side sort/compare over collected source names.
     val hs = shingles(docs, n, distinct = true)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(docs.select(col("doc_id"), col("source"))
+        .filter(col("source").isNotNull), "doc_id")
       .select(col("source"), Sampling.h56(col("shingle")).as("h"))
       .distinct()
     val sk = hs.groupBy(col("source"))

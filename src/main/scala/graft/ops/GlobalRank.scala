@@ -109,9 +109,8 @@ object GlobalRank {
       out: String = "cumsum"): DataFrame = {
     // Persisted for the same reason as withGlobalRank: both branches must
     // see ONE range partitioning.
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = CacheScope.persistTracked(df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val ow = Window.orderBy(col("__pid"))
     val offsets = ranged.groupBy(col("__pid")).agg(sum(value).as("__psum"))
       .select(col("__pid"),
@@ -140,13 +139,12 @@ object GlobalRank {
     // the data rows don't have. One materialization pins one partitioning
     // for both consumers (the cost is the same disk footprint the two
     // jobs' shared shuffle files would have under RDD zipWithIndex).
-    val ranged = df.repartitionByRange(order: _*)
+    val ranged = CacheScope.persistTracked(df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mono", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mono"), 33))
       .withColumn("__lrn", (col("__mono") % (1L << 33)) + 1L)
-      .drop("__mono")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("__mono"))
     // One row per partition: local count -> exclusive prefix offset and the
     // global total. The window here runs over partition-count rows (tens),
     // not data rows — that is the whole point. (The second pass over the

@@ -408,7 +408,7 @@ object Sampling {
         sum(col("bigram_bits")).cast("long").as("bits"))
       .withColumn("rate_scaled",
         expr("cast(shiftleft(bits, 10) div pairs as bigint)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.persistTracked(_))
     val minRate = bySrc.agg(min(col("rate_scaled")).as("min_rate"))
     val ex = bySrc.crossJoin(broadcast(minRate))
       .withColumn("excess", col("rate_scaled") - col("min_rate"))

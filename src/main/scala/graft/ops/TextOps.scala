@@ -12,6 +12,15 @@ import graft.functions.GraftFunctions
   */
 object TextOps {
 
+  /** Largest bigram-LM vocabulary (distinct pairs) [[bigramSurprisal]]
+    * will broadcast; larger LMs build a shuffle_hash table instead. At
+    * ~40 bytes/entry (pair string + long) 8M pairs is a ~320 MB
+    * broadcast — comfortably under the 8 GB broadcast cap and a 1000-
+    * executor driver's heap, while real web-corpus pair tables that
+    * outgrow it (~50M+) take the shuffle path automatically.
+    */
+  val BroadcastPairLimit: Long = 8L * 1000 * 1000
+
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to")
   val StopFr: Seq[String] = Seq("le", "la", "les", "de", "et")
   val StopEs: Seq[String] = Seq("el", "los", "las", "y", "en")
@@ -280,24 +289,30 @@ object TextOps {
     val ctxCounts = pairCounts
       .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
       .agg(sum(col("n_pair")).cast("long").as("n_ctx"))
-    val bits = pairCounts
+    val bits = CacheScope.persistTracked(pairCounts
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(ctxCounts, "w1")
-      .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
-    // BROADCAST the bits table: it is the corpus bigram LM — model
-    // state, exactly what production CCNet ships to every scoring node —
-    // bounded by OBSERVED distinct pairs, not corpus rows (3.9k at the
-    // 100x fixture; low millions for a real web vocabulary). The
-    // broadcast keeps the corpus-sized pair stream map-only end to end:
-    // its only exchange left is the partial-combined per-doc aggregate.
-    // (The r11 form shuffle_hash-joined here, paying a full exchange of
-    // the 27M-row stream at 100x — the single largest cost of the
-    // surprisal family. A deployment whose pair table outgrows broadcast
-    // — ~50M+ distinct pairs — should flip this join back to
-    // .hint("shuffle_hash"); the stream side's partial-agg shape is
-    // unchanged either way.)
-    pairs
-      .join(broadcast(bits), Seq("pair"))
+      .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits")))
+    // The bits table is the corpus bigram LM — model state, exactly what
+    // production CCNet ships to every scoring node — bounded by OBSERVED
+    // distinct pairs, not corpus rows (3.9k at the 100x fixture; low
+    // millions for a real web vocabulary). BROADCASTING it keeps the
+    // corpus-sized pair stream map-only end to end: its only exchange
+    // left is the partial-combined per-doc aggregate. (The r11 form
+    // shuffle_hash-joined here, paying a full exchange of the 27M-row
+    // stream at 100x — the single largest cost of the surprisal family.)
+    // But broadcast is chosen from the MEASURED pair-vocabulary size,
+    // not hard-coded: a corpus whose distinct-pair count exceeds the
+    // threshold (~50M+ pairs would hit the 8 GB broadcast cap / driver
+    // heap) falls back to a shuffle_hash build on the bits side. The
+    // count() rides on the persist the join reuses, so the LM aggregate
+    // is computed once either way — the strategy probe costs no extra
+    // corpus pass.
+    val distinctPairs = bits.count()
+    val bitsJoined =
+      if (distinctPairs <= BroadcastPairLimit) pairs.join(broadcast(bits), Seq("pair"))
+      else pairs.join(bits.hint("shuffle_hash"), Seq("pair"))
+    bitsJoined
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).cast("long").as("n_pairs"),
@@ -331,11 +346,10 @@ object TextOps {
     // materialization of the narrow (doc, n_pairs, score) relation
     // replaces three recomputations (r12; the r11 form's range-ntile also
     // re-ran the lineage for its range sampler).
-    val scored = bigramSurprisal(docs)
+    val scored = CacheScope.persistTracked(bigramSurprisal(docs)
       .select(col("doc_id"), col("n_pairs"),
         expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")
-          .as("ppl_scaled"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .as("ppl_scaled")))
     GlobalRank.ntileByValue(scored, buckets, col("ppl_scaled"), col("doc_id"), "bucket")
       .select(col("doc_id"), col("n_pairs"), col("ppl_scaled"), col("bucket"))
   }

@@ -219,6 +219,23 @@ class DialectRewriterSpec extends AnyFunSuite with graft.SparkFixture {
       "SELECT strftime FROM t -- strptime(a, '%Q')")
   }
 
+  test("%y formats via strftime but strptime rejects it (r12 advice: year-base divergence)") {
+    // Formatting a two-digit year is value-identical in both engines.
+    assert(duck("SELECT strftime(ts, '%y-%m-%d') FROM t") ==
+      "SELECT date_format(ts, 'yy-MM-dd') FROM t")
+    // Parsing is NOT: C strptime reads 69-99 as 1969-1999; Spark's 'yy'
+    // (reduced-year base 2000) reads every two-digit value as 2000-2099
+    // — strptime('69-01-01', '%y-%m-%d') would silently become 2069. The
+    // convert pass must leave the call untouched and the reject pass must
+    // name the divergence.
+    val sql = "SELECT strptime('69-01-01', '%y-%m-%d') FROM t"
+    assert(duck(sql) == sql)
+    val e = intercept[IllegalArgumentException](
+      DialectRewriter.rejectUnknownDuckFunctions(sql))
+    assert(e.getMessage.contains("%y"), e.getMessage)
+    assert(e.getMessage.contains("strftime only"), e.getMessage)
+  }
+
   test("struct_pack/struct_extract translate to named_struct/field access") {
     assert(duck("SELECT struct_pack(a := 1, b := x + 1) FROM t") ==
       "SELECT named_struct('a', 1, 'b', x + 1) FROM t")

@@ -1914,6 +1914,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(m(("books", "code"))._3 == 0L && m(("code", "web"))._3 == 0L)
   }
 
+  test("source overlap matrix: NULL sources degrade to the non-null pair matrix (r12 advice)") {
+    import spark.implicits._
+    val textA = (1 to 30).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+    val d = Seq(
+      (1L, Some("web"), textA), (2L, Some("books"), textA),
+      (3L, Option.empty[String], textA)).toDF("doc_id", "source", "text")
+    // Must not NPE in the driver-side sort/compare; the null-source doc
+    // simply doesn't contribute a source row (the oracle's inner join
+    // drops it the same way).
+    val m = graft.ops.Dedup.sourceOverlapMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m == Set(("books", "web")))
+  }
+
+  test("CacheScope: tracked persists release on demand, bounded-cache contract (r12 advice)") {
+    import org.apache.spark.storage.StorageLevel
+    // Idempotent on an empty registry.
+    graft.ops.CacheScope.releaseCurrent()
+    val df = graft.ops.CacheScope.persistTracked(spark.range(100).toDF("id"))
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE, "tracked df must be persisted")
+    graft.ops.CacheScope.releaseCurrent()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "releaseCurrent must unpersist everything tracked on this thread")
+    // The ops route their intermediates through the scope: a consumed
+    // perplexityBuckets leaves no cached entries behind once released.
+    // (clearCache first so leftovers from OTHER tests on the shared
+    // session can't fail the isEmpty assertion.)
+    spark.catalog.clearCache()
+    TextOps.perplexityBuckets(docs).collect()
+    graft.ops.CacheScope.releaseCurrent()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no persisted intermediates may survive a released query")
+  }
+
   test("cluster-size histogram: hand-built clusters land in their bit buckets") {
     import spark.implicits._
     // 7 docs: {1,2,3} one cluster (size 3 -> bucket 1), {4,5} (size 2 ->
