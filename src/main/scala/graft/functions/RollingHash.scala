@@ -64,6 +64,7 @@ object GraftFunctions {
     reg("vec_sqdist", exprs => SqDist(exprs(0), exprs(1)))
     reg("ngram_shingles", NgramShingles.forArgs)
     reg("winnow_hashes", WinnowHashes.forArgs)
+    reg("cdc_chunks", CdcChunks.forArgs)
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
     reg("bigram_bucket_counts", BigramBuckets.forArgs)

@@ -820,4 +820,45 @@ object Dedup {
     }
     rows.toDF("src_a", "src_b", "k_used", "n_common", "jaccard_q20")
   }
+
+  /** Content-defined-chunking dedup card (r13) — the STORAGE-layer dedup
+    * diagnostic (LBFS / FastCDC lineage): documents are split at
+    * content-defined boundaries by the codegen'd
+    * [[graft.functions.CdcChunks]] kernel (cut where the char-k-gram
+    * rolling hash ≡ 0 mod `div`, expected chunk ≈ div+k chars), and the
+    * card reports how many chunk-granular bytes a content-addressed
+    * store would deduplicate. Complementary to the document-level
+    * families: C4 keep-first cuts fixed WORD windows and rewrites docs,
+    * winnowing fingerprints for similarity — CDC's shift-resilient byte
+    * boundaries measure verbatim storage redundancy, the number a
+    * snapshotting corpus store plans capacity with.
+    *
+    * Scale shape: chunking is map-only O(len)/doc inside whole-stage
+    * codegen; the only exchange is the chunk-hash hash-aggregate (the
+    * content-addressed chunk table itself — the p01 exact-dedup shape)
+    * followed by a 1-row reduce. Returns one row: (n_docs, total_chunks,
+    * distinct_chunks, dup_chunks, total_bytes, dup_bytes,
+    * max_chunk_len), integers end to end.
+    */
+  def cdcChunkCard(docs: DataFrame, k: Int = 8, div: Int = 32): DataFrame = {
+    val session = docs.sparkSession
+    graft.functions.GraftFunctions.register(session)
+    val base = docs.filter(col("text").isNotNull && length(col("text")) > 0)
+    val chunks = base
+      .select(explode(expr(s"cdc_chunks(text, $k, $div)")).as("chunk"))
+      .select(md5(col("chunk")).as("cm"), octet_length(col("chunk")).cast("long").as("len"))
+      .groupBy(col("cm"))
+      .agg(count(lit(1)).cast("long").as("cnt"), max(col("len")).as("len"))
+    chunks
+      .agg(sum(col("cnt")).cast("long").as("total_chunks"),
+        count(lit(1)).cast("long").as("distinct_chunks"),
+        sum(col("cnt") - 1).cast("long").as("dup_chunks"),
+        sum(col("cnt") * col("len")).cast("long").as("total_bytes"),
+        sum((col("cnt") - 1) * col("len")).cast("long").as("dup_bytes"),
+        max(col("len")).as("max_chunk_len"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).cast("long").as("n_docs"))))
+      .select(col("n_docs"), col("total_chunks"), col("distinct_chunks"),
+        col("dup_chunks"), col("total_bytes"), col("dup_bytes"),
+        col("max_chunk_len"))
+  }
 }

@@ -2794,6 +2794,106 @@ object PipelineOps {
     // Pairwise source-overlap matrix (r12): KMV bottom-k Jaccard between
     // every source pair — the "dataset venn" card deciding whether
     // cross-source dedup must run before mixing.
+    // Count-Min heavy-hitter card: a 4×1024-cell map-side-combined grid
+    // (state independent of vocabulary size), row r's bucket from the
+    // minhash two-hash family (a1 + r·a2) mod 1024 — one md5 per
+    // distinct token; the exact top-20 is the evaluation half and the
+    // estimates are min-over-rows bucket lookups. cms_est >= n_exact by
+    // construction.
+    Q.df(
+      "p121_cms_heavy_hitters",
+      """WITH tk AS (SELECT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE length(text) > 0) x WHERE token <> ''),
+        |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tk GROUP BY 1),
+        |hx AS (SELECT token, n_exact,
+        |    CAST('0x' || substr(d, 1, 14) AS BIGINT) AS a1,
+        |    CAST('0x' || substr(d, 17, 14) AS BIGINT) AS a2
+        |  FROM (SELECT token, n_exact, md5(token) AS d FROM tc) z),
+        |rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (SELECT r, (a1 + r * a2) % 1024 AS b,
+        |    CAST(SUM(n_exact) AS BIGINT) AS c
+        |  FROM hx CROSS JOIN rws GROUP BY 1, 2),
+        |top AS (SELECT token, n_exact, a1, a2 FROM hx
+        |  ORDER BY n_exact DESC, token LIMIT 20),
+        |est AS (SELECT t.token, t.n_exact, MIN(c.c) AS cms_est
+        |  FROM top t CROSS JOIN rws r JOIN cells c ON c.r = r.r
+        |    AND c.b = (t.a1 + r.r * t.a2) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT token, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - n_exact AS BIGINT) AS overcount FROM est""".stripMargin) {
+      (s, dir) => graft.ops.Sketches.cmsHeavyHitters(t(s, dir, "documents"))
+    },
+
+    // HyperLogLog per-source cardinality card + register-merged '*ALL*'
+    // union row: MAX(rho) registers per (source, idx) — state bounded by
+    // sources×256 — with the exact harmonic numerator kept integer at
+    // the 2^50 scale; exact distincts are the evaluation half.
+    Q.df(
+      "p122_hll_card",
+      """WITH hh AS (SELECT DISTINCT source,
+        |    CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sp AS (SELECT source, h >> 48 AS idx, h & 281474976710655 AS rest FROM hh),
+        |rr AS (SELECT source, idx,
+        |  CASE WHEN rest = 0 THEN 49 ELSE 49 - length(bin(rest)) END AS rho FROM sp),
+        |regs AS (SELECT source, idx, MAX(rho) AS reg FROM rr GROUP BY 1, 2),
+        |un AS (SELECT source, idx, reg FROM regs
+        |  UNION ALL SELECT '*ALL*' AS source, idx, MAX(reg) AS reg FROM regs GROUP BY 2),
+        |card AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+        |  CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - reg AS INT))
+        |    + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS BIGINT) AS harm_num
+        |  FROM un GROUP BY 1),
+        |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        |    FROM hh GROUP BY 1
+        |  UNION ALL SELECT '*ALL*', CAST(COUNT(DISTINCT h) AS BIGINT) FROM hh)
+        |SELECT c.source, c.nonzero_regs, c.harm_num, e.exact_distinct
+        |FROM card c JOIN ex e USING (source)""".stripMargin) {
+      (s, dir) => graft.ops.Sketches.hllCard(t(s, dir, "documents"))
+    },
+
+    // Content-defined-chunking storage-dedup card: boundaries where the
+    // char-8-gram rolling hash (the p63 polynomial, unrolled with the
+    // same 8 coefficients) is ≡ 0 mod 32, cut after the gram's last
+    // char; chunk-granular duplicate bytes a content-addressed store
+    // would save. The Spark side is the codegen'd cdc_chunks kernel.
+    Q.df(
+      "p123_cdc_chunks",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |cps AS (SELECT doc_id, text, n,
+        |    list_transform(generate_series(1, n),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
+        |  FROM d),
+        |h AS (SELECT doc_id, text, n,
+        |  CASE WHEN n >= 8 THEN list_transform(generate_series(1, n - 7),
+        |      i -> CAST((cp[i]*27512614111 + cp[i+1]*887503681 + cp[i+2]*28629151
+        |        + cp[i+3]*923521 + cp[i+4]*29791 + cp[i+5]*961 + cp[i+6]*31
+        |        + cp[i+7]) % 1000000007 AS BIGINT))
+        |    ELSE [] END AS hs FROM cps),
+        |cuts AS (SELECT doc_id, text, n,
+        |  list_transform(list_filter(generate_series(1, greatest(n - 7, 0)),
+        |    i -> hs[i] % 32 = 0), i -> i + 7) AS cut
+        |  FROM h),
+        |bounds AS (SELECT doc_id, text,
+        |  list_concat([0], CASE WHEN len(cut) > 0 AND cut[-1] = n THEN cut
+        |    ELSE list_concat(cut, [n]) END) AS bd
+        |  FROM cuts),
+        |ch AS (SELECT unnest(list_transform(generate_series(1, len(bd) - 1),
+        |    j -> substr(text, bd[j] + 1, bd[j+1] - bd[j]))) AS chunk FROM bounds),
+        |g AS (SELECT md5(chunk) AS cm, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(MAX(strlen(chunk)) AS BIGINT) AS len FROM ch GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+        |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(cnt * len) AS BIGINT) AS total_bytes,
+        |  CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_bytes,
+        |  CAST(MAX(len) AS BIGINT) AS max_chunk_len
+        |FROM g""".stripMargin) {
+      (s, dir) => Dedup.cdcChunkCard(t(s, dir, "documents"))
+    },
+
     Q.df(
       "p120_source_overlap",
       s"""WITH $shingleCtes,

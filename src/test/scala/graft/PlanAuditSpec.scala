@@ -593,4 +593,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  // Exchange reuse is an AQE-time decision: execute, then read the
+  // finalized plan.
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("r13 sketches: CMS tokenizes the corpus ONCE (reused exchange), grid broadcasts") {
+    val p = finalPlan("p121_cms_heavy_hitters")
+    // Both card halves (grid cells + exact top-k) consume the same
+    // token-count aggregate: its exchange must be built once and REUSED,
+    // not recomputed per branch.
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(12).mkString("\n"))
+    // The 4096-cell grid joins the 80 top-k probes via broadcast; the
+    // top-k itself is TakeOrdered, never a global sort; aggregation is
+    // partial (map-side combined) everywhere.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("r13 sketches: HLL derives everything from one reused distinct-pair scan") {
+    val p = finalPlan("p122_hll_card")
+    // Registers, per-source exacts and the '*ALL*' row all read the
+    // distinct (source, h) aggregate — one corpus scan, reused.
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r13 sketches: CDC chunking is codegen'd map-work into one chunk-keyed aggregate") {
+    val df = SparkEntry.queries("p123_cdc_chunks")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // The kernel runs inside the scan-side codegen stage (Generate over
+    // cdc_chunks), and the only exchanges are the chunk-hash hash
+    // aggregate and the final 1-row reduce — no window, no sort, no
+    // corpus-sized join.
+    assert(p.contains("cdc_chunks"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    df.queryExecution.toRdd.count()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("codegen id"), formatted.linesIterator.take(10).mkString("\n"))
+  }
 }
