@@ -478,6 +478,19 @@ object Similarity {
     val vecs = emb.select(col("vec_id"),
       shiftright(col("vec_id"), bucketShift).as("bkt"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    val v = powerLoop(vecs, iters, dims)
+    val fraction = explainedFraction(vecs, v)
+    import session.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x, fraction) }.toSeq
+      .toDF("pos", "loading", "sv_fraction")
+  }
+
+  /** The power-iteration loop over a prepared (vec_id, bkt, vd)
+    * relation — the two-level order-defined fold documented on
+    * [[topSingularDirection]], shared with [[allButTheTop]] (which runs
+    * it on CENTERED vectors). Returns the unit-norm direction.
+    */
+  private def powerLoop(vecs: DataFrame, iters: Int, dims: Int): Array[Double] = {
     var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
       // Level 1 folds WHOLE scaled vectors per bucket — the elementwise
@@ -505,8 +518,15 @@ object Similarity {
       val nrm = math.sqrt(nrm2)
       v = w.map(_ / nrm)
     }
-    // Explained fraction via the same two-level fold over the scalar
-    // pairs (s², ||x||²).
+    v
+  }
+
+  /** ||Xv||²/Σ||x||² via the same two-level fold over the scalar pairs
+    * (s², ||x||²) — shared by [[topSingularDirection]] (raw vectors) and
+    * [[allButTheTop]] (centered vectors, where it is the fraction of
+    * centered energy the removed direction carried).
+    */
+  private def explainedFraction(vecs: DataFrame, v: Array[Double]): Double = {
     val fr = vecs
       .withColumn("s", call_function("vec_dot", col("vd"), typedlit(v.toSeq)))
       .withColumn("nx", call_function("vec_dot", col("vd"), col("vd")))
@@ -520,10 +540,81 @@ object Similarity {
         expr("aggregate(transform(sort_array(collect_list(struct(bkt, ssb))), t -> t.ssb), 0D, (a, b) -> a + b)").as("ss"),
         expr("aggregate(transform(sort_array(collect_list(struct(bkt, nxb))), t -> t.nxb), 0D, (a, b) -> a + b)").as("nx"))
       .collect()(0)
-    val fraction = fr.getDouble(0) / fr.getDouble(1)
+    fr.getDouble(0) / fr.getDouble(1)
+  }
+
+  /** "All-but-the-top" embedding post-processing card (Mu & Viswanath
+    * 2018) — the standard isotropy fix retrieval pipelines apply before
+    * cosine search: subtract the corpus mean, then project out the
+    * dominant direction of the CENTERED embeddings. Returns one row per
+    * dimension: (pos, mean, loading, sum_after, removed_fraction) —
+    * the mean vector, the removed direction, the order-defined fold of
+    * the post-processed values per dimension (the checksum that pins the
+    * whole transform bit-for-bit: it is the float residue of sums that
+    * cancel exactly in real arithmetic), and the fraction of centered
+    * energy the removed direction carried.
+    *
+    * Scale shape: the mean and every reported sum use the SAME
+    * hierarchical two-level order-defined fold as
+    * [[topSingularDirection]] (vec_id within bucket, bucket across), so
+    * all reductions are bit-reproducible in any engine with per-group
+    * state bounded at max(2^bucketShift, N/2^bucketShift); centering
+    * and the projection are row-local expressions against the
+    * driver-held d-vectors (mean, direction) — the bounded-collect
+    * contract the kmeans/BPE training loops established. Three corpus
+    * passes total (mean; power iterations; transform folds).
+    */
+  def allButTheTop(emb: DataFrame, iters: Int = 2, dims: Int = 64,
+      bucketShift: Int = 8): DataFrame = {
+    require(iters >= 1 && dims > 0, "need iters >= 1 and positive dims")
+    GraftFunctions.register(emb.sparkSession)
+    val session = emb.sparkSession
+    val vecs = emb.select(col("vec_id"),
+      shiftright(col("vec_id"), bucketShift).as("bkt"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    // Mean: level-1 whole-vector fold per bucket (+ its count), level-2
+    // driver fold in bucket order, ONE division per position — the
+    // oracle's list_sum(list(bs ORDER BY bkt)) / n chain exactly.
+    val brows = vecs
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("vd")))).as("arr"),
+        count(lit(1)).as("cnt"))
+      .select(col("bkt"), expr("vec_fold_sum(transform(arr, t -> t.vd))").as("bsv"),
+        col("cnt"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val n = brows.map(_.getLong(2)).sum
+    val mu = new Array[Double](dims)
+    for (r <- brows) {
+      val bs = r.getSeq[Double](1)
+      var i = 0
+      while (i < dims) { mu(i) += bs(i); i += 1 }
+    }
+    var i = 0
+    while (i < dims) { mu(i) /= n.toDouble; i += 1 }
+    val muLit = typedlit(mu.toSeq)
+    val cvecs = vecs.withColumn("vd",
+      zip_with(col("vd"), muLit, (x, m) => x - m))
+    val v = powerLoop(cvecs, iters, dims)
+    val frac = explainedFraction(cvecs, v)
+    val vLit = typedlit(v.toSeq)
+    // Post-processed residual t = c - (v·c)v, folded per dimension with
+    // the same two-level chain.
+    val sums = cvecs
+      .withColumn("s", call_function("vec_dot", col("vd"), vLit))
+      .withColumn("td", zip_with(col("vd"), vLit, (x, vi) => x - col("s") * vi))
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("td")))).as("arr"))
+      .select(col("bkt"), expr("vec_fold_sum(transform(arr, t -> t.td))").as("bsv"))
+      .select(col("bkt"), posexplode(col("bsv")).as(Seq("pos", "bs")))
+      .groupBy(col("pos"))
+      .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"))
+      .select(col("pos"),
+        expr("aggregate(transform(barr, t -> t.bs), 0D, (a, b) -> a + b)").as("sum_after"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
     import session.implicits._
-    v.zipWithIndex.map { case (x, i) => (i, x, fraction) }.toSeq
-      .toDF("pos", "loading", "sv_fraction")
+    (0 until dims).map(p => (p, mu(p), v(p), sums(p), frac)).toSeq
+      .toDF("pos", "mean", "loading", "sum_after", "removed_fraction")
   }
 
   /** ANN recall evaluation card — the artifact that decides nprobe/cells

@@ -2894,6 +2894,16 @@ object PipelineOps {
       (s, dir) => Dedup.cdcChunkCard(t(s, dir, "documents"))
     },
 
+    // All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    // mean-center, then project out the dominant direction of the
+    // CENTERED embeddings — the isotropy fix applied before cosine
+    // retrieval. Every reduction is the p98 two-level order-defined
+    // fold; the oracle unrolls mean, both power iterations and the
+    // final per-dimension residual folds with the identical chain.
+    Q.df("p124_all_but_top", allButTopOracleSql(2, 64, 8)) { (s, dir) =>
+      Similarity.allButTheTop(t(s, dir, "embeddings"), 2, 64, 8)
+    },
+
     Q.df(
       "p120_source_overlap",
       s"""WITH $shingleCtes,
@@ -2941,12 +2951,12 @@ object PipelineOps {
          |  FROM px$k GROUP BY 1, 2),
          |w$k AS (SELECT pos, list_sum(list(bs ORDER BY bkt)) AS w FROM bs$k GROUP BY 1),
          |wl$k AS (SELECT list(w ORDER BY pos) AS wv FROM w$k),
-         |v$k AS (SELECT list_transform(wv,
+         |v$k AS MATERIALIZED (SELECT list_transform(wv,
          |  x -> x / sqrt(list_sum(list_transform(wv, y -> y * y)))) AS vv FROM wl$k)"""
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |b AS (SELECT vec_id, vec_id >> $bucketShift AS bkt, v FROM e),
+       |b AS MATERIALIZED (SELECT vec_id, vec_id >> $bucketShift AS bkt, v FROM e),
        |v0 AS (SELECT list_transform(generate_series(1, $dims), i -> $v0) AS vv),
        |$rounds,
        |sf AS (SELECT b.vec_id, b.bkt,
@@ -2961,6 +2971,60 @@ object PipelineOps {
        |  tot.ss / tot.nx AS sv_fraction
        |FROM (SELECT CAST(i - 1 AS INT) AS pos FROM generate_series(1, $dims) t(i)) p,
        |  v$iters, tot""".stripMargin
+  }
+
+  /** Oracle for p124: mean CTEs (per-position bucket folds, one
+    * division), the [[pcaPowerOracleSql]] power rounds re-based on the
+    * CENTERED relation `c`, then the per-dimension residual folds and
+    * the removed-energy fraction — every double sum the identical
+    * two-level vec_id-then-bucket ordered chain the Spark op executes.
+    */
+  private def allButTopOracleSql(iters: Int, dims: Int, bucketShift: Int): String = {
+    val v0 = 1.0 / math.sqrt(dims.toDouble)
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT c.vec_id, c.bkt, c.v,
+         |  list_sum(list_transform(generate_series(1, $dims), i -> c.v[i] * v${k - 1}.vv[i])) AS s
+         |  FROM c, v${k - 1}),
+         |px$k AS (SELECT vec_id, bkt, CAST(i - 1 AS INT) AS pos, v[i] * s AS xs
+         |  FROM s$k CROSS JOIN generate_series(1, $dims) t(i)),
+         |bs$k AS (SELECT pos, bkt, list_sum(list(xs ORDER BY vec_id)) AS bs
+         |  FROM px$k GROUP BY 1, 2),
+         |w$k AS (SELECT pos, list_sum(list(bs ORDER BY bkt)) AS w FROM bs$k GROUP BY 1),
+         |wl$k AS (SELECT list(w ORDER BY pos) AS wv FROM w$k),
+         |v$k AS MATERIALIZED (SELECT list_transform(wv,
+         |  x -> x / sqrt(list_sum(list_transform(wv, y -> y * y)))) AS vv FROM wl$k)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id, vec_id >> $bucketShift AS bkt, v FROM e),
+       |mpx AS (SELECT vec_id, bkt, CAST(i - 1 AS INT) AS pos, v[i] AS x
+       |  FROM b CROSS JOIN generate_series(1, $dims) t(i)),
+       |mbs AS (SELECT pos, bkt, list_sum(list(x ORDER BY vec_id)) AS bs
+       |  FROM mpx GROUP BY 1, 2),
+       |mu AS MATERIALIZED (SELECT pos, list_sum(list(bs ORDER BY bkt))
+       |  / CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS m FROM mbs GROUP BY 1),
+       |mul AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mv FROM mu),
+       |c AS MATERIALIZED (SELECT vec_id, bkt,
+       |  list_transform(generate_series(1, $dims), i -> b.v[i] - mul.mv[i]) AS v
+       |  FROM b, mul),
+       |v0 AS (SELECT list_transform(generate_series(1, $dims), i -> $v0) AS vv),
+       |$rounds,
+       |sf AS MATERIALIZED (SELECT c.vec_id, c.bkt, c.v,
+       |  list_sum(list_transform(generate_series(1, $dims), i -> c.v[i] * v$iters.vv[i])) AS s,
+       |  list_sum(list_transform(c.v, x -> x * x)) AS nx
+       |  FROM c, v$iters),
+       |tpx AS (SELECT vec_id, bkt, CAST(i - 1 AS INT) AS pos, v[i] - s * v$iters.vv[i] AS x
+       |  FROM sf, v$iters CROSS JOIN generate_series(1, $dims) t(i)),
+       |tbs AS (SELECT pos, bkt, list_sum(list(x ORDER BY vec_id)) AS bs
+       |  FROM tpx GROUP BY 1, 2),
+       |tsum AS (SELECT pos, list_sum(list(bs ORDER BY bkt)) AS sum_after FROM tbs GROUP BY 1),
+       |sb AS (SELECT bkt, list_sum(list(s * s ORDER BY vec_id)) AS ssb,
+       |  list_sum(list(nx ORDER BY vec_id)) AS nxb FROM sf GROUP BY 1),
+       |tot AS (SELECT list_sum(list(ssb ORDER BY bkt)) AS ss,
+       |  list_sum(list(nxb ORDER BY bkt)) AS nx FROM sb)
+       |SELECT mu.pos, mu.m AS mean, v$iters.vv[mu.pos + 1] AS loading,
+       |  tsum.sum_after, tot.ss / tot.nx AS removed_fraction
+       |FROM mu JOIN tsum USING (pos), v$iters, tot""".stripMargin
   }
 
   /** Oracle for p97: the same posting-slice join plan in DuckDB SQL —

@@ -2314,6 +2314,39 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(fr > 0.0 && fr <= 1.0, s"fraction = $fr")
   }
 
+  test("all-but-the-top: exact mean, dominant centered axis removed exactly (r13)") {
+    import spark.implicits._
+    // Vectors vary ONLY along dim 0 (values 0..19), constant 5 elsewhere:
+    // mean = (9.5, 5, 5, ...), the centered data lies exactly on e0, so
+    // the removed direction is ±e0, removed_fraction is exactly 1.0, and
+    // every post-processed vector is exactly the zero vector — sum_after
+    // must be 0.0 EXACTLY in every dimension (c - (±c0)(±1) cancels in
+    // IEEE for axis-aligned data).
+    val d = Seq.tabulate(20) { i =>
+      (i.toLong, Seq.tabulate(8)(p => if (p == 0) i.toFloat else 5f))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.allButTheTop(d, 2, 8, 2).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(rows.size == 8)
+    (0 until 8).foreach { p =>
+      val (m, ld, sa, fr) = rows(p)
+      assert(m == (if (p == 0) 9.5 else 5.0), s"mean pos $p = $m")
+      assert(math.abs(ld) == (if (p == 0) 1.0 else 0.0), s"loading pos $p = $ld")
+      assert(sa == 0.0, s"sum_after pos $p = $sa")
+      assert(fr == 1.0, s"removed_fraction = $fr")
+    }
+    // Fixture corpus: unit-norm removed direction, fraction in (0, 1],
+    // and the post-processed per-dim sums are the float residue of an
+    // exact cancellation — tiny relative to the corpus scale.
+    val out = Similarity.allButTheTop(emb, 2).collect()
+    assert(out.length == 64)
+    val nrm2 = out.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    assert(math.abs(nrm2 - 1.0) < 1e-12, s"norm^2 = $nrm2")
+    val fr = out.head.getDouble(4)
+    assert(fr > 0.0 && fr <= 1.0, s"fraction = $fr")
+  }
+
   test("bm25 top-k retrieval: independent scoring replay + rank structure") {
     import spark.implicits._
     val tiny = Seq(
