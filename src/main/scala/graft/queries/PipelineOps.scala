@@ -14,6 +14,22 @@ object PipelineOps {
 
   // ---- shared oracle fragments -------------------------------------------
 
+  /** Rewrite every CTE in a DuckDB oracle to `AS MATERIALIZED` — the
+    * fastest honest DuckDB form for oracles whose CTE chains are
+    * referenced from several consumers (DuckDB re-inlines shared CTEs,
+    * re-running the whole upstream chain per reference; the PQ-training
+    * oracles were 6× slower un-materialized, and the p124 chain OOM'd
+    * at 100×). Applied ONLY where an A/B showed a win that HOLDS AT
+    * SCALE — the substring/winnow family is FASTER un-materialized, and
+    * materializing a RECURSIVE CTE chain (p26/p118's transitive
+    * closure) is catastrophic at 10× (65 GB single-threaded vs ~5 min
+    * un-materialized) despite a small sf0.1 win. Sweep recorded in
+    * BASELINE.md r13; per-query, never blanket.
+    */
+  private def matCtes(sql: String, names: String*): String =
+    names.foldLeft(sql)((s, n) =>
+      s.replaceFirst(s"""\\b$n AS \\(""", s"$n AS MATERIALIZED ("))
+
   private val shingleCtes =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -282,12 +298,12 @@ object PipelineOps {
 
     Q.df(
       "p06_simhash_pairs",
-      s"""WITH $simhashCtes
+      matCtes(s"""WITH $simhashCtes
          |SELECT i, j, dist FROM (
          |  SELECT a.doc_id AS i, c.doc_id AS j,
          |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS dist
          |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id) p
-         |WHERE dist <= 6""".stripMargin) { (s, dir) =>
+         |WHERE dist <= 6""".stripMargin, "sig")) { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), 6)
     },
 
@@ -1029,13 +1045,14 @@ object PipelineOps {
     // centroid id — bit-reproducible in any engine.
     Q.df(
       "p43_pq_assign",
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      matCtes(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |$pqSubCtes,
          |d AS (SELECT sub.vec_id, sub.sub, cb.j,
          |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
          |  FROM sub JOIN cb ON sub.sub = cb.cs),
          |r AS (SELECT vec_id, sub, j, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn FROM d)
-         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(j AS INT) AS code FROM r WHERE rn = 1""".stripMargin) {
+         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(j AS INT) AS code FROM r WHERE rn = 1""".stripMargin,
+        "e", "sub", "cb0", "a0", "cbm", "cb")) {
       (s, dir) => ProductQuant.pqAssign(t(s, dir, "embeddings"))
     },
 
@@ -1046,7 +1063,7 @@ object PipelineOps {
     // memory shape that keeps a 100 TB index resident.
     Q.df(
       "p44_pq_adc_topk",
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      matCtes(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |$pqSubCtes,
          |d AS (SELECT sub.vec_id, sub.sub, cb.j,
          |  list_sum(list_transform(generate_series(1, 4), k -> (sv[k]-cv[k])*(sv[k]-cv[k]))) AS d2
@@ -1064,7 +1081,7 @@ object PipelineOps {
          |  SELECT q_id, n_id, adist,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rnk
          |  FROM scored) r
-         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+         |WHERE rnk <= 5""".stripMargin, "e", "sub", "cb0", "a0", "cbm", "cb")) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       ProductQuant.pqTopK(emb,
         emb.filter(col("vec_id") < 8), 5)
