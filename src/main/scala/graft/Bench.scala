@@ -169,6 +169,11 @@ object Bench {
         // the same clean block-manager state its standalone measurement
         // has; repeats also re-materialize persists, as before.
         spark.catalog.clearCache()
+        // Also drain the CacheScope registry: clearCache frees the
+        // blocks, but the thread-local tracking deque would otherwise
+        // retain every persisted DataFrame's plan tree for the whole
+        // corpus run (170 queries × repeats on one thread).
+        graft.ops.CacheScope.releaseCurrent()
         // Dev probe: SPARK_GRAFT_BENCH_GC=1 additionally forces a GC
         // outside the timed region, letting ContextCleaner reap the
         // broadcast blocks earlier queries leaked into storage memory —

@@ -794,10 +794,12 @@ object Dedup {
     // NULL sources are excluded up front: a corpus with unset source
     // degrades to the pair matrix over the non-null sources (exactly the
     // rows the oracle's inner join keeps) instead of NPE-ing in the
-    // driver-side sort/compare over collected source names.
-    val hs = shingles(docs, n, distinct = true)
-      .join(docs.select(col("doc_id"), col("source"))
-        .filter(col("source").isNotNull), "doc_id")
+    // driver-side sort/compare over collected source names. The filter
+    // lands BEFORE shingling, so null-source documents never pay the
+    // shingle explode the join would discard anyway.
+    val sourced = docs.filter(col("source").isNotNull)
+    val hs = shingles(sourced, n, distinct = true)
+      .join(sourced.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), Sampling.h56(col("shingle")).as("h"))
       .distinct()
     val sk = hs.groupBy(col("source"))

@@ -13,11 +13,10 @@ import graft.functions.GraftFunctions
 object TextOps {
 
   /** Largest bigram-LM vocabulary (distinct pairs) [[bigramSurprisal]]
-    * will broadcast; larger LMs build a shuffle_hash table instead. At
-    * ~40 bytes/entry (pair string + long) 8M pairs is a ~320 MB
-    * broadcast — comfortably under the 8 GB broadcast cap and a 1000-
-    * executor driver's heap, while real web-corpus pair tables that
-    * outgrow it (~50M+) take the shuffle path automatically.
+    * will broadcast; anything larger builds a shuffle_hash table
+    * instead. At ~40 bytes/entry (pair string + long) 8M pairs is a
+    * ~320 MB broadcast — a deliberately conservative bound, comfortably
+    * under the 8 GB broadcast cap and a 1000-executor driver's heap.
     */
   val BroadcastPairLimit: Long = 8L * 1000 * 1000
 
@@ -302,12 +301,16 @@ object TextOps {
     // shuffle_hash-joined here, paying a full exchange of the 27M-row
     // stream at 100x — the single largest cost of the surprisal family.)
     // But broadcast is chosen from the MEASURED pair-vocabulary size,
-    // not hard-coded: a corpus whose distinct-pair count exceeds the
-    // threshold (~50M+ pairs would hit the 8 GB broadcast cap / driver
-    // heap) falls back to a shuffle_hash build on the bits side. The
-    // count() rides on the persist the join reuses, so the LM aggregate
-    // is computed once either way — the strategy probe costs no extra
-    // corpus pass.
+    // not hard-coded: past [[BroadcastPairLimit]] (8M pairs ≈ 320 MB —
+    // deliberately conservative, well under the 8 GB broadcast cap so a
+    // 1000-executor driver never flirts with it) the join falls back to
+    // a shuffle_hash build on the bits side. The count() rides on the
+    // persist the join reuses, so the LM aggregate is computed once
+    // either way — the strategy probe costs no extra corpus pass. NOTE:
+    // this count makes CONSTRUCTION eager (one Spark job materializes
+    // the persisted LM before the DataFrame is returned); callers that
+    // only want the plan still pay it, and non-releasing threads should
+    // drain via CacheScope.releaseCurrent() when done.
     val distinctPairs = bits.count()
     val bitsJoined =
       if (distinctPairs <= BroadcastPairLimit) pairs.join(broadcast(bits), Seq("pair"))

@@ -27,8 +27,13 @@ object PipelineOps {
     * BASELINE.md r13; per-query, never blanket.
     */
   private def matCtes(sql: String, names: String*): String =
-    names.foldLeft(sql)((s, n) =>
-      s.replaceFirst(s"""\\b$n AS \\(""", s"$n AS MATERIALIZED ("))
+    names.foldLeft(sql) { (s, n) =>
+      val out = s.replaceFirst(s"""\\b$n AS \\(""", s"$n AS MATERIALIZED (")
+      // A silent miss would quietly revert the oracle to the re-inlined
+      // form measured 6× slower (and OOM-prone at 100×) — fail loudly.
+      require(out != s, s"matCtes: CTE '$n' not found in oracle SQL")
+      out
+    }
 
   private val shingleCtes =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
