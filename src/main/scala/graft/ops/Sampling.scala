@@ -420,4 +420,49 @@ object Sampling {
         col("excess"), col("weight_num").cast("long").as("weight_num"),
         col("weight_den").cast("long").as("weight_den"))
   }
+
+  /** Leakage-safe K-fold split card (r13) — the train/eval split audit a
+    * corpus release publishes. Folds are keyed by the CONTENT hash
+    * (canonical-form md5, the [[Dedup.canonicalDedup]] normalization),
+    * not the row id, so every exact or re-punctuated copy of a text
+    * lands in the SAME fold by construction — the duplicate-leakage
+    * failure mode of id-keyed splits (a test example memorized from a
+    * training duplicate). The card proves it: exact_leak_canons counts
+    * canonical hashes spanning >1 fold (0 by construction, COMPUTED not
+    * assumed) — and measures what content keying cannot protect:
+    * near_leak_pairs counts SimHash-banded near-duplicate pairs (hamming
+    * <= maxDist, the p07 candidate shape) whose members fall in
+    * different folds — the number a release should quote as residual
+    * cross-fold contamination.
+    *
+    * Scale shape: fold assignment is map-only; the per-(fold, source)
+    * counts and the canon-keyed leak check are map-side-combinable
+    * aggregates; the near-dup side is the established pigeonhole-banded
+    * candidate join, never all-pairs. Returns one row per (fold, source)
+    * with the two corpus-level leak counts repeated as columns (the
+    * sv_fraction convention).
+    */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 5, maxDist: Int = 3): DataFrame = {
+    require(k > 1, "need at least two folds")
+    val canon = md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    val f = docs.select(col("doc_id"), col("source"), canon.as("canon"))
+      .withColumn("fold", (h56(col("canon")) % k).cast("int"))
+    val cnt = f.groupBy(col("fold"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("canon")).cast("long").as("n_canon"))
+    val exactLeak = f.groupBy(col("canon"))
+      .agg(countDistinct(col("fold")).as("__nf"))
+      .filter(col("__nf") > 1)
+      .agg(count(lit(1)).cast("long").as("exact_leak_canons"))
+    val folds = f.select(col("doc_id"), col("fold"))
+    val nearLeak = Dedup.simhashBandedCandidates(docs, maxDist)
+      .join(folds.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
+      .join(folds.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
+      .filter(col("__fi") =!= col("__fj"))
+      .agg(count(lit(1)).cast("long").as("near_leak_pairs"))
+    cnt.crossJoin(broadcast(exactLeak)).crossJoin(broadcast(nearLeak))
+      .select(col("fold"), col("source"), col("n_docs"), col("n_canon"),
+        col("exact_leak_canons"), col("near_leak_pairs"))
+  }
 }

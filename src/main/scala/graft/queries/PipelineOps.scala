@@ -2926,6 +2926,42 @@ object PipelineOps {
       Similarity.allButTheTop(t(s, dir, "embeddings"), 2, 64, 8)
     },
 
+    // Leakage-safe K-fold split card: folds keyed by the canonical
+    // CONTENT hash (so exact/re-punctuated copies co-fold by
+    // construction — exact_leak_canons is computed and must be 0), plus
+    // the measured residual: SimHash-banded near-dup pairs crossing
+    // folds. The near-dup side is p07's pigeonhole-banded candidate
+    // join, never all-pairs.
+    Q.df(
+      "p125_leakage_split",
+      s"""WITH $simhashCtes,
+         |cn AS (SELECT doc_id, source,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |    ' +', ' ', 'g'))) AS canon
+         |  FROM documents),
+         |f AS (SELECT doc_id, source, canon,
+         |  CAST(CAST('0x' || substr(md5(canon), 1, 14) AS BIGINT) % 5 AS INT) AS fold
+         |  FROM cn),
+         |cnt AS (SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon FROM f GROUP BY 1, 2),
+         |el AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_leak_canons FROM (
+         |  SELECT canon FROM f GROUP BY canon HAVING COUNT(DISTINCT fold) > 1) x),
+         |ch AS (SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS v
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+         |prs AS (SELECT DISTINCT i, j FROM (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id) p
+         |  WHERE dist <= 3),
+         |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_leak_pairs
+         |  FROM prs JOIN f fi ON fi.doc_id = prs.i JOIN f fj ON fj.doc_id = prs.j
+         |  WHERE fi.fold <> fj.fold)
+         |SELECT cnt.fold, cnt.source, cnt.n_docs, cnt.n_canon,
+         |  el.exact_leak_canons, nl.near_leak_pairs
+         |FROM cnt, el, nl""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.leakageSafeSplit(t(s, dir, "documents"))
+    },
+
     Q.df(
       "p120_source_overlap",
       s"""WITH $shingleCtes,

@@ -2347,6 +2347,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(fr > 0.0 && fr <= 1.0, s"fraction = $fr")
   }
 
+  test("leakage-safe split: copies co-fold, partition is complete, leaks replay (r13)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!", "en", "web", 13L),
+      (2L, "hello  world", "en", "books", 12L),   // same canonical form as 1
+      (3L, "a different document entirely", "en", "web", 29L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Sampling.leakageSafeSplit(d, 5).collect()
+    // Exact/re-punctuated copies are keyed by content: zero canonical
+    // hashes span folds, and the (fold, source) counts partition the
+    // corpus completely.
+    assert(rows.map(_.getLong(4)).distinct.sameElements(Array(0L)))
+    assert(rows.map(_.getLong(2)).sum == 3L)
+    // Docs 1 and 2 share a canonical hash -> identical fold by
+    // construction (fold is a function of the canon alone).
+    val cmap = graft.ops.Dedup.canonicalDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cmap(1L) == cmap(2L))
+    // Fixture corpus: near_leak_pairs replays independently from the
+    // banded candidates + the fold assignment.
+    val out = graft.ops.Sampling.leakageSafeSplit(docs, 5).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    assert(out.map(_.getLong(4)).distinct.sameElements(Array(0L)))
+    val folds = graft.ops.Sampling.leakageSafeSplit(docs, 5) // same hash rule
+    val canon = md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    val fmap = docs.select(col("doc_id"),
+      (conv(substring(md5(canon.cast("string")), 1, 14), 16, 10).cast("long") % 5)
+        .cast("int").as("fold")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = graft.ops.Dedup.simhashBandedCandidates(docs, 3).collect()
+      .count(r => fmap(r.getLong(0)) != fmap(r.getLong(1))).toLong
+    assert(out.map(_.getLong(5)).distinct.sameElements(Array(expect)))
+  }
+
   test("bm25 top-k retrieval: independent scoring replay + rank structure") {
     import spark.implicits._
     val tiny = Seq(
