@@ -430,19 +430,21 @@ object Sampling {
     * training duplicate). The card proves it: exact_leak_canons counts
     * canonical hashes spanning >1 fold (0 by construction, COMPUTED not
     * assumed) — and measures what content keying cannot protect:
-    * near_leak_pairs counts SimHash-banded near-duplicate pairs (hamming
-    * <= maxDist, the p07 candidate shape) whose members fall in
-    * different folds — the number a release should quote as residual
-    * cross-fold contamination.
+    * near_leak_pairs counts VERBATIM-span-sharing pairs (any >= 27-char
+    * shared run via [[Dedup.exactSubstringPairs]]'s winnowing
+    * candidate→verify shape — Lee et al. 2022's contamination
+    * definition) whose members fall in different folds — the number a
+    * release should quote as residual cross-fold contamination.
     *
     * Scale shape: fold assignment is map-only; the per-(fold, source)
     * counts and the canon-keyed leak check are map-side-combinable
-    * aggregates; the near-dup side is the established pigeonhole-banded
-    * candidate join, never all-pairs. Returns one row per (fold, source)
-    * with the two corpus-level leak counts repeated as columns (the
-    * sv_fraction convention).
+    * aggregates; the near-dup side is the codegen'd anchor pipeline with
+    * df-capped row-local pair expansion (graft 3×+ AHEAD of DuckDB on it
+    * at 10×), never an all-pairs or banded self-join. Returns one row
+    * per (fold, source) with the two corpus-level leak counts repeated
+    * as columns (the sv_fraction convention).
     */
-  def leakageSafeSplit(docs: DataFrame, k: Int = 5, maxDist: Int = 3): DataFrame = {
+  def leakageSafeSplit(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k > 1, "need at least two folds")
     val canon = md5(trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
@@ -456,7 +458,8 @@ object Sampling {
       .filter(col("__nf") > 1)
       .agg(count(lit(1)).cast("long").as("exact_leak_canons"))
     val folds = f.select(col("doc_id"), col("fold"))
-    val nearLeak = Dedup.simhashBandedCandidates(docs, maxDist)
+    val nearLeak = Dedup.exactSubstringPairs(docs)
+      .select(col("doc_a").as("i"), col("doc_b").as("j"))
       .join(folds.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
       .join(folds.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
       .filter(col("__fi") =!= col("__fj"))

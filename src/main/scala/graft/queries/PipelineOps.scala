@@ -35,6 +35,44 @@ object PipelineOps {
       out
     }
 
+  /** Winnowing-anchor candidate chain (co..a2) shared by the p82
+    * exact-substring pair oracle and the p125 leakage card: per-doc
+    * char-20-gram anchors (one per 8-window, positions carried),
+    * df-capped to 2..10 docs. Ends at `a2(doc_id, hash, gram)`.
+    */
+  private val winnowAnchorCtes: String =
+    """co AS (SELECT [783945459, 799482117, 864499429, 447241920, 853136842, 188810867,
+      |    522219709, 274910315, 718545499, 281243405, 621975598, 891031477, 512613922,
+      |    887503681, 28629151, 923521, 29791, 961, 31, 1] AS c),
+      |cps AS (SELECT doc_id, text, length(text) AS n,
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
+      |  FROM documents),
+      |h AS (SELECT doc_id, text,
+      |  CASE WHEN n >= 20 THEN list_transform(generate_series(1, n - 19),
+      |      i -> CAST((cp[i+0]*783945459 + cp[i+1]*799482117 + cp[i+2]*864499429
+      |        + cp[i+3]*447241920 + cp[i+4]*853136842 + cp[i+5]*188810867
+      |        + cp[i+6]*522219709 + cp[i+7]*274910315 + cp[i+8]*718545499
+      |        + cp[i+9]*281243405 + cp[i+10]*621975598 + cp[i+11]*891031477
+      |        + cp[i+12]*512613922 + cp[i+13]*887503681 + cp[i+14]*28629151
+      |        + cp[i+15]*923521 + cp[i+16]*29791 + cp[i+17]*961 + cp[i+18]*31
+      |        + cp[i+19]) % 1000000007 AS BIGINT))
+      |  ELSE [CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+      |    j -> cp[j] * c[20 - n + j])), 0) % 1000000007 AS BIGINT)] END AS h
+      |  FROM cps CROSS JOIN co),
+      |mnl AS (SELECT doc_id, text, h, list_transform(generate_series(1, greatest(len(h) - 7, 1)),
+      |    i -> list_min(h[(i):(i+7)])) AS mins FROM h),
+      |aw AS (SELECT doc_id, text, unnest(list_transform(generate_series(1, len(mins)),
+      |    i -> mins[i] * 4294967296 + i + list_indexof(h[(i):(i+7)], mins[i]) - 1)) AS fp
+      |  FROM mnl),
+      |anch AS (SELECT DISTINCT doc_id, fp // 4294967296 AS hash,
+      |    substr(text, CAST(fp % 4294967296 AS INT), 20) AS gram FROM aw),
+      |rare AS (SELECT hash FROM (
+      |    SELECT hash, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1) z
+      |  WHERE nd BETWEEN 2 AND 10),
+      |a2 AS (SELECT anch.* FROM anch JOIN rare USING (hash))""".stripMargin
+
+
   private val shingleCtes =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -1943,42 +1981,14 @@ object PipelineOps {
     // sliced-thrice and identical).
     Q.df(
       "p82_exact_substring_pairs",
-      """WITH co AS (SELECT [783945459, 799482117, 864499429, 447241920, 853136842, 188810867,
-        |    522219709, 274910315, 718545499, 281243405, 621975598, 891031477, 512613922,
-        |    887503681, 28629151, 923521, 29791, 961, 31, 1] AS c),
-        |cps AS (SELECT doc_id, text, length(text) AS n,
-        |    list_transform(generate_series(1, length(text)),
-        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cp
-        |  FROM documents),
-        |h AS (SELECT doc_id, text,
-        |  CASE WHEN n >= 20 THEN list_transform(generate_series(1, n - 19),
-        |      i -> CAST((cp[i+0]*783945459 + cp[i+1]*799482117 + cp[i+2]*864499429
-        |        + cp[i+3]*447241920 + cp[i+4]*853136842 + cp[i+5]*188810867
-        |        + cp[i+6]*522219709 + cp[i+7]*274910315 + cp[i+8]*718545499
-        |        + cp[i+9]*281243405 + cp[i+10]*621975598 + cp[i+11]*891031477
-        |        + cp[i+12]*512613922 + cp[i+13]*887503681 + cp[i+14]*28629151
-        |        + cp[i+15]*923521 + cp[i+16]*29791 + cp[i+17]*961 + cp[i+18]*31
-        |        + cp[i+19]) % 1000000007 AS BIGINT))
-        |  ELSE [CAST(coalesce(list_sum(list_transform(generate_series(1, n),
-        |    j -> cp[j] * c[20 - n + j])), 0) % 1000000007 AS BIGINT)] END AS h
-        |  FROM cps CROSS JOIN co),
-        |mnl AS (SELECT doc_id, text, h, list_transform(generate_series(1, greatest(len(h) - 7, 1)),
-        |    i -> list_min(h[(i):(i+7)])) AS mins FROM h),
-        |aw AS (SELECT doc_id, text, unnest(list_transform(generate_series(1, len(mins)),
-        |    i -> mins[i] * 4294967296 + i + list_indexof(h[(i):(i+7)], mins[i]) - 1)) AS fp
-        |  FROM mnl),
-        |anch AS (SELECT DISTINCT doc_id, fp // 4294967296 AS hash,
-        |    substr(text, CAST(fp % 4294967296 AS INT), 20) AS gram FROM aw),
-        |rare AS (SELECT hash FROM (
-        |    SELECT hash, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1) z
-        |  WHERE nd BETWEEN 2 AND 10),
-        |a2 AS (SELECT anch.* FROM anch JOIN rare USING (hash))
+      s"""WITH $winnowAnchorCtes
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(COUNT(DISTINCT x.hash) AS BIGINT) AS n_anchors
         |FROM a2 x JOIN a2 y ON x.hash = y.hash AND x.gram = y.gram AND x.doc_id < y.doc_id
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Dedup.exactSubstringPairs(t(s, dir, "documents"), 20, 8, 10, 1)
     },
+
 
     // Per-source distribution drift over the top-50 corpus tokens: the
     // domain-shift data card. Over/under flags are cleared-denominator
@@ -2929,12 +2939,12 @@ object PipelineOps {
     // Leakage-safe K-fold split card: folds keyed by the canonical
     // CONTENT hash (so exact/re-punctuated copies co-fold by
     // construction — exact_leak_canons is computed and must be 0), plus
-    // the measured residual: SimHash-banded near-dup pairs crossing
-    // folds. The near-dup side is p07's pigeonhole-banded candidate
-    // join, never all-pairs.
+    // the measured residual: VERBATIM-span-sharing pairs (the p82
+    // winnowing candidate→verify shape — Lee et al.'s contamination
+    // definition, any >=27-char shared run) crossing folds.
     Q.df(
       "p125_leakage_split",
-      s"""WITH $simhashCtes,
+      s"""WITH $winnowAnchorCtes,
          |cn AS (SELECT doc_id, source,
          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
          |    ' +', ' ', 'g'))) AS canon
@@ -2946,13 +2956,9 @@ object PipelineOps {
          |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon FROM f GROUP BY 1, 2),
          |el AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_leak_canons FROM (
          |  SELECT canon FROM f GROUP BY canon HAVING COUNT(DISTINCT fold) > 1) x),
-         |ch AS (SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS v
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c) cs),
-         |prs AS (SELECT DISTINCT i, j FROM (
-         |  SELECT a.doc_id AS i, b.doc_id AS j,
-         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
-         |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id) p
-         |  WHERE dist <= 3),
+         |prs AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM a2 x JOIN a2 y
+         |  ON x.hash = y.hash AND x.gram = y.gram AND x.doc_id < y.doc_id),
          |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_leak_pairs
          |  FROM prs JOIN f fi ON fi.doc_id = prs.i JOIN f fj ON fj.doc_id = prs.j
          |  WHERE fi.fold <> fj.fold)

@@ -2377,7 +2377,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (conv(substring(md5(canon.cast("string")), 1, 14), 16, 10).cast("long") % 5)
         .cast("int").as("fold")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val expect = graft.ops.Dedup.simhashBandedCandidates(docs, 3).collect()
+    val expect = graft.ops.Dedup.exactSubstringPairs(docs).collect()
       .count(r => fmap(r.getLong(0)) != fmap(r.getLong(1))).toLong
     assert(out.map(_.getLong(5)).distinct.sameElements(Array(expect)))
   }
