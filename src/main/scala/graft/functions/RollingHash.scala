@@ -76,6 +76,7 @@ object GraftFunctions {
     reg("common_extent", CommonExtent.forArgs)
     reg("common_extent_packed", CommonExtent.forArgsPacked)
     reg("sorted_dot_long", SortedDotLong.forArgs)
+    reg("bit_length_long", exprs => BitLength(exprs.head))
     // Named duck_len, not len: Spark 4 ships a string-only `len` builtin
     // (alias of length), and overriding it per session would both shadow
     // a builtin and log a "function replaced" warning on every gateway

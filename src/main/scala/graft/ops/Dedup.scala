@@ -611,23 +611,35 @@ object Dedup {
     * a duplicate that survives dedup). Ratios left to the reader.
     *
     * Scale shape: both pair relations are the candidate→verify shapes
-    * already proven at 10× (p03/p04); the card adds one equi-join and
-    * one anti-join on (i, j) plus four 1-row aggregates. At true corpus
-    * scale the exact side is the expensive one — run the card on a
-    * deterministic [[graft.ops.Sampling.hashSample]] slice, exactly how
-    * production LSH tuning is done.
+    * already proven at 10× (p03/p04); the card overlays them with ONE
+    * full-outer equi-join on (i, j) and reads all four counts out of a
+    * SINGLE multi-aggregate pass — each pair lineage executes exactly
+    * once (the r13 four-separate-aggregate form re-traversed the shared
+    * candidate relation per count, the corpus's worst load-amplification
+    * case). At true corpus scale the exact side is the expensive one —
+    * run the card on a deterministic [[graft.ops.Sampling.hashSample]]
+    * slice, exactly how production LSH tuning is done.
     */
   def lshTuningCard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val exact = ngramJaccardPairs(docs, n, threshold).select(col("i"), col("j"))
     val cand = minhashLshCandidates(docs, numHashes, bands, n)
       .select(col("i"), col("j")).distinct()
-    val nc = cand.agg(count(lit(1)).as("n_candidates"))
-    val nt = exact.agg(count(lit(1)).as("n_true_pairs"))
-    val nv = cand.join(exact, Seq("i", "j")).agg(count(lit(1)).as("n_verified"))
-    val nm = exact.join(cand, Seq("i", "j"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    nc.crossJoin(nt).crossJoin(nv).crossJoin(nm)
+    // Both sides are distinct on (i, j), so the full outer join has one
+    // row per pair in EITHER relation, with a side-marker null exactly
+    // when that side lacks the pair — the four counts are then four
+    // conditional COUNTs over one relation. count(when(...)) (not sum)
+    // so an empty overlay still yields 0s, matching the old four-agg
+    // form on an empty corpus.
+    cand.withColumn("is_cand", lit(1))
+      .join(exact.withColumn("is_true", lit(1)), Seq("i", "j"), "full_outer")
+      .agg(
+        count(col("is_cand")).cast("long").as("n_candidates"),
+        count(col("is_true")).cast("long").as("n_true_pairs"),
+        count(when(col("is_cand").isNotNull && col("is_true").isNotNull, lit(1)))
+          .cast("long").as("n_verified"),
+        count(when(col("is_true").isNotNull && col("is_cand").isNull, lit(1)))
+          .cast("long").as("n_missed"))
   }
 
   /** Exact-substring EXCISION — the span-REMOVAL policy itself (Lee et al.

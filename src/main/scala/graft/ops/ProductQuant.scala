@@ -78,11 +78,15 @@ object ProductQuant {
     * hash-aggregate SUM would not reproduce across partitionings or
     * engines). The bucketing keeps the largest materialized list at
     * max(2^bucketShift, N / 2^bucketShift) — a popular centroid never
-    * pulls its full assigned population into one group. Centroids with
-    * no assignments survive unchanged via the left join.
+    * pulls its full assigned population into one group; bucketShift 0
+    * (the default) derives the O(√N)-balancing shift from one cheap
+    * count, an explicit shift pins the fold order for oracle-gated
+    * callers. Centroids with no assignments survive unchanged via the
+    * left join.
     */
   private[ops] def codebook(emb: DataFrame, m: Int, ks: Int, dim: Int,
-      trainIters: Int, bucketShift: Int = 8): DataFrame = {
+      trainIters: Int, bucketShift: Int = 0): DataFrame = {
+    val shift = Similarity.resolveShift(emb, bucketShift)
     var cb = seedCodebook(emb, m, ks, dim)
     for (_ <- 1 to trainIters) {
       val assigned = subvectors(doubled(emb), m, dim)
@@ -92,7 +96,7 @@ object ProductQuant {
         .agg(min_by(struct(col("j"), col("sv")), struct(col("d2"), col("j"))).as("a"))
         .select(col("vec_id"), col("sub"), col("a.j").as("j"), col("a.sv").as("sv"))
       val means = assigned
-        .select(col("vec_id"), shiftright(col("vec_id"), bucketShift).as("bkt"),
+        .select(col("vec_id"), shiftright(col("vec_id"), shift).as("bkt"),
           col("sub"), col("j"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("j"), col("pos"), col("bkt"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("arr"))
@@ -133,9 +137,9 @@ object ProductQuant {
       .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
 
   def pqAssign(emb: DataFrame, m: Int = 16, ks: Int = 64, dim: Int = 64,
-      trainIters: Int = 1): DataFrame = {
+      trainIters: Int = 1, bucketShift: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    assignWith(emb, codebook(emb, m, ks, dim, trainIters), m, dim)
+    assignWith(emb, codebook(emb, m, ks, dim, trainIters, bucketShift), m, dim)
   }
 
   /** ADC top-k: per query, exact distances from each query subvector to
@@ -149,13 +153,14 @@ object ProductQuant {
     * — no window over the scored set, no shuffle of raw vectors.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
-      m: Int = 16, ks: Int = 64, dim: Int = 64, trainIters: Int = 1): DataFrame = {
+      m: Int = 16, ks: Int = 64, dim: Int = 64, trainIters: Int = 1,
+      bucketShift: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     // ONE trained codebook feeds both the corpus assignment and the query
     // LUT: the two broadcast subtrees share the identical plan object, so
     // the Lloyd-iteration DAG materializes once (ReuseExchange), not once
     // per consumer.
-    val cb = codebook(emb, m, ks, dim, trainIters)
+    val cb = codebook(emb, m, ks, dim, trainIters, bucketShift)
     val codes = assignWith(emb, cb, m, dim)
     val lut = subvectors(doubled(queries), m, dim)
       .select(col("vec_id").as("q_id"), col("sub").as("qs"), col("sv").as("qsv"))

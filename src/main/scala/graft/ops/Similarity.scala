@@ -352,6 +352,28 @@ object Similarity {
     rankTopK(scored, k).withColumnRenamed("cos", "adot")
   }
 
+  /** Bucket shift that balances the two fold levels at O(√N): level-1
+    * groups hold ≤ 2^shift vec_ids, level-2 folds N/2^shift bucket sums,
+    * and 2^shift ≈ √N keeps BOTH far from corpus size (at 10¹¹ vectors:
+    * ~320k-element lists instead of the fixed shift-8 form's N/256 ≈
+    * 4×10⁸ level-2 state). Exposed so trainers can derive it from one
+    * cheap count when the caller doesn't pin a shift.
+    */
+  private[graft] def sqrtShift(n: Long): Int =
+    math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)) / 2)
+
+  /** Resolve a caller bucketShift: positive = pinned (the fold ORDER —
+    * and therefore the float result — depends on the shift, so
+    * oracle-gated cards pin the shift their oracle SQL hard-codes);
+    * 0 = derive [[sqrtShift]] from one metadata-cheap count (this makes
+    * CONSTRUCTION run that count job — the trainers are driver-looped
+    * and eager anyway; pass an explicit shift for plan-only use).
+    */
+  private[graft] def resolveShift(emb: DataFrame, bucketShift: Int): Int = {
+    require(bucketShift >= 0 && bucketShift <= 40, "bucketShift in [0, 40]")
+    if (bucketShift > 0) bucketShift else sqrtShift(emb.count())
+  }
+
   /** Per-(cell, dimension) centroid means over an assigned vector set —
     * the k-means M-step kernel shared by [[kmeansStep]] and
     * [[kmeansTrain]]. The mean is an exact-ORDER sum (double addition is
@@ -387,15 +409,18 @@ object Similarity {
 
   /** One k-means refinement step (the M-step) over the IVF assignment:
     * per (cell, dimension) centroid means via the two-level bounded-state
-    * fold of [[centroidMeans]].
+    * fold of [[centroidMeans]]. bucketShift 0 (the default) derives the
+    * O(√N)-balanced shift from one cheap count; oracle-gated callers pin
+    * the shift their oracle SQL hard-codes (the fold order — and so the
+    * float result — depends on it).
     */
-  def kmeansStep(emb: DataFrame, cells: Int = 16, bucketShift: Int = 8): DataFrame =
+  def kmeansStep(emb: DataFrame, cells: Int = 16, bucketShift: Int = 0): DataFrame =
     centroidMeans(
       emb
         .join(ivfAssign(emb, cells), "vec_id")
         .select(col("vec_id"), col("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd")),
-      bucketShift)
+      resolveShift(emb, bucketShift))
 
   /** Multi-iteration Lloyd k-means TRAINING over the embedding corpus —
     * the full clustering loop ([[kmeansStep]] is one M-step; this chains
@@ -418,8 +443,9 @@ object Similarity {
     * per iteration.
     */
   def kmeansTrain(emb: DataFrame, cells: Int = 16, iters: Int = 2,
-      bucketShift: Int = 8): DataFrame = {
+      bucketShift: Int = 0): DataFrame = {
     require(cells > 0 && iters >= 0, "cells must be positive, iters non-negative")
+    val shift = resolveShift(emb, bucketShift)
     GraftFunctions.register(emb.sparkSession)
     val session = emb.sparkSession
     import session.implicits._
@@ -438,7 +464,7 @@ object Similarity {
         .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
     }
     for (_ <- 1 to iters) {
-      val means = centroidMeans(vecs.join(assign(), "vec_id"), bucketShift)
+      val means = centroidMeans(vecs.join(assign(), "vec_id"), shift)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       val byCell = means.groupBy(_._1).map { case (cid, xs) =>
         cid -> xs.sortBy(_._2).map(_._3).toSeq
@@ -464,19 +490,22 @@ object Similarity {
     * partial lists — then bucket-ordered across the bucket sums. Both
     * levels are explicit ORDER-defined folds, so the result is
     * bit-reproducible in any engine while the largest materialized list
-    * is max(2^bucketShift, N / 2^bucketShift) elements — pick the shift
-    * near log2(sqrt(N)) and both levels stay far from corpus size (the
+    * is max(2^bucketShift, N / 2^bucketShift) elements — bucketShift 0
+    * (the default) derives the O(√N)-balancing shift from one cheap
+    * count, an explicit shift pins the fold order for oracle-gated
+    * callers, and both levels stay far from corpus size (the
     * same reason GlobalRank sums partition offsets instead of running
     * one global window). The per-iteration driver state is the d-vector
     * itself.
     */
   def topSingularDirection(emb: DataFrame, iters: Int = 2, dims: Int = 64,
-      bucketShift: Int = 8): DataFrame = {
+      bucketShift: Int = 0): DataFrame = {
     require(iters >= 1 && dims > 0, "need iters >= 1 and positive dims")
+    val shift = resolveShift(emb, bucketShift)
     GraftFunctions.register(emb.sparkSession)
     val session = emb.sparkSession
     val vecs = emb.select(col("vec_id"),
-      shiftright(col("vec_id"), bucketShift).as("bkt"),
+      shiftright(col("vec_id"), shift).as("bkt"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
     val v = powerLoop(vecs, iters, dims)
     val fraction = explainedFraction(vecs, v)
@@ -543,6 +572,33 @@ object Similarity {
     fr.getDouble(0) / fr.getDouble(1)
   }
 
+  /** The distributed per-position mean over a prepared (vec_id, bkt, vd)
+    * relation: level-1 whole-vector vec_id-ordered fold per bucket,
+    * level-2 bucket-ordered scalar fold per position, one division by
+    * the exact count — identical operand order to a driver loop over
+    * bucket sums in bucket order, but the only rows that leave the
+    * cluster are the `dims` (pos, mu) results. Package-visible so
+    * PlanAuditSpec can pin the dims-row contract.
+    */
+  private[graft] def meanFoldDF(vecs: DataFrame, dims: Int): DataFrame = {
+    vecs
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("vd")))).as("arr"),
+        count(lit(1)).as("cnt"))
+      .select(col("bkt"), expr("vec_fold_sum(transform(arr, t -> t.vd))").as("bsv"),
+        col("cnt"))
+      .select(col("bkt"), col("cnt"), posexplode(col("bsv")).as(Seq("pos", "bs")))
+      .groupBy(col("pos"))
+      // Each bucket contributes exactly one row per position, so the
+      // per-pos sum of cnt is the exact corpus count n (a long sum —
+      // no float drift).
+      .agg(sort_array(collect_list(struct(col("bkt"), col("bs")))).as("barr"),
+        sum(col("cnt")).cast("long").as("n"))
+      .select(col("pos"),
+        (expr("aggregate(transform(barr, t -> t.bs), 0D, (a, b) -> a + b)") /
+          col("n").cast("double")).as("mu"))
+  }
+
   /** "All-but-the-top" embedding post-processing card (Mu & Viswanath
     * 2018) — the standard isotropy fix retrieval pipelines apply before
     * cosine search: subtract the corpus mean, then project out the
@@ -565,33 +621,24 @@ object Similarity {
     * passes total (mean; power iterations; transform folds).
     */
   def allButTheTop(emb: DataFrame, iters: Int = 2, dims: Int = 64,
-      bucketShift: Int = 8): DataFrame = {
+      bucketShift: Int = 0): DataFrame = {
     require(iters >= 1 && dims > 0, "need iters >= 1 and positive dims")
+    val shift = resolveShift(emb, bucketShift)
     GraftFunctions.register(emb.sparkSession)
     val session = emb.sparkSession
     val vecs = emb.select(col("vec_id"),
-      shiftright(col("vec_id"), bucketShift).as("bkt"),
+      shiftright(col("vec_id"), shift).as("bkt"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
-    // Mean: level-1 whole-vector fold per bucket (+ its count), level-2
-    // driver fold in bucket order, ONE division per position — the
-    // oracle's list_sum(list(bs ORDER BY bkt)) / n chain exactly.
-    val brows = vecs
-      .groupBy(col("bkt"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("vd")))).as("arr"),
-        count(lit(1)).as("cnt"))
-      .select(col("bkt"), expr("vec_fold_sum(transform(arr, t -> t.vd))").as("bsv"),
-        col("cnt"))
-      .collect()
-      .sortBy(_.getLong(0))
-    val n = brows.map(_.getLong(2)).sum
-    val mu = new Array[Double](dims)
-    for (r <- brows) {
-      val bs = r.getSeq[Double](1)
-      var i = 0
-      while (i < dims) { mu(i) += bs(i); i += 1 }
-    }
-    var i = 0
-    while (i < dims) { mu(i) /= n.toDouble; i += 1 }
+    // Mean: level-1 whole-vector fold per bucket (+ its count), then the
+    // level-2 bucket-ordered fold runs DISTRIBUTED per position (the
+    // same pos-keyed fold powerLoop uses) with ONE division per
+    // position — the oracle's list_sum(list(bs ORDER BY bkt)) / n chain
+    // exactly, and only `dims` rows ever reach the driver (the r13 form
+    // collected one row per bucket — N/2^bucketShift × dims doubles at
+    // corpus scale).
+    val murows = meanFoldDF(vecs, dims)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val mu = murows.map(_._2)
     val muLit = typedlit(mu.toSeq)
     val cvecs = vecs.withColumn("vd",
       zip_with(col("vd"), muLit, (x, m) => x - m))

@@ -49,6 +49,13 @@ object Sketches {
     require(depth > 0 && width > 0 && topK > 0, "depth/width/topK must be positive")
     // depth <= 4 keeps a1 + r*a2 < 2^58 (both halves are 56-bit).
     require(depth <= 4, "depth must be <= 4 (two-hash family bound)")
+    // The grid is broadcast to the probe join below — bound its SIZE,
+    // not just its depth, so a caller-supplied width can't turn
+    // broadcast(cells) into a broadcast-limit blowout (mirrors hllCard's
+    // p-range guard; 1M cells ≈ 24 MB of (r, b, c) rows, far under the
+    // broadcast cap but far over any useful sketch resolution).
+    require(depth.toLong * width <= (1L << 20),
+      "depth*width must be <= 2^20 cells (the grid is broadcast)")
     val toks = docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(explode(split(col("text"), " ")).as("token"))
@@ -130,13 +137,18 @@ object Sketches {
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"), Sampling.h56(col("text")).as("h"))
       .distinct()
+    // rho = (restBits + 1) - bit_length(rest) in ONE codegen'd
+    // leading-zeros instruction ([[graft.functions.BitLength]]); the
+    // composed length(bin(rest)) form allocated a binary string per
+    // distinct row just to count its characters, and bit_length(0) = 0
+    // folds the rest-of-zeros case into the same formula.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = dh
       .select(col("source"),
         shiftright(col("h"), restBits).as("idx"),
         (col("h").bitwiseAND(lit((1L << restBits) - 1))).as("rest"))
       .select(col("source"), col("idx"),
-        when(col("rest") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("rest"))))
+        (lit(restBits + 1) - expr("bit_length_long(rest)"))
           .cast("int").as("rho"))
     val regs = base.groupBy(col("source"), col("idx"))
       .agg(max(col("rho")).as("reg"))

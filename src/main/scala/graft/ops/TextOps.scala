@@ -276,7 +276,7 @@ object TextOps {
     * aggregate exchange (A/B at the 10x slice: the extra corpus-sized
     * shuffle costs more than the re-scan saves).
     */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  def bigramSurprisal(docs: DataFrame, joinStrategy: String = "auto"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val pairs = withToks(docs)
       .filter(size(col("toks")) >= 2)
@@ -288,10 +288,10 @@ object TextOps {
     val ctxCounts = pairCounts
       .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
       .agg(sum(col("n_pair")).cast("long").as("n_ctx"))
-    val bits = CacheScope.persistTracked(pairCounts
+    val bits = pairCounts
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(ctxCounts, "w1")
-      .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits")))
+      .select(col("pair"), (length(bin(expr("n_ctx div n_pair"))) - 1).as("bits"))
     // The bits table is the corpus bigram LM — model state, exactly what
     // production CCNet ships to every scoring node — bounded by OBSERVED
     // distinct pairs, not corpus rows (3.9k at the 100x fixture; low
@@ -304,17 +304,28 @@ object TextOps {
     // not hard-coded: past [[BroadcastPairLimit]] (8M pairs ≈ 320 MB —
     // deliberately conservative, well under the 8 GB broadcast cap so a
     // 1000-executor driver never flirts with it) the join falls back to
-    // a shuffle_hash build on the bits side. The count() rides on the
-    // persist the join reuses, so the LM aggregate is computed once
-    // either way — the strategy probe costs no extra corpus pass. NOTE:
-    // this count makes CONSTRUCTION eager (one Spark job materializes
-    // the persisted LM before the DataFrame is returned); callers that
-    // only want the plan still pay it, and non-releasing threads should
-    // drain via CacheScope.releaseCurrent() when done.
-    val distinctPairs = bits.count()
-    val bitsJoined =
-      if (distinctPairs <= BroadcastPairLimit) pairs.join(broadcast(bits), Seq("pair"))
-      else pairs.join(bits.hint("shuffle_hash"), Seq("pair"))
+    // a shuffle_hash build on the bits side. In "auto" mode the count()
+    // rides on the persist the join reuses, so the LM aggregate is
+    // computed once either way — but it makes CONSTRUCTION eager (one
+    // Spark job materializes the persisted LM before the DataFrame is
+    // returned) and registers a persist the caller's thread must drain
+    // via CacheScope.releaseCurrent(). Callers that want plan-only,
+    // job-free construction pass an explicit strategy ("broadcast" |
+    // "shuffle_hash"): the probe and the persist are both skipped (the
+    // bits relation is then consumed exactly once, so there is nothing
+    // to pin).
+    val bitsJoined = joinStrategy match {
+      case "broadcast"    => pairs.join(broadcast(bits), Seq("pair"))
+      case "shuffle_hash" => pairs.join(bits.hint("shuffle_hash"), Seq("pair"))
+      case "auto" =>
+        val pinned = CacheScope.persistTracked(bits)
+        val distinctPairs = pinned.count()
+        if (distinctPairs <= BroadcastPairLimit)
+          pairs.join(broadcast(pinned), Seq("pair"))
+        else pairs.join(pinned.hint("shuffle_hash"), Seq("pair"))
+      case other => throw new IllegalArgumentException(
+        s"joinStrategy must be auto | broadcast | shuffle_hash, got: $other")
+    }
     bitsJoined
       .groupBy(col("doc_id"))
       .agg(

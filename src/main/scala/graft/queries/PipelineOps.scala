@@ -28,9 +28,15 @@ object PipelineOps {
     */
   private def matCtes(sql: String, names: String*): String =
     names.foldLeft(sql) { (s, n) =>
-      val out = s.replaceFirst(s"""\\b$n AS \\(""", s"$n AS MATERIALIZED (")
-      // A silent miss would quietly revert the oracle to the re-inlined
-      // form measured 6× slower (and OOM-prone at 100×) — fail loudly.
+      // Quote the name (a future CTE named e.g. `a$1` must not become a
+      // regex) and tolerate whitespace/case drift around AS — but keep
+      // the loud require: a silent miss would quietly revert the oracle
+      // to the re-inlined form measured 6× slower (and OOM-prone at
+      // 100×).
+      val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\s+AS\\s+\\(")
+        .r.unanchored
+      val out = pat.replaceFirstIn(s, java.util.regex.Matcher
+        .quoteReplacement(s"$n AS MATERIALIZED ("))
       require(out != s, s"matCtes: CTE '$n' not found in oracle SQL")
       out
     }
@@ -761,7 +767,7 @@ object PipelineOps {
          |SELECT cell, pos,
          |  list_sum(list(bs ORDER BY bkt)) / CAST(SUM(cnt) AS BIGINT) AS c
          |FROM bsb GROUP BY cell, pos""".stripMargin) { (s, dir) =>
-      Similarity.kmeansStep(t(s, dir, "embeddings"))
+      Similarity.kmeansStep(t(s, dir, "embeddings"), 16, 8)
     },
 
     // int8 quantization (4x ANN index memory reduction), scalarized for
@@ -1096,7 +1102,7 @@ object PipelineOps {
          |r AS (SELECT vec_id, sub, j, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn FROM d)
          |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(j AS INT) AS code FROM r WHERE rn = 1""".stripMargin,
         "e", "sub", "cb0", "a0", "cbm", "cb")) {
-      (s, dir) => ProductQuant.pqAssign(t(s, dir, "embeddings"))
+      (s, dir) => ProductQuant.pqAssign(t(s, dir, "embeddings"), bucketShift = 8)
     },
 
     // Product quantization, ADC search: per-query (16 x 64) exact subspace
@@ -1127,7 +1133,7 @@ object PipelineOps {
          |WHERE rnk <= 5""".stripMargin, "e", "sub", "cb0", "a0", "cbm", "cb")) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       ProductQuant.pqTopK(emb,
-        emb.filter(col("vec_id") < 8), 5)
+        emb.filter(col("vec_id") < 8), 5, bucketShift = 8)
     },
 
     // Passage-level dedup: 3-word chunks appearing in more than 3 distinct
@@ -2304,7 +2310,7 @@ object PipelineOps {
     // empty cells keeping their previous centroid via the left join — so
     // every intermediate centroid double is pinned bit-exactly.
     Q.df("p89_kmeans_train", kmeansTrainOracleSql(2, 16)) { (s, dir) =>
-      Similarity.kmeansTrain(t(s, dir, "embeddings"), 16, 2)
+      Similarity.kmeansTrain(t(s, dir, "embeddings"), 16, 2, 8)
     },
 
     // Domain-graph PageRank for crawl prioritization: ONE corpus scan

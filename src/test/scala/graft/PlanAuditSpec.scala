@@ -642,4 +642,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       org.apache.spark.sql.execution.FormattedMode)
     assert(formatted.contains("codegen id"), formatted.linesIterator.take(10).mkString("\n"))
   }
+
+  test("r14 all-but-the-top: the mean fold is distributed — only dims rows reach the driver") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val dims = 8
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), shiftright(col("vec_id"), 2).as("bkt"),
+        expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))").as("vd"))
+    val mean = graft.ops.Similarity.meanFoldDF(vecs, dims)
+    // The r13 form collected one row per vec_id-bucket (N/2^shift rows of
+    // dims doubles) and folded on the driver; the r14 contract is that
+    // the level-2 bucket fold runs as a pos-keyed aggregate and the
+    // relation the driver collects is exactly dims rows.
+    assert(mean.count() == dims)
+    val p = mean.queryExecution.executedPlan.toString
+    // Two hash-aggregate levels around the position explode, partial
+    // (map-side combined), no window, no single-reducer sort.
+    assert(p.contains("Generate"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("r14 tuning card: one full-outer overlay, one multi-aggregate pass — no re-execution") {
+    val p = plan("p94_lsh_tuning_card")
+    // The r13 form computed the four counts as four separate 1-row
+    // aggregates cross-joined together, re-traversing the shared
+    // candidate lineage per count (the corpus's worst load-amplification
+    // case). The r14 form overlays the two pair relations with ONE full
+    // outer join and reads all four counts from one aggregate: no
+    // nested-loop cross join anywhere, exactly one FullOuter join, and
+    // the final aggregate is partial (map-side combined).
+    assert(!p.contains("NestedLoopJoin"), p.linesIterator.take(12).mkString("\n"))
+    assert("FullOuter".r.findAllIn(p).size == 1, p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial"), p)
+  }
 }

@@ -152,6 +152,24 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bit_length_long == length(bin(x)) for positives, 0 at zero (SQL round-trip)") {
+    GraftFunctions.register(spark)
+    // Edge longs plus sampled positives: the kernel replaced the
+    // string-allocating length(bin(x)) in the HLL rho path, so it must
+    // agree with that composed form everywhere the sketch feeds it
+    // (non-negative 56-bit remainders), and bit_length_long(0) = 0 is
+    // the contract that folds the rho special case away.
+    val edges = Seq(0L, 1L, 2L, 3L, 255L, 256L, (1L << 48) - 1, 1L << 48,
+      (1L << 56) - 1, Long.MaxValue)
+    val sampled = samples(Gen.chooseNum(1L, Long.MaxValue), 100)
+    import spark.implicits._
+    val rows = (edges ++ sampled).toDF("x")
+      .selectExpr("x", "bit_length_long(x) AS got",
+        "IF(x = 0, 0, length(bin(x))) AS want")
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"x=${r.getLong(0)}"))
+  }
+
   test("pq_code validates subvector length and subspace range with named errors") {
     val cb = Array(0.0, 1.0, 2.0, 3.0) // m=1, ks=2, subDim=2
     val short = new GenericArrayData(Array[AnyRef](java.lang.Double.valueOf(0.0)))
