@@ -1,0 +1,537 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MJPEG-in-AVI: REAL compressed-frame video decode, offline.
+  *
+  * The multimodal family's one declared stub has been compressed-codec
+  * frame decode (container walks and uncompressed y4m/WAV/PNG decode are
+  * real — `MediaHeaders`). This closes it for the oldest codec still in
+  * production use: Motion-JPEG carried in a RIFF/AVI container (the
+  * classic capture format; every frame is an independent baseline JPEG).
+  * Everything here is the actual format, parsed from the actual bytes:
+  *
+  *   - the AVI side is a real RIFF walk — `RIFF('AVI ')`, the `hdrl`
+  *     LIST's `avih` main header (width/height/frame count), and the
+  *     `movi` LIST's `00dc` compressed-frame chunks (even-byte padded,
+  *     exactly as the spec lays them out);
+  *   - the JPEG side is a real baseline decoder: marker walk (DQT, SOF0,
+  *     DHT, SOS), canonical Huffman table construction from the DHT bit
+  *     counts, an entropy reader that honors 0xFF00 byte stuffing, DC
+  *     difference decoding with magnitude extension, dequantization
+  *     against the stream's own quant table, and the full 64-term
+  *     2D IDCT with level shift and clamping per block.
+  *
+  * The SYNTHESIZED streams keep the oracle arithmetic exact the same way
+  * p101/p102/p117 do for WAV/PNG/y4m: frames are grayscale JPEGs whose
+  * blocks are flat (AC all zero — the encoder emits real Huffman-coded
+  * DC categories + EOB), DC values are multiples of 64 against an
+  * all-ones quant table, so the IDCT lands on integers (pixel =
+  * 128 + dc/8 exactly) and an independent engine can state every
+  * frame's luma statistics in closed form. The DECODER never assumes
+  * any of this — it runs the general entropy/IDCT path and would decode
+  * any single-component baseline JPEG.
+  *
+  * Scale/plumbing shape: per-partition iteration over the typed binary
+  * column (the subprocess-decoder batch shape), one row per frame, no
+  * shuffle at any corpus size. Malformed containers or frames yield the
+  * rows decoded before the fault — the audioStats defensive posture.
+  */
+object Mjpeg {
+
+  // ---- little-endian helpers (RIFF is LE) --------------------------------
+
+  private def le16Bytes(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def le32Bytes(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b.slice(i, i + 4), "US-ASCII")
+
+  // ---- JPEG encoder (baseline, grayscale, DC-only blocks) ----------------
+
+  /** Annex-K luminance Huffman tables (written into the stream's DHT and
+    * re-read by the decoder — the decoder trusts only the stream).
+    */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).map(_.toByte).toArray
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** (symbol → (codeLength, code)) per the canonical JPEG assignment:
+    * codes of each length are consecutive, starting from double the
+    * previous length's end.
+    */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = bits(len - 1)
+      while (n > 0) {
+        out += ((vals(k) & 0xff) -> (len, code))
+        code += 1; k += 1; n -= 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private lazy val dcEnc = canonicalCodes(DcBits, DcVals)
+  private lazy val acEnc = canonicalCodes(AcBits, AcVals)
+
+  /** MSB-first bit writer with JPEG 0xFF00 byte stuffing. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits, per the spec. */
+    def flush(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  /** One grayscale baseline JPEG whose blocks are flat: block b of frame
+    * `f` has pixel value 128 + 8 * kOf(b) with kOf in [-8, 8] — DC
+    * coefficient 64 * kOf(b) against the all-ones quant table, AC all
+    * zero. Real markers, real Huffman entropy coding, real byte
+    * stuffing; width/height must be multiples of 8 (the synth geometry
+    * always is).
+    */
+  private[ops] def synthJpegFlatBlocks(width: Int, height: Int,
+      kOf: Int => Int): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0 && width > 0 && height > 0,
+      "synth geometry must be positive multiples of 8")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, Array[Byte](0) ++ Array.fill(64)(1.toByte)) // DQT all ones
+    marker(0xc0, Array[Byte](8, // SOF0: precision
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0)) // 1 component, no subsampling, quant table 0
+    marker(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals)
+    marker(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals)
+    marker(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val (eobLen, eobCode) = acEnc(0x00)
+    var prevDc = 0
+    val nBlocks = (width / 8) * (height / 8)
+    var b = 0
+    while (b < nBlocks) {
+      val dc = 64 * kOf(b)
+      var diff = dc - prevDc
+      prevDc = dc
+      var mag = math.abs(diff)
+      var size = 0
+      while (mag > 0) { size += 1; mag >>= 1 }
+      val (cl, cc) = dcEnc(size)
+      bw.put(cc, cl)
+      if (size > 0) {
+        if (diff < 0) diff += (1 << size) - 1
+        bw.put(diff & ((1 << size) - 1), size)
+      }
+      bw.put(eobCode, eobLen) // all AC zero
+      b += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- AVI container ------------------------------------------------------
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ le32Bytes(data.length) ++ data ++ pad
+  }
+
+  private def list(tpe: String, data: Array[Byte]): Array[Byte] =
+    chunk("LIST", tpe.getBytes("US-ASCII") ++ data)
+
+  /** Genuine RIFF/AVI bytes: `hdrl` (avih main header + one `vids`/MJPG
+    * stream), then `movi` with one real baseline JPEG per `00dc` chunk.
+    * Frame f's block b carries k = ((id*31 + f*17 + b*7) mod 17) - 8,
+    * the deterministic formula the oracle restates.
+    */
+  def synthMjpegAvi(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+    val avih = chunk("avih",
+      le32Bytes(33333) ++ le32Bytes(0) ++ le32Bytes(0) ++ le32Bytes(0x10) ++
+        le32Bytes(frames) ++ le32Bytes(0) ++ le32Bytes(1) ++ le32Bytes(0) ++
+        le32Bytes(width) ++ le32Bytes(height) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        Array.fill(12)(0.toByte) ++ le32Bytes(1) ++ le32Bytes(30) ++
+        le32Bytes(0) ++ le32Bytes(frames) ++ Array.fill(16)(0.toByte))
+    val strf = chunk("strf",
+      le32Bytes(40) ++ le32Bytes(width) ++ le32Bytes(height) ++
+        le16Bytes(1) ++ le16Bytes(24) ++ "MJPG".getBytes("US-ASCII") ++
+        le32Bytes(width * height * 3) ++ Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      (0 until frames).toArray.flatMap { f =>
+        chunk("00dc", synthJpegFlatBlocks(width, height,
+          b => (((id * 31 + f * 17 + b * 7) % 17) - 8).toInt))
+      })
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32Bytes(body.length) ++ body
+  }
+
+  /** Demo MJPEG/AVI source over `documents`: w ∈ {8,16,24}, h ∈ {8,16},
+    * 1–5 frames, block luma from the deterministic formula above.
+    */
+  def synthesizeAviVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    // Spread the ids BEFORE synthesizing/decoding: the demo source
+    // inherits the documents scan's split count, and the fixture
+    // parquet is single row-group (= one split), which would serialize
+    // the whole encode+decode chain onto one core. Real media arrives
+    // as many files/splits; an id shuffle (longs only — the payloads
+    // are synthesized after the exchange) restores that shape here.
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => (id, synthMjpegAvi(id, ((id % 3 + 1) * 8).toInt,
+        ((id % 2 + 1) * 8).toInt, (id % 5 + 1).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
+  // ---- JPEG decoder (baseline, single component) --------------------------
+
+  /** Canonical decode table: (firstCodeOfLen, firstIndexOfLen) per length
+    * plus the symbol array — the standard O(1)-per-bit-length lookup.
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        } else maxCode(len) = -1
+        code <<= 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int =
+      vals(valPtr(len) + (code - minCode(len))) & 0xff
+  }
+
+  /** MSB-first bit reader over the entropy segment with 0xFF00
+    * unstuffing; returns -1 past the segment (callers fail the frame).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length || b(pos) != 0x00) return -1 // a marker: stop
+          pos += 1
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit(); if (x < 0) return -1
+        v = (v << 1) | x; i += 1
+      }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val x = bit(); if (x < 0) return -1
+        code = (code << 1) | x; len += 1
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len) &&
+          code >= t.minCode(len)) return t.symbol(len, code)
+      }
+      -1
+    }
+  }
+
+  /** JPEG zig-zag order: zigzag(k) = raster index of the k-th scanned
+    * coefficient.
+    */
+  private val ZigZag: Array[Int] = {
+    val z = new Array[Int](64)
+    var x = 0; var y = 0
+    var up = true
+    for (k <- 0 until 64) {
+      z(k) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+    }
+    z
+  }
+
+  /** cos((2x+1)uπ/16) via StrictMath so decode is bit-identical on any
+    * JVM/platform.
+    */
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](64)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16)
+    t
+  }
+
+  /** Decoded frame: width, height, and per-block 8×8 pixel arrays are
+    * reduced directly to (sum, min, max) — frames are decoded for their
+    * statistics, the p101/p117 card contract.
+    */
+  private[ops] def decodeJpegGrayStats(b: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var quant: Array[Int] = null
+    var dcTab: HuffTable = null
+    var acTab: HuffTable = null
+    var width = 0
+    var height = 0
+    var scanAt = -1
+    while (scanAt < 0 && i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val seg = i + 4
+      if (seg + len - 2 > b.length) return None
+      m match {
+        case 0xdb =>
+          // Only 8-bit tables (Pq = 0), id 0 — the single-component scan
+          // references table 0.
+          if ((b(seg) & 0xf0) == 0 && len >= 67)
+            quant = (0 until 64).map(k => b(seg + 1 + k) & 0xff).toArray
+        case 0xc0 =>
+          height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+          width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+          if ((b(seg) & 0xff) != 8 || (b(seg + 5) & 0xff) != 1) return None
+        case 0xc4 =>
+          var p = seg
+          while (p < seg + len - 2) {
+            val tc = (b(p) & 0xf0) >> 4
+            val bits = (0 until 16).map(k => b(p + 1 + k) & 0xff).toArray
+            val n = bits.sum
+            val vals = b.slice(p + 17, p + 17 + n)
+            if (tc == 0) dcTab = new HuffTable(bits, vals)
+            else acTab = new HuffTable(bits, vals)
+            p += 17 + n
+          }
+        case 0xda => scanAt = seg + (b(seg) & 0xff) * 2 + 4 // Ns comps + Ss/Se/AhAl
+        case 0xd9 => return None // EOI before any scan
+        case _ => () // APPn/COM etc: skip
+      }
+      i = if (scanAt < 0) seg + len - 2 else i
+    }
+    if (scanAt < 0 || quant == null || dcTab == null || acTab == null ||
+      width <= 0 || height <= 0) return None
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val rd = new BitReader(b, scanAt)
+    val coef = new Array[Int](64)
+    val blockPix = new Array[Int](64)
+    val idctAcc = new Array[Double](64)
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var prevDc = 0
+    var blk = 0
+    val nBlocks = bw * bh
+    while (blk < nBlocks) {
+      java.util.Arrays.fill(coef, 0)
+      val s = rd.decode(dcTab)
+      if (s < 0) return None
+      var diff = 0
+      if (s > 0) {
+        val v = rd.bits(s); if (v < 0) return None
+        // Magnitude extension: values with a 0 high bit are negative.
+        diff = if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+      prevDc += diff
+      coef(0) = prevDc * quant(0)
+      var k = 1
+      var run = true
+      while (run && k < 64) {
+        val rs = rd.decode(acTab)
+        if (rs < 0) return None
+        if (rs == 0x00) run = false // EOB
+        else if (rs == 0xf0) k += 16 // ZRL
+        else {
+          k += (rs >> 4)
+          val sz = rs & 0x0f
+          if (k > 63 || sz == 0) return None
+          val v = rd.bits(sz); if (v < 0) return None
+          val ac = if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+          coef(ZigZag(k)) = ac * quant(k)
+          k += 1
+        }
+      }
+      // Full 2D IDCT + level shift + clamp, SPARSE over the nonzero
+      // coefficients (what every production decoder does: typical
+      // blocks are mostly zeros after quantization, so cost scales
+      // with 64 × nnz instead of a dense 64 × 64) — the general path;
+      // the synthesized DC-only blocks are just its nnz = 1 case.
+      java.util.Arrays.fill(idctAcc, 0.0)
+      var ci = 0
+      while (ci < 64) {
+        val c = coef(ci)
+        if (c != 0) {
+          val u = ci & 7
+          val v = ci >> 3
+          val scale = (if (u == 0) 0.7071067811865476 else 1.0) *
+            (if (v == 0) 0.7071067811865476 else 1.0) * c
+          var y = 0
+          while (y < 8) {
+            val cy = scale * CosTable(y * 8 + v)
+            var x = 0
+            while (x < 8) {
+              idctAcc(y * 8 + x) += cy * CosTable(x * 8 + u)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        ci += 1
+      }
+      var pi = 0
+      while (pi < 64) {
+        val p = StrictMath.round(idctAcc(pi) / 4 + 128).toInt
+        blockPix(pi) = math.max(0, math.min(255, p))
+        pi += 1
+      }
+      // Reduce the block against the frame geometry (edge blocks of a
+      // non-multiple-of-8 image only count their in-bounds pixels).
+      val bx = (blk % bw) * 8
+      val by = (blk / bw) * 8
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          if (bx + xx < width && by + yy < height) {
+            val p = blockPix(yy * 8 + xx)
+            sum += p
+            if (p < mn) mn = p
+            if (p > mx) mx = p
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      blk += 1
+    }
+    Some((width, height, sum, mn, mx))
+  }
+
+  /** REAL MJPEG frame decode over AVI payloads: RIFF walk to the `movi`
+    * LIST, then every `00dc` chunk through the baseline-JPEG decoder.
+    * Non-AVI payloads yield no rows; a malformed frame stops the walk
+    * but keeps the frames decoded before it. Returns
+    * (doc_id, frame_idx, width, height, y_sum, y_min, y_max).
+    */
+  def aviFrameStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val rows = Seq.newBuilder[(Long, Int, Int, Int, Long, Int, Int)]
+        if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") {
+          val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+          // Top-level chunk walk to the movi LIST. A truncated payload
+          // (the RIFF/LIST sizes claim more than is present) clamps the
+          // walk to the bytes that exist — the frames before the cut
+          // still decode, the cut one stops the walk below.
+          var i = 12
+          var movi = -1
+          var moviEnd = -1
+          while (movi < 0 && i + 8 <= end) {
+            val sz = le32(b, i + 4)
+            if (sz < 0) { i = end } // corrupt size: stop
+            else if (fourcc(b, i) == "LIST" && sz >= 4 && i + 12 <= end &&
+              fourcc(b, i + 8) == "movi") {
+              movi = i + 12
+              moviEnd = math.min(i + 8L + sz, end.toLong).toInt
+            } else if (i + 8L + sz > end) { i = end } // truncated non-movi: stop
+            else i += 8 + sz + (sz & 1)
+          }
+          if (movi >= 0) {
+            var p = movi
+            var f = 0
+            var ok = true
+            while (ok && p + 8 <= moviEnd) {
+              val cid = fourcc(b, p)
+              val sz = le32(b, p + 4)
+              if (sz < 0 || p + 8L + sz > moviEnd) ok = false
+              else {
+                if (cid.endsWith("dc")) {
+                  decodeJpegGrayStats(b.slice(p + 8, p + 8 + sz)) match {
+                    case Some((w, h, s, mn, mx)) =>
+                      rows += ((id, f, w, h, s, mn, mx))
+                      f += 1
+                    case None => ok = false
+                  }
+                }
+                p += 8 + sz + (sz & 1)
+              }
+            }
+          }
+        }
+        rows.result()
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "y_sum", "y_min", "y_max")
+  }
+}

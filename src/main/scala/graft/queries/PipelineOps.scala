@@ -2760,6 +2760,32 @@ object PipelineOps {
         graft.ops.MediaHeaders.synthesizeVideos(s, t(s, dir, "documents")))
     },
 
+    // REAL compressed-frame video decode (r14): Motion-JPEG in a genuine
+    // RIFF/AVI container — real Huffman entropy decode, dequantization
+    // and the full 2D IDCT per frame (graft.ops.Mjpeg). The synthesized
+    // streams keep every block flat (AC zero, DC a multiple of 64
+    // against an all-ones quant table), so the IDCT lands on integers
+    // and the oracle states the per-frame luma statistics in closed
+    // form — the p101/p102/p117 real-decode pattern, extended past the
+    // uncompressed formats into an actual codec path.
+    Q.df(
+      "p126_mjpeg_decode",
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+        |  CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+        |  CAST(64 * list_sum(vs) AS BIGINT) AS y_sum,
+        |  CAST(list_aggregate(vs, 'min') AS INT) AS y_min,
+        |  CAST(list_aggregate(vs, 'max') AS INT) AS y_max
+        |FROM (
+        |  SELECT doc_id, f, list_transform(
+        |    generate_series(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1 AS INT)),
+        |    b -> 128 + 8 * (((doc_id * 31 + f * 17 + b * 7) % 17) - 8)) AS vs
+        |  FROM documents CROSS JOIN generate_series(0, 4) t(f)
+        |  WHERE f <= doc_id % 5) x""".stripMargin) { (s, dir) =>
+      graft.ops.Mjpeg.aviFrameStats(s,
+        graft.ops.Mjpeg.synthesizeAviVideos(s, t(s, dir, "documents")))
+    },
+
     // Dedup cluster-size histogram (r12): the release QA card — cluster
     // sizes bucketed by bit length (exact integers; singletons bucket
     // 0), surfacing a pathological mega-cluster before training.

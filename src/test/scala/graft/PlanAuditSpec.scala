@@ -643,6 +643,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(formatted.contains("codegen id"), formatted.linesIterator.take(10).mkString("\n"))
   }
 
+  test("r14 mjpeg decode: one id-spread exchange, then map-only decode") {
+    // Same contract as the y4m pin — per-partition container walk +
+    // entropy decode over the typed binary column, one row per frame —
+    // plus the demo source's ONE RoundRobin exchange of bare ids (the
+    // fixture parquet is single row-group = one split; real media
+    // arrives pre-split). Nothing else shuffles at any corpus size, and
+    // the exchange carries longs, never payloads.
+    val df = SparkEntry.queries("p126_mjpeg_decode")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("r14 all-but-the-top: the mean fold is distributed — only dims rows reach the driver") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -2216,6 +2216,65 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(graft.ops.MediaHeaders.parse(1L, b).fmt == "y4m")
   }
 
+  test("mjpeg decode: real Huffman+IDCT round-trip; AC paths; malformed keeps prior frames") {
+    import spark.implicits._
+    import graft.ops.Mjpeg
+    // Round-trip the closed form: id=5 → 16x16, 1 frame (5%5=0... use
+    // id=3: w=(3%3+1)*8=8, h=(3%2+1)*8=16, frames=3%5+1=4. Blocks per
+    // frame: 1*2=2.
+    val b = Mjpeg.synthMjpegAvi(3L, 8, 16, 4)
+    val r = Mjpeg.aviFrameStats(spark, Seq((3L, b)).toDF("doc_id", "payload"))
+      .collect().map(x => x.getInt(1) ->
+        ((x.getInt(2), x.getInt(3), x.getLong(4), x.getInt(5), x.getInt(6)))).toMap
+    assert(r.keySet == Set(0, 1, 2, 3))
+    def pix(f: Int, blk: Int): Int = 128 + 8 * ((((3L * 31 + f * 17 + blk * 7) % 17) - 8).toInt)
+    (0 to 3).foreach { f =>
+      val vs = Seq(pix(f, 0), pix(f, 1))
+      assert(r(f) == ((8, 16, 64L * vs.sum, vs.min, vs.max)), s"frame $f")
+    }
+    // The general decoder path beyond the synthesized subset: a
+    // hand-coded JPEG with a NONZERO AC coefficient must decode through
+    // the run/size + magnitude-extension + zig-zag + IDCT path. One 8x8
+    // block, DC=0, AC(0,1)=17 (zig-zag index 1, run 0, size 5):
+    // f(x,y) = (1/4) * c(1) * 17 * cos((2x+1)π/16) — compare against an
+    // independently computed expectation.
+    val probe = Mjpeg.synthJpegFlatBlocks(8, 8, _ => 0)
+    // Rewrite the entropy segment: categories for DC 0 (code from the
+    // stream's own table) followed by AC run 0/size 5, value 17, EOB.
+    // Easier: decode a stream the encoder cannot emit by building it
+    // through the same writer via a tiny local re-encode.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(probe, 0, probe.indexOfSlice(Seq(0xff.toByte, 0xda.toByte)))
+    // SOS + entropy for one block: DC size 0, AC (run 0, size 5) -> 17, EOB.
+    out.write(Array[Byte](0xff.toByte, 0xda.toByte, 0, 8, 1, 1, 0, 0, 63, 0), 0, 10)
+    // Bits: DC cat0 code "00" (2 bits); AC symbol 0x05 ("11010", 5 bits);
+    // 17 = "10001" (5 bits); EOB "1010" (4 bits) = 16 bits total.
+    out.write(Integer.parseInt("00110101", 2))
+    out.write(Integer.parseInt("00011010", 2))
+    out.write(0xff); out.write(0xd9)
+    val dec = Mjpeg.decodeJpegGrayStats(out.toByteArray)
+    assert(dec.isDefined)
+    val (w8, h8, sum8, mn8, mx8) = dec.get
+    val want = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val v = StrictMath.round(
+        0.25 * 0.7071067811865476 * 17 *
+          StrictMath.cos((2 * x + 1) * StrictMath.PI / 16) + 128).toInt
+      math.max(0, math.min(255, v))
+    }
+    assert((w8, h8) == ((8, 8)))
+    assert((sum8, mn8, mx8) == ((want.map(_.toLong).sum, want.min, want.max)))
+    // Truncated mid-movi: earlier frames survive, the cut frame does not.
+    val frames = Mjpeg.aviFrameStats(spark,
+      Seq((3L, b.take(b.length - 10))).toDF("doc_id", "payload")).collect()
+    assert(frames.length == 3 && frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    // Non-AVI and RIFF-but-not-AVI are honest empties.
+    assert(Mjpeg.aviFrameStats(spark,
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).count() == 0)
+    val wav = graft.ops.MediaHeaders.synthWav(8000, 16, 1)
+    assert(Mjpeg.aviFrameStats(spark,
+      Seq((1L, wav)).toDF("doc_id", "payload")).count() == 0)
+  }
+
   test("audio stats: real chunk walk survives junk chunks and odd sizes") {
     import spark.implicits._
     // Hand-build: RIFF/WAVE + fmt + an odd-sized junk chunk (forces the

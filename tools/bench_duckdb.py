@@ -3,7 +3,16 @@
 engine) over the same sf parquet the Spark bench uses, for the
 matches-or-beats single-node-throughput comparison in BASELINE.md.
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir-with-oracle_sql.json>
+Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir-with-oracle_sql.json> [--jobs N] [--materialize]
+
+--jobs N       serving-throughput pairing: N threads drain the corpus
+               concurrently on separate connections to one shared
+               in-process database (the posture SPARK_GRAFT_CONC=N
+               measures on the Spark side); wall-clock per sweep.
+--materialize  warm-serving pairing for SPARK_GRAFT_SERVE=1: load every
+               parquet into a native DuckDB table once (untimed), so the
+               timed queries never touch parquet — the same hot-table
+               posture as the Spark pins.
 """
 import json, sys, time
 
@@ -12,13 +21,48 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, jobs=1, materialize=False):
     con = duckdb.connect()
-    con.execute("SET threads TO 16")
+    # Sequential runs keep the historical 16-thread setting every
+    # BASELINE.md band was recorded under. Under --jobs N, divide the
+    # box instead: N concurrent queries x 16 internal threads each
+    # oversubscribes a 32-core box ~4x and the second sweep degrades
+    # unpredictably (measured: 16 -> 32 s); N x (32 // N) is the
+    # configuration an operator would actually serve with.
+    threads = 16 if jobs == 1 else max(2, 32 // jobs)
+    con.execute(f"SET threads TO {threads}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        if materialize:
+            con.execute(
+                f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        def run_one(item):
+            name, sql = item
+            c = con.cursor()  # own connection state, shared database
+            try:
+                c.execute(sql).fetchall()
+                return None
+            except Exception as e:
+                print(f"# {name} failed: {e}", file=sys.stderr)
+                return name
+        sweeps = []
+        errs = 0
+        for sweep in range(2):
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=jobs) as ex:
+                errs += sum(1 for r in ex.map(run_one, sorted(oracle.items())) if r)
+            sweeps.append(round(time.time() - t0, 2))
+        print(json.dumps({"metric": "duckdb_total", "value": sweeps[0],
+                          "unit": "sec", "mode": "throughput", "jobs": jobs,
+                          "materialize": materialize, "sweeps": sweeps,
+                          "cold": sweeps[0], "steady": sweeps[-1],
+                          "errors": errs, "queries": len(oracle), "sf": sf_dir}))
+        return
     times = {}
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
@@ -30,8 +74,26 @@ def main(sf_dir, out_dir):
             print(f"# {name} failed: {e}", file=sys.stderr)
     total = sum(v for v in times.values() if v > 0)
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 2),
-                      "unit": "sec", "queries": times, "sf": sf_dir}))
+                      "unit": "sec", "materialize": materialize,
+                      "queries": times, "sf": sf_dir}))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    argv = sys.argv[1:]
+    jobs = 1
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--jobs":
+            jobs = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+            i += 1
+        elif a == "--materialize":
+            i += 1
+        else:
+            rest.append(a)
+            i += 1
+    main(rest[0], rest[1], jobs=jobs, materialize="--materialize" in sys.argv)
