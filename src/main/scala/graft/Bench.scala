@@ -201,16 +201,23 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+").take(3)
           .mkString("[", ",", "]")
         catch { case _: Throwable => "[-1]" }
+      // Name the failures, not just count them — an artifact with
+      // errors must be diagnosable from the record alone (the
+      // sequential mode's per-query {"err": ...} contract).
+      val errNames = sweeps.flatMap(_._2).distinct.take(20)
+        .map(s => "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\"")
+        .mkString("[", ",", "]")
       val json =
         s"""{"metric":"total","value":${sweeps.head._1},"unit":"sec","mode":"throughput",""" +
           s""""conc":$conc,"serve":$serve,"sweeps":${sweeps.map(_._1).mkString("[", ",", "]")},""" +
           s""""cold":${sweeps.head._1},"steady":${sweeps.last._1},""" +
-          s""""errors":${sweeps.map(_._2.size).sum},"loadavg":$loadNow,""" +
+          s""""errors":${sweeps.map(_._2.size).sum},"failed":$errNames,"loadavg":$loadNow,""" +
           s""""queries":${selected.size},"sf":"$sfDir"}"""
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
+      if (serve) Tables.unpinServing(spark, sfDir)
       spark.stop()
       println(json)
       return
@@ -310,6 +317,11 @@ object Bench {
         java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Serving pins are registry-held (Tables.pinned) — drop them so a
+    // long-lived embedder of this main doesn't retain the relations
+    // past the run (spark.stop() below covers this process, not that
+    // caller).
+    if (serve) Tables.unpinServing(spark, sfDir)
     spark.stop()
     println(json)
     // The driver recovers the result from a bounded log tail; the full

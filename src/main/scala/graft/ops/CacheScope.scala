@@ -46,15 +46,18 @@ object CacheScope {
     */
   final class Token private[CacheScope] (
       q: java.util.ArrayDeque[DataFrame]) {
-    /** Unpersist (non-blocking) everything tracked on the capturing
-      * thread up to the capture point that is still registered. Safe to
-      * call from any thread, and safe to call more than once.
+    /** Unpersist (non-blocking) everything currently registered on the
+      * capturing thread's deque — including entries pushed after the
+      * capture (the token aliases the thread's registry, it does not
+      * snapshot it). Safe to call from any thread, and safe to call
+      * more than once.
       */
     def release(): Unit = drain(q)
   }
 
-  /** Capture a release token for everything the CURRENT thread has
-    * tracked (and will track) until its next release. See [[Token]].
+  /** Capture a release token aliasing the CURRENT thread's registry:
+    * whatever that thread has tracked — or goes on to track — is
+    * released by `token.release()` from any thread. See [[Token]].
     */
   def currentToken(): Token = new Token(tracked.get())
 

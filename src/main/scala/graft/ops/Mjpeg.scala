@@ -350,29 +350,40 @@ object Mjpeg {
       val m = b(i + 1) & 0xff
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       val seg = i + 4
-      if (seg + len - 2 > b.length) return None
+      if (len < 2 || seg + len - 2 > b.length) return None
+      // Every branch below reads only inside its DECLARED segment
+      // [seg, seg + len - 2): a truncated marker (len shorter than the
+      // structure it announces) is malformed input and must yield None,
+      // never an out-of-bounds read — the whole-job-killing failure a
+      // flatMap task exception would be.
+      val segEnd = seg + len - 2
       m match {
         case 0xdb =>
           // Only 8-bit tables (Pq = 0), id 0 — the single-component scan
           // references table 0.
-          if ((b(seg) & 0xf0) == 0 && len >= 67)
+          if (len >= 67 && (b(seg) & 0xf0) == 0)
             quant = (0 until 64).map(k => b(seg + 1 + k) & 0xff).toArray
         case 0xc0 =>
+          if (len < 11) return None // precision + H + W + Nf + 1 component
           height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
           width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
           if ((b(seg) & 0xff) != 8 || (b(seg + 5) & 0xff) != 1) return None
         case 0xc4 =>
           var p = seg
-          while (p < seg + len - 2) {
+          while (p < segEnd) {
+            if (p + 17 > segEnd) return None // TcTh + 16 bit counts
             val tc = (b(p) & 0xf0) >> 4
             val bits = (0 until 16).map(k => b(p + 1 + k) & 0xff).toArray
             val n = bits.sum
+            if (p + 17 + n > segEnd) return None // declared values truncated
             val vals = b.slice(p + 17, p + 17 + n)
             if (tc == 0) dcTab = new HuffTable(bits, vals)
             else acTab = new HuffTable(bits, vals)
             p += 17 + n
           }
-        case 0xda => scanAt = seg + (b(seg) & 0xff) * 2 + 4 // Ns comps + Ss/Se/AhAl
+        case 0xda =>
+          if (len < 8) return None // Ns + 1 component + Ss/Se/AhAl
+          scanAt = seg + (b(seg) & 0xff) * 2 + 4 // Ns comps + Ss/Se/AhAl
         case 0xd9 => return None // EOI before any scan
         case _ => () // APPn/COM etc: skip
       }
@@ -518,7 +529,14 @@ object Mjpeg {
               if (sz < 0 || p + 8L + sz > moviEnd) ok = false
               else {
                 if (cid.endsWith("dc")) {
-                  decodeJpegGrayStats(b.slice(p + 8, p + 8 + sz)) match {
+                  // The decoder is bounds-checked; the catch is the
+                  // defensive backstop for any malformed shape it
+                  // misses — a decode fault must cost THIS payload's
+                  // remaining frames, never the Spark task.
+                  val dec =
+                    try decodeJpegGrayStats(b.slice(p + 8, p + 8 + sz))
+                    catch { case scala.util.control.NonFatal(_) => None }
+                  dec match {
                     case Some((w, h, s, mn, mx)) =>
                       rows += ((id, f, w, h, s, mn, mx))
                       f += 1

@@ -638,6 +638,12 @@ object Similarity {
     // corpus scale).
     val murows = meanFoldDF(vecs, dims)
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    // Ragged embedding arrays would yield more (or fewer) positions
+    // than `dims` and silently misalign mu with vector positions — the
+    // fold's dims-row contract is enforced, not assumed.
+    require(murows.length == dims && murows.map(_._1).toSeq == (0 until dims),
+      s"meanFoldDF returned ${murows.length} positions; expected $dims " +
+        "(ragged or truncated embedding arrays?)")
     val mu = murows.map(_._2)
     val muLit = typedlit(mu.toSeq)
     val cvecs = vecs.withColumn("vd",

@@ -14,7 +14,7 @@ Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir-with-oracle_sql.json>
                timed queries never touch parquet — the same hot-table
                posture as the Spark pins.
 """
-import json, sys, time
+import json, os, sys, time
 
 import duckdb
 
@@ -24,12 +24,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main(sf_dir, out_dir, jobs=1, materialize=False):
     con = duckdb.connect()
     # Sequential runs keep the historical 16-thread setting every
-    # BASELINE.md band was recorded under. Under --jobs N, divide the
-    # box instead: N concurrent queries x 16 internal threads each
-    # oversubscribes a 32-core box ~4x and the second sweep degrades
-    # unpredictably (measured: 16 -> 32 s); N x (32 // N) is the
-    # configuration an operator would actually serve with.
-    threads = 16 if jobs == 1 else max(2, 32 // jobs)
+    # BASELINE.md band was recorded under. Under --jobs N the setting is
+    # INSTANCE-GLOBAL (one worker pool shared by every concurrent
+    # query, not per connection) and DuckDB's best measured value on
+    # this corpus is cores//jobs — MORE global threads make it slower
+    # (sub-second queries thrash the morsel scheduler: steady sweep at
+    # jobs=8 on 32 cores read 22.2 s with 4 threads, 23.1 with 8, 36.9
+    # with 16, 43.2 with 24, 35.2 with 32). The pair gives DuckDB its
+    # best, not a mirror of Spark's config.
+    threads = 16 if jobs == 1 else max(2, (os.cpu_count() or 32) // jobs)
     con.execute(f"SET threads TO {threads}")
     for t in TABLES:
         if materialize:

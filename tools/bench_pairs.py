@@ -94,10 +94,17 @@ def main():
                 g = run_graft(sf_dir, conc, repeat, f"/tmp/bp_graft_{p}.json")
                 rec["graft_steady"] = round(g["steady"], 2)
                 rec["graft_cold"] = round(g["cold"], 2)
+                rec["graft_errors"] = g.get("errors", 0)
             else:
                 d = run_duck(sf_dir, vout, conc)
                 rec["duck_steady"] = round(d.get("steady", d["value"]), 2)
                 rec["duck_cold"] = round(d.get("cold", d["value"]), 2)
+                if "errors" in d:
+                    rec["duck_errors"] = d["errors"]
+                else:  # sequential mode: failures are -1.0 per-query times
+                    rec["duck_errors"] = sum(
+                        1 for v in d.get("queries", {}).values()
+                        if isinstance(v, float) and v < 0)
             rec[f"{leg}_launch_loadavg"] = la
             rec[f"{leg}_wall"] = round(time.time() - t0, 1)
         rec["ratio"] = round(rec["graft_steady"] / rec["duck_steady"], 3)
@@ -106,14 +113,21 @@ def main():
     ratios = [r["ratio"] for r in records]
     med = statistics.median(ratios)
     spread = max(ratios) - min(ratios)
+    # A leg with failing queries silently SHRINKS its total (both
+    # engines sum only successful queries), so an erroring run could
+    # otherwise stamp a deceptively good band — require zero errors on
+    # every leg.
+    total_errors = sum(r.get("graft_errors", 0) + r.get("duck_errors", 0)
+                       for r in records)
     summary = {
         "metric": "pair_band", "sf": sf_dir, "pairs": pairs, "conc": conc,
         "repeat": repeat, "settle_threshold": thr,
         "graft_steady": [r["graft_steady"] for r in records],
         "duck_steady": [r["duck_steady"] for r in records],
         "ratios": ratios, "median_ratio": round(med, 3),
-        "spread": round(spread, 3),
-        "stamped": bool(all_settled and spread <= 0.15 * med),
+        "spread": round(spread, 3), "errors": total_errors,
+        "stamped": bool(all_settled and total_errors == 0
+                        and spread <= 0.15 * med),
         "records": records,
     }
     with open(out_file, "w") as f:
