@@ -172,9 +172,42 @@ object MediaHeaders {
     if (counts.isEmpty) None else Some(counts.sum)
   }
 
+  /** AVI: RIFF('AVI ') → hdrl LIST → avih main header; returns
+    * (width, height, totalFrames) from the avih dwords. Bounds-clamped
+    * the same way [[graft.ops.Mjpeg.aviFrameStats]] walks the movi
+    * side; Some only when a complete avih is present.
+    */
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def le32At(i: Int): Int = le32(b, i)
+    def cc(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    val end = math.min(b.length.toLong, 8L + le32At(4)).toInt
+    var i = 12
+    while (i + 12 <= end) {
+      val sz = le32At(i + 4)
+      if (sz < 0 || i + 8L + sz > end) return None
+      if (cc(i) == "LIST" && cc(i + 8) == "hdrl") {
+        var p = i + 12
+        val hEnd = i + 8 + sz
+        while (p + 8 <= hEnd) {
+          val csz = le32At(p + 4)
+          if (csz < 0 || p + 8L + csz > hEnd) return None
+          if (cc(p) == "avih" && csz >= 40)
+            return Some((le32At(p + 8 + 32), le32At(p + 8 + 36),
+              le32At(p + 8 + 16)))
+          p += 8 + csz + (csz & 1)
+        }
+        return None
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
   /** Sniff + parse: (fmt, width, height, channels), fmt "unknown" (with
     * -1 dimensions) when no container signature matches. For mp4 the
-    * channels slot carries the trak count.
+    * channels slot carries the trak count; for avi it carries the avih
+    * total frame count.
     */
   def parse(id: Long, payload: Array[Byte]): ContainerMeta = {
     parsePng(payload).map { case (w, h, c) => ContainerMeta(id, "png", w, h, c) }
@@ -183,6 +216,7 @@ object MediaHeaders {
       .orElse(parseWav(payload).map { case (sr, bits, ch) => ContainerMeta(id, "wav", sr, bits, ch) })
       .orElse(parseMp4(payload).map { case (w, h, t) => ContainerMeta(id, "mp4", w, h, t) })
       .orElse(parseY4m(payload).map { case (w, h) => ContainerMeta(id, "y4m", w, h, 3) })
+      .orElse(parseAvi(payload).map { case (w, h, f) => ContainerMeta(id, "avi", w, h, f) })
       .getOrElse(ContainerMeta(id, "unknown", -1, -1, -1))
   }
 

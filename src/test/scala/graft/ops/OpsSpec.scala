@@ -2273,6 +2273,11 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val wav = graft.ops.MediaHeaders.synthWav(8000, 16, 1)
     assert(Mjpeg.aviFrameStats(spark,
       Seq((1L, wav)).toDF("doc_id", "payload")).count() == 0)
+    // The container sniff reads the avih main header (w, h, frames in
+    // the channels slot) and keeps WAV (also RIFF) distinct.
+    val meta = graft.ops.MediaHeaders.parse(3L, b)
+    assert((meta.fmt, meta.width, meta.height, meta.channels) == (("avi", 8, 16, 4)))
+    assert(graft.ops.MediaHeaders.parse(3L, wav).fmt == "wav")
   }
 
   test("audio stats: real chunk walk survives junk chunks and odd sizes") {
