@@ -67,7 +67,9 @@ object Tables {
       val df = base.repartition(parts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize outside any timed region
-      pinned.put((spark, dir, n), df)
+      // Re-pinning the same (session, dir) must not leak the previous
+      // pin's cached blocks for the life of the session (ADVICE r14).
+      Option(pinned.put((spark, dir, n), df)).foreach(_.unpersist(false))
     }
 
   /** Drop the serving pins for a (session, dir) — the bench's

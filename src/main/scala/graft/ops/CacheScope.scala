@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   * [[releaseCurrent]] once the result is fully materialized. Without
   * this, correctness persists (GlobalRank's pinned range partitioning)
   * and cost persists (perplexityBuckets' scored relation,
-  * domainReweight's per-source stats) accumulate blocks on the SHARED
+  * lshTuningCard's materialized pair sides) accumulate blocks on the SHARED
   * block manager for the lifetime of the SparkContext — per-request
   * `newSession()` isolates conf and catalog, not storage.
   *

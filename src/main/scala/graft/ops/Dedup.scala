@@ -616,15 +616,32 @@ object Dedup {
     * SINGLE multi-aggregate pass — each pair lineage executes exactly
     * once (the r13 four-separate-aggregate form re-traversed the shared
     * candidate relation per count, the corpus's worst load-amplification
-    * case). At true corpus scale the exact side is the expensive one —
-    * run the card on a deterministic [[graft.ops.Sampling.hashSample]]
-    * slice, exactly how production LSH tuning is done.
+    * case). Each (i, j) side is MATERIALIZED (persist + count) before
+    * the overlay join: the two heavy candidate→verify lineages then run
+    * as separate sequential jobs instead of co-scheduling inside one
+    * plan — halving peak executor-memory pressure and isolating each
+    * lineage's broadcast builds — and the overlay join consumes two
+    * tiny cached (i, j) relations (bounded by pairs-at-threshold, KBs).
+    * The persists ride [[CacheScope]], so a query driver that calls
+    * `releaseCurrent()` frees them; lineage is retained (unlike a
+    * checkpoint) so executor loss degrades to recompute, not failure.
+    * At true corpus scale the exact side is the expensive one — run the
+    * card on a deterministic [[graft.ops.Sampling.hashSample]] slice,
+    * exactly how production LSH tuning is done.
     */
   def lshTuningCard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val exact = ngramJaccardPairs(docs, n, threshold).select(col("i"), col("j"))
-    val cand = minhashLshCandidates(docs, numHashes, bands, n)
-      .select(col("i"), col("j")).distinct()
+    val exact = CacheScope.persistTracked(
+      ngramJaccardPairs(docs, n, threshold).select(col("i"), col("j")))
+    val cand = CacheScope.persistTracked(
+      minhashLshCandidates(docs, numHashes, bands, n)
+        .select(col("i"), col("j")).distinct())
+    // Sequential materialization (construction runs two jobs): the point
+    // of the persists is isolation between the two heavy lineages, which
+    // a lazy persist would not provide — the first action would still
+    // execute both inside one job.
+    exact.count()
+    cand.count()
     // Both sides are distinct on (i, j), so the full outer join has one
     // row per pair in EITHER relation, with a side-marker null exactly
     // when that side lacks the pair — the four counts are then four

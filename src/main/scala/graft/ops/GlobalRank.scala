@@ -67,11 +67,50 @@ object GlobalRank {
     * — safe unless one single value dominates the corpus (a degenerate
     * scoring); [[ntile]] remains the choice for such distributions.
     * `tie` must complete a total order for cross-engine-exact ranks.
+    *
+    * `boundedValues = true` is the caller's assertion that the DISTINCT
+    * value count stays small at any corpus size (a concentrated integer
+    * rate, a grade, a bucket id): the cross-value prefix then runs as one
+    * unpartitioned window over the value-count relation and broadcasts
+    * it, cutting the prefix machinery from ~6 stages to 2. Identical
+    * output either way; the flag only trades generality for stages.
     */
   def ntileByValue(df: DataFrame, buckets: Int, value: Column, tie: Column,
-      out: String = "ntile"): DataFrame = {
+      out: String = "ntile", boundedValues: Boolean = false): DataFrame = {
     require(buckets > 0, "ntile needs at least one bucket")
     val counts = df.groupBy(value.as("__nbv_v")).agg(count(lit(1)).as("__nbv_cnt"))
+    if (boundedValues) {
+      // Caller-asserted CARDINALITY-BOUNDED value space (e.g. p90's
+      // integerized perplexity rate: 666 distinct values at sf0.1 →
+      // 770 at 10× — the rate concentrates, so the count relation grows
+      // ~log with the corpus). Under that contract the cross-value
+      // prefix rides ONE unpartitioned window over the value-count
+      // relation — cum offset and grand total from the same
+      // exchange+sort — and the data side BROADCAST-joins the narrow
+      // result, with the total carried on its rows. Versus the general
+      // prefixSum path this removes the range sampler job, the range
+      // exchange, the ranged persist, the per-partition offsets pass,
+      // and the separate 1-row total broadcast — the r14 verdict's
+      // job-cascade item (p90: 31 jobs for 1.3 s of exec). Ranks and
+      // boundaries are bit-identical to the general path.
+      val ow = Window.orderBy(col("__nbv_v"))
+      val pref = counts
+        .withColumn("__nbv_off", coalesce(sum(col("__nbv_cnt"))
+          .over(ow.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__tot", sum(col("__nbv_cnt"))
+          .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__nbv_v"), col("__nbv_off"), col("__tot"))
+      val lw = Window.partitionBy(value).orderBy(tie)
+      val big = col("__tot").divide(buckets).cast("long") + 1L
+      val r = col("__tot") % buckets
+      val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
+        .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
+      return df.withColumn("__nbv_lrn", row_number().over(lw).cast("long"))
+        .join(broadcast(pref), value <=> col("__nbv_v"))
+        .withColumn("__rn", col("__nbv_off") + col("__nbv_lrn"))
+        .withColumn(out, floor(bucket).cast("int"))
+        .drop("__nbv_v", "__nbv_off", "__nbv_lrn", "__rn", "__tot")
+    }
     // prefixSum persists its ranged copy of the narrow count relation, so
     // the total below re-reads that persist, not the corpus aggregate.
     val pref = prefixSum(counts, Seq(col("__nbv_v")), col("__nbv_cnt"), "__nbv_cum")

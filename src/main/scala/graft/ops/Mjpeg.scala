@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * 128 + dc/8 exactly) and an independent engine can state every
   * frame's luma statistics in closed form. The DECODER never assumes
   * any of this — it runs the general entropy/IDCT path and would decode
-  * any single-component baseline JPEG.
+  * any single-component baseline JPEG without restart markers (DRI/RSTn
+  * are unsupported; the scan must reference quant table 0, though the
+  * DQT segments may pack/order tables freely — the parse walks them all
+  * and keeps Tq = 0).
   *
   * Scale/plumbing shape: per-partition iteration over the typed binary
   * column (the subprocess-decoder batch shape), one row per frame, no
@@ -359,10 +362,21 @@ object Mjpeg {
       val segEnd = seg + len - 2
       m match {
         case 0xdb =>
-          // Only 8-bit tables (Pq = 0), id 0 — the single-component scan
-          // references table 0.
-          if (len >= 67 && (b(seg) & 0xf0) == 0)
-            quant = (0 until 64).map(k => b(seg + 1 + k) & 0xff).toArray
+          // Walk EVERY table in the segment (a DQT segment may pack
+          // several, in any order — mirroring the DHT loop below): keep
+          // the 8-bit (Pq = 0) table with id Tq = 0, the one the
+          // single-component scan references; skip over others by their
+          // declared width (65 bytes for 8-bit, 129 for 16-bit entries).
+          var p = seg
+          while (p < segEnd) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            val w = 1 + 64 * (pq + 1)
+            if (pq > 1 || p + w > segEnd) return None // malformed/truncated
+            if (pq == 0 && tq == 0)
+              quant = (0 until 64).map(k => b(p + 1 + k) & 0xff).toArray
+            p += w
+          }
         case 0xc0 =>
           if (len < 11) return None // precision + H + W + Nf + 1 component
           height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)

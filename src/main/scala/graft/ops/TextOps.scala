@@ -12,11 +12,14 @@ import graft.functions.GraftFunctions
   */
 object TextOps {
 
-  /** Largest bigram-LM vocabulary (distinct pairs) [[bigramSurprisal]]
-    * will broadcast; anything larger builds a shuffle_hash table
-    * instead. At ~40 bytes/entry (pair string + long) 8M pairs is a
-    * ~320 MB broadcast — a deliberately conservative bound, comfortably
-    * under the 8 GB broadcast cap and a 1000-executor driver's heap.
+  /** Largest bigram-LM vocabulary (distinct pairs) [[bigramSurprisal]]'s
+    * explicit `"broadcast"` strategy is sized for. At ~40 bytes/entry
+    * (pair string + long) 8M pairs is a ~320 MB broadcast — a
+    * deliberately conservative bound, comfortably under the 8 GB
+    * broadcast cap and a 1000-executor driver's heap. The default
+    * `"auto"` strategy no longer probes against this constant (it lets
+    * AQE pick from the measured stage size at runtime); the bound
+    * remains the documented safety line for callers forcing broadcast.
     */
   val BroadcastPairLimit: Long = 8L * 1000 * 1000
 
@@ -295,34 +298,29 @@ object TextOps {
     // The bits table is the corpus bigram LM — model state, exactly what
     // production CCNet ships to every scoring node — bounded by OBSERVED
     // distinct pairs, not corpus rows (3.9k at the 100x fixture; low
-    // millions for a real web vocabulary). BROADCASTING it keeps the
+    // millions for a real web vocabulary). Broadcasting it keeps the
     // corpus-sized pair stream map-only end to end: its only exchange
     // left is the partial-combined per-doc aggregate. (The r11 form
     // shuffle_hash-joined here, paying a full exchange of the 27M-row
     // stream at 100x — the single largest cost of the surprisal family.)
-    // But broadcast is chosen from the MEASURED pair-vocabulary size,
-    // not hard-coded: past [[BroadcastPairLimit]] (8M pairs ≈ 320 MB —
-    // deliberately conservative, well under the 8 GB broadcast cap so a
-    // 1000-executor driver never flirts with it) the join falls back to
-    // a shuffle_hash build on the bits side. In "auto" mode the count()
-    // rides on the persist the join reuses, so the LM aggregate is
-    // computed once either way — but it makes CONSTRUCTION eager (one
-    // Spark job materializes the persisted LM before the DataFrame is
-    // returned) and registers a persist the caller's thread must drain
-    // via CacheScope.releaseCurrent(). Callers that want plan-only,
-    // job-free construction pass an explicit strategy ("broadcast" |
-    // "shuffle_hash"): the probe and the persist are both skipped (the
-    // bits relation is then consumed exactly once, so there is nothing
-    // to pin).
+    //
+    // "auto" (the default) leaves the join UNHINTED and lets AQE decide
+    // from the MEASURED size of the materialized bits stage at runtime:
+    // a fixture-to-web-scale vocabulary broadcasts (the planner converts
+    // the join once the stage reads small, and the local shuffle reader
+    // keeps the pair stream's exchange node-local), while a vocabulary
+    // past the broadcast threshold keeps the shuffle join — the exact
+    // decision the r11-r14 driver-side count probe made, now taken by
+    // the engine with zero construction-time Spark jobs and zero persists
+    // for the caller's thread to drain (VERDICT r14 #4: plan-only callers
+    // were surprised by "auto" running a job at DataFrame construction).
+    // Explicit strategies remain for callers that know their corpus:
+    // "broadcast" (map-only; caller owns the [[BroadcastPairLimit]]
+    // sizing) and "shuffle_hash" (never builds a driver-side table).
     val bitsJoined = joinStrategy match {
       case "broadcast"    => pairs.join(broadcast(bits), Seq("pair"))
       case "shuffle_hash" => pairs.join(bits.hint("shuffle_hash"), Seq("pair"))
-      case "auto" =>
-        val pinned = CacheScope.persistTracked(bits)
-        val distinctPairs = pinned.count()
-        if (distinctPairs <= BroadcastPairLimit)
-          pairs.join(broadcast(pinned), Seq("pair"))
-        else pairs.join(pinned.hint("shuffle_hash"), Seq("pair"))
+      case "auto"         => pairs.join(bits, Seq("pair"))
       case other => throw new IllegalArgumentException(
         s"joinStrategy must be auto | broadcast | shuffle_hash, got: $other")
     }
@@ -351,7 +349,7 @@ object TextOps {
     * (most predictable) .. `buckets` = tail.
     */
   def perplexityBuckets(docs: DataFrame, buckets: Int = 3,
-      scaleBits: Int = 20): DataFrame = {
+      scaleBits: Int = 20, joinStrategy: String = "auto"): DataFrame = {
     require(buckets > 0 && scaleBits >= 0 && scaleBits < 22,
       "buckets must be positive; scaleBits in [0, 22) keeps the product exact")
     // Persisted: ntileByValue consumes the scored relation on two
@@ -360,11 +358,16 @@ object TextOps {
     // materialization of the narrow (doc, n_pairs, score) relation
     // replaces three recomputations (r12; the r11 form's range-ntile also
     // re-ran the lineage for its range sampler).
-    val scored = CacheScope.persistTracked(bigramSurprisal(docs)
+    val scored = CacheScope.persistTracked(bigramSurprisal(docs, joinStrategy)
       .select(col("doc_id"), col("n_pairs"),
         expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")
           .as("ppl_scaled")))
-    GlobalRank.ntileByValue(scored, buckets, col("ppl_scaled"), col("doc_id"), "bucket")
+    // boundedValues: the integerized rate concentrates — 666 distinct
+    // ppl_scaled values at sf0.1, 770 at 10× (measured r15) — so the
+    // value-count relation is cardinality-bounded and the cheap prefix
+    // applies.
+    GlobalRank.ntileByValue(scored, buckets, col("ppl_scaled"), col("doc_id"),
+        "bucket", boundedValues = true)
       .select(col("doc_id"), col("n_pairs"), col("ppl_scaled"), col("bucket"))
   }
 

@@ -1835,7 +1835,9 @@ object PipelineOps {
         |  CAST(SUM(c * (length(bin(n_ctx // n_pair)) - 1)) AS BIGINT) AS bigram_bits
         |FROM dp JOIN pc USING (w1, w2) JOIN cc USING (w1)
         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      TextOps.bigramSurprisal(t(s, dir, "documents"))
+      // Explicit broadcast — see p119's note; plan identical to r14's
+      // probe-selected one, construction now job-free.
+      TextOps.bigramSurprisal(t(s, dir, "documents"), joinStrategy = "broadcast")
     },
 
     // Coverage-targeted vocabulary truncation: smallest frequency-ranked
@@ -2300,7 +2302,10 @@ object PipelineOps {
         |FROM (SELECT doc_id, n_pairs,
         |  CAST((bits * 1048576) // n_pairs AS BIGINT) AS ppl_scaled FROM sc) x""".stripMargin) {
       (s, dir) =>
-        TextOps.perplexityBuckets(t(s, dir, "documents"), 3, 20)
+        // Explicit broadcast — see p119's note; plan identical to r14's
+        // probe-selected one, construction now job-free.
+        TextOps.perplexityBuckets(t(s, dir, "documents"), 3, 20,
+          joinStrategy = "broadcast")
     },
 
     // Full Lloyd k-means training (2 E/M iterations, seed = first 16
@@ -2852,7 +2857,12 @@ object PipelineOps {
         |SELECT source, pairs, bits, rate_scaled, excess, weight_num,
         |  CAST((SELECT SUM(weight_num) FROM ex) AS BIGINT) AS weight_den
         |FROM ex""".stripMargin) { (s, dir) =>
-      graft.ops.Sampling.domainReweight(t(s, dir, "documents"))
+      // Explicit broadcast: the card states the informed production
+      // posture (CCNet ships the LM to every scoring node; this corpus's
+      // pair vocabulary is far under BroadcastPairLimit). The "auto"
+      // default would defer the same choice to AQE at runtime.
+      graft.ops.Sampling.domainReweight(t(s, dir, "documents"),
+        joinStrategy = "broadcast")
     },
 
     // Pairwise source-overlap matrix (r12): KMV bottom-k Jaccard between

@@ -14,6 +14,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("r15: surprisal-family construction launches zero Spark jobs (auto strategy)") {
+    // VERDICT r14 #4: the "auto" strategy used to run a driver-side
+    // count probe at DataFrame-CONSTRUCTION time, surprising plan-only
+    // callers. Now the join is left unhinted (AQE picks at runtime from
+    // the measured bits-stage size), so building any surprisal-family
+    // DataFrame must launch no job. Jobs are observed via the status
+    // tracker after a sentinel action flushes the (async) listener bus:
+    // events arrive in order, so once the sentinel's job is visible, any
+    // construction job would be too.
+    val sc = spark.sparkContext
+    def visibleJobs: Int = sc.statusTracker.getJobIdsForGroup(null).length
+    // The bus is async: poll until the count stops moving, so a job from
+    // earlier setup (e.g. the parquet-footer read in Tables.t) can't
+    // land inside the measured window and read as a construction job.
+    def settled(): Int = {
+      var prev = -1
+      var cur = visibleJobs
+      while (cur != prev) { Thread.sleep(100); prev = cur; cur = visibleJobs }
+      cur
+    }
+    val docs = Tables.t(spark, sf0001, "documents")
+    val before = settled()
+    val built = Seq(
+      graft.ops.TextOps.bigramSurprisal(docs),
+      graft.ops.TextOps.perplexityBuckets(docs, 3, 20),
+      graft.ops.Sampling.domainReweight(docs))
+    assert(built.forall(_.columns.nonEmpty))
+    // Sentinel: an RDD count is exactly ONE job (a DataFrame count would
+    // be two under AQE — shuffle stage + final).
+    sc.parallelize(Seq(1)).count()
+    val after = settled()
+    assert(after == before + 1,
+      s"construction launched ${after - before - 1} unexpected job(s)")
+    graft.ops.CacheScope.releaseCurrent() // perplexityBuckets' scored pin
+  }
+
   test("q02 filter+project: predicates pushed to parquet, columns pruned") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator.take(8).mkString("\n"))
@@ -265,19 +301,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("perplexity buckets: no range sampler over the scored lineage, no single-reducer window") {
-    // r12 ntileByValue shape: every window partitions (by the score value
-    // or prefix-sum __pid) — a windowspec without a partitionBy would be
-    // the single-reducer global NTILE. The scored relation must come out
-    // of InMemoryRelation (persisted once), and the corpus-sized data
-    // pass must not range-repartition (only ntileByValue's narrow
-    // value-count relation goes through prefixSum's range exchange).
+    // r15 bounded ntileByValue shape: the DATA windows partition by the
+    // score value (a windowspec over data rows without a partitionBy
+    // would be the single-reducer global NTILE); the only unpartitioned
+    // window runs over the VALUE-COUNT relation (__nbv_v — cardinality-
+    // bounded: 666 distinct values at sf0.1, 770 at 10×), which then
+    // BROADCASTS onto the data pass. The scored relation must come out
+    // of InMemoryRelation (persisted once), no range machinery anywhere
+    // (the r12 prefixSum path cost p90 a 31-job cascade), and no
+    // cartesian.
     val p = plan("p90_perplexity_buckets")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("ppl_scaled") || s.contains("__pid")),
-      specs.mkString("\n"))
+    val (narrow, data) = specs.partition(_.contains("__nbv_v"))
+    assert(narrow.nonEmpty && data.nonEmpty, specs.mkString("\n"))
+    assert(data.forall(_.contains("ppl_scaled")), specs.mkString("\n"))
     assert(p.contains("InMemoryRelation"), p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("RangePartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("vocab coverage: no single-reducer window, total broadcasts") {
@@ -584,14 +625,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
-  test("r12 additions: domain reweight persists the tiny per-source relation once") {
-    // The surprisal pipeline runs ONCE into the #sources-bounded persist
-    // (InMemoryRelation); min/denominator ride broadcast loops over that
-    // relation, and no window exists anywhere.
+  test("r15: domain reweight is one plan — windows only over the #sources relation") {
+    // r15 collapsed the r12 persist + two broadcast cross-joins (21 Spark
+    // jobs for sub-second exec — the r14 verdict's job-cascade item) into
+    // unpartitioned window aggregates over the #sources-bounded relation:
+    // single consumer chain, so no persist (no InMemoryRelation), no
+    // cross join, and the only windows sit ABOVE the per-source aggregate
+    // (safe exactly because that relation's cardinality is #sources).
     val p = plan("p119_domain_reweight")
-    assert(p.contains("InMemoryRelation"), p.linesIterator.take(10).mkString("\n"))
-    assert(!p.contains("Window"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("InMemoryRelation"), p.linesIterator.take(10).mkString("\n"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // The corpus-sized aggregates keep their map-side partials.
+    assert(p.contains("partial"), p)
   }
 
   // Exchange reuse is an AQE-time decision: execute, then read the
@@ -686,9 +732,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // case). The r14 form overlays the two pair relations with ONE full
     // outer join and reads all four counts from one aggregate: no
     // nested-loop cross join anywhere, exactly one FullOuter join, and
-    // the final aggregate is partial (map-side combined).
+    // the final aggregate is partial (map-side combined). r15 adds the
+    // isolation persists: both (i, j) sides are materialized before the
+    // overlay, so the join consumes two InMemoryRelations and the heavy
+    // candidate lineages never co-schedule (the in-corpus amplification
+    // BENCH_r14 flagged).
     assert(!p.contains("NestedLoopJoin"), p.linesIterator.take(12).mkString("\n"))
     assert("FullOuter".r.findAllIn(p).size == 1, p.linesIterator.take(12).mkString("\n"))
     assert(p.contains("partial"), p)
+    assert("InMemoryRelation".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(12).mkString("\n"))
   }
 }

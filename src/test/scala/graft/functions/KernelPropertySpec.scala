@@ -170,6 +170,27 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"x=${r.getLong(0)}"))
   }
 
+  test("bit_length_long typed-pattern semantics: ints mask to 32 bits, negative longs read 64") {
+    GraftFunctions.register(spark)
+    // ADVICE r14: the registered SQL function is reachable by gateway
+    // users with any input, so the negative domain is DEFINED, not
+    // assumed away — the bit length of the input's two's-complement
+    // pattern at its own width. An int input masks to its unsigned
+    // 32-bit pattern (no sign-extension artifact); a negative long's
+    // 64-bit pattern reads 64.
+    val rows = spark.sql(
+      """SELECT bit_length_long(CAST(-1 AS INT)) AS int_neg,
+        |  bit_length_long(CAST(-2147483648 AS INT)) AS int_min,
+        |  bit_length_long(CAST(5 AS INT)) AS int_pos,
+        |  bit_length_long(CAST(-1 AS BIGINT)) AS long_neg,
+        |  bit_length_long(CAST(NULL AS BIGINT)) AS nul""".stripMargin).collect()(0)
+    assert(rows.getInt(0) == 32)
+    assert(rows.getInt(1) == 32)
+    assert(rows.getInt(2) == 3)
+    assert(rows.getInt(3) == 64)
+    assert(rows.isNullAt(4))
+  }
+
   test("pq_code validates subvector length and subspace range with named errors") {
     val cb = Array(0.0, 1.0, 2.0, 3.0) // m=1, ks=2, subDim=2
     val short = new GenericArrayData(Array[AnyRef](java.lang.Double.valueOf(0.0)))

@@ -2280,6 +2280,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(graft.ops.MediaHeaders.parse(3L, wav).fmt == "wav")
   }
 
+  test("mjpeg decode: DQT walk keeps table 0 regardless of packing order (ADVICE r14)") {
+    import graft.ops.Mjpeg
+    // A DQT segment may pack several tables in any order; the scan
+    // references Tq = 0, so a stream that defines table 1 FIRST (or a
+    // 16-bit table the parser must skip by its 129-byte width) must
+    // still decode against table 0 — the r14 parse read only the first
+    // table and would have silently used the wrong one.
+    val probe = Mjpeg.synthJpegFlatBlocks(8, 8, _ => 1) // DC=64 → flat 136
+    val want = Mjpeg.decodeJpegGrayStats(probe)
+    assert(want.isDefined)
+    // The synth DQT sits right after SOI: FF DB 00 43 00 + 64 ones.
+    assert((probe(2) & 0xff) == 0xff && (probe(3) & 0xff) == 0xdb)
+    val rest = probe.drop(2 + 4 + 65)
+    def dqt(payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xff.toByte, 0xdb.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ payload
+    }
+    val ones = Array.fill(64)(1.toByte)
+    // (a) 8-bit table 1 (all 2s — would double every pixel delta) packed
+    // before table 0; (b) 16-bit table 1 first (skip width 129).
+    val t1First = dqt(Array(0x01.toByte) ++ Array.fill(64)(2.toByte) ++
+      Array(0x00.toByte) ++ ones)
+    val t1Wide = dqt(Array(0x11.toByte) ++ Array.fill(128)(2.toByte) ++
+      Array(0x00.toByte) ++ ones)
+    for (seg <- Seq(t1First, t1Wide)) {
+      val got = Mjpeg.decodeJpegGrayStats(probe.take(2) ++ seg ++ rest)
+      assert(got == want, s"seg len ${seg.length}")
+    }
+    // A truncated second table is malformed, not a crash.
+    assert(Mjpeg.decodeJpegGrayStats(
+      probe.take(2) ++ dqt(Array(0x01.toByte) ++ Array.fill(64)(2.toByte) ++
+        Array(0x00.toByte) ++ ones.take(10)) ++ rest).isEmpty)
+  }
+
   test("audio stats: real chunk walk survives junk chunks and odd sizes") {
     import spark.implicits._
     // Hand-build: RIFF/WAVE + fmt + an odd-sized junk chunk (forces the

@@ -14,7 +14,7 @@ Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir-with-oracle_sql.json>
                timed queries never touch parquet — the same hot-table
                posture as the Spark pins.
 """
-import json, os, sys, time
+import contextlib, json, os, sys, time
 
 import duckdb
 
@@ -46,13 +46,16 @@ def main(sf_dir, out_dir, jobs=1, materialize=False):
         from concurrent.futures import ThreadPoolExecutor
         def run_one(item):
             name, sql = item
-            c = con.cursor()  # own connection state, shared database
-            try:
-                c.execute(sql).fetchall()
-                return None
-            except Exception as e:
-                print(f"# {name} failed: {e}", file=sys.stderr)
-                return name
+            # Own connection state, shared database; closed per query so a
+            # 172-query x 2-sweep run doesn't hold ~350 duplicate
+            # connections open for its whole life (ADVICE r14).
+            with contextlib.closing(con.cursor()) as c:
+                try:
+                    c.execute(sql).fetchall()
+                    return None
+                except Exception as e:
+                    print(f"# {name} failed: {e}", file=sys.stderr)
+                    return name
         sweeps = []
         errs = 0
         for sweep in range(2):
