@@ -625,6 +625,15 @@ object Dedup {
     * The persists ride [[CacheScope]], so a query driver that calls
     * `releaseCurrent()` frees them; lineage is retained (unlike a
     * checkpoint) so executor loss degrades to recompute, not failure.
+    * CONSTRUCTION IS EAGER BY DESIGN — the two counts run here, so
+    * building this DataFrame executes both pair lineages (seconds at
+    * fixture scale, the corpus pair cost at production scale): the
+    * sequencing IS the feature, unlike the construction-time probe the
+    * surprisal family removed (that probe bought only a join hint; these
+    * jobs are the query's own work, merely ordered). Plan-only callers
+    * should introspect [[ngramJaccardPairs]]/[[minhashLshCandidates]]
+    * directly, and every caller owns a `CacheScope.releaseCurrent()`
+    * after its final action.
     * At true corpus scale the exact side is the expensive one — run the
     * card on a deterministic [[graft.ops.Sampling.hashSample]] slice,
     * exactly how production LSH tuning is done.

@@ -429,14 +429,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val rows = ((1L to 40L).map(i => (i, Some(i % 5))) ++
       Seq((41L, None), (42L, None), (43L, None))).toDF("id", "v")
-    for (buckets <- Seq(3, 4)) {
-      val dist = GlobalRank.ntileByValue(rows, buckets, col("v"), col("id"), "q")
+    // Both arithmetic paths: the general prefixSum machinery AND the r15
+    // boundedValues single-window prefix — each re-implements the bucket
+    // formula, so each must independently match the window NTILE
+    // (including the NULL value group and a tot % buckets != 0 split).
+    for (buckets <- Seq(3, 4); bounded <- Seq(false, true)) {
+      val dist = GlobalRank.ntileByValue(rows, buckets, col("v"), col("id"), "q",
+          boundedValues = bounded)
         .select(col("id"), col("q"))
       val window = rows.select(col("id"),
         ntile(buckets).over(Window.orderBy(col("v"), col("id"))).as("q"))
       assert(dist.count() == 43L, "null-valued rows must not be dropped")
       assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty,
-        s"ntileByValue($buckets) mismatch")
+        s"ntileByValue($buckets, bounded=$bounded) mismatch")
     }
   }
 
