@@ -65,6 +65,8 @@ object GraftFunctions {
     reg("ngram_shingles", NgramShingles.forArgs)
     reg("winnow_hashes", WinnowHashes.forArgs)
     reg("cdc_chunks", CdcChunks.forArgs)
+    reg("suffix_stats", SuffixStats.forArgs)
+    reg("url_canonicalize", exprs => UrlCanonicalize(exprs.head))
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
     reg("bigram_bucket_counts", BigramBuckets.forArgs)

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization for dedup keys — the public tracking-param
+  * normalization every web-crawl pipeline applies before grouping by
+  * URL (the rules are the published ClearURLs/uBlock tracking-param
+  * lists' common core plus RFC 3986 §6 normalization):
+  *
+  *   1. drop the fragment (`#...`);
+  *   2. lowercase the scheme and host (ONLY those — path/query case is
+  *      significant per RFC 3986);
+  *   3. strip one leading `www.` from the host;
+  *   4. drop the default port (`:443` for https, `:80` for http) and a
+  *      bare trailing `:`;
+  *   5. drop tracking query params by NAME: any `utm_*`, plus
+  *      fbclid, gclid, dclid, gbraid, wbraid, msclkid, twclid, igshid,
+  *      yclid, mc_cid, mc_eid, ref, ref_src, spm, _ga;
+  *   6. sort surviving `k=v` params bytewise and rejoin with `&`
+  *      (param order is not semantic for dedup; empty query drops `?`);
+  *   7. normalize the path: empty -> `/`, one trailing `/` stripped
+  *      unless the path IS `/`.
+  *
+  * Inputs without `://` are returned unchanged (opaque identifiers stay
+  * stable keys). Bytewise param sort == java String order on ASCII;
+  * non-ASCII params sort by UTF-16 code unit, which diverges from UTF-8
+  * byte order only beyond the BMP — state this if the corpus has
+  * non-ASCII query strings.
+  */
+case class UrlCanonicalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"url_canonicalize requires a string argument, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_canonicalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlCanonicalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanonicalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalize =
+    copy(child = newChild)
+}
+
+object UrlCanonicalize {
+
+  /** Exact-name tracking params (utm_* is a prefix rule, handled apart). */
+  private val TrackingNames: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "dclid", "gbraid", "wbraid", "msclkid", "twclid",
+      "igshid", "yclid", "mc_cid", "mc_eid", "ref", "ref_src", "spm", "_ga")
+      .foreach(s.add)
+    s
+  }
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val name = if (eq >= 0) param.substring(0, eq) else param
+    name.startsWith("utm_") || TrackingNames.contains(name)
+  }
+
+  /** Referenced from generated code — keep public and stable. */
+  def compute(url: UTF8String): UTF8String = {
+    val raw = url.toString
+    val schemeEnd = raw.indexOf("://")
+    if (schemeEnd < 0) return url
+    val scheme = raw.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    var rest = raw.substring(schemeEnd + 3)
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+
+    // Authority runs to the first '/' or '?', whichever comes first.
+    val slash = rest.indexOf('/')
+    val quest = rest.indexOf('?')
+    val cut =
+      if (slash >= 0 && (quest < 0 || slash < quest)) slash
+      else if (quest >= 0) quest
+      else rest.length
+    val auth = rest.substring(0, cut)
+    val pq = rest.substring(cut)
+
+    val colon = auth.indexOf(':')
+    var host = (if (colon >= 0) auth.substring(0, colon) else auth)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.startsWith("www.")) host = host.substring(4)
+    val port = if (colon >= 0) auth.substring(colon + 1) else ""
+    val keepPort = port.nonEmpty &&
+      !(scheme == "https" && port == "443") && !(scheme == "http" && port == "80")
+
+    val q = pq.indexOf('?')
+    var path = if (q >= 0) pq.substring(0, q) else pq
+    val query = if (q >= 0) pq.substring(q + 1) else ""
+    if (path.isEmpty) path = "/"
+    else if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+
+    val kept = new java.util.ArrayList[String]()
+    if (query.nonEmpty) {
+      var i = 0
+      while (i <= query.length) {
+        val amp = query.indexOf('&', i)
+        val end = if (amp < 0) query.length else amp
+        if (end > i) {
+          val p = query.substring(i, end)
+          if (!isTracking(p)) kept.add(p)
+        }
+        i = end + 1
+      }
+      java.util.Collections.sort(kept)
+    }
+    val sb = new java.lang.StringBuilder(raw.length)
+    sb.append(scheme).append("://").append(host)
+    if (keepPort) sb.append(':').append(port)
+    sb.append(path)
+    if (!kept.isEmpty) {
+      sb.append('?')
+      var j = 0
+      while (j < kept.size()) {
+        if (j > 0) sb.append('&')
+        sb.append(kept.get(j))
+        j += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -771,6 +771,53 @@ object Dedup {
         (col("doc_id") === col("__keep_id")).as("keep"))
   }
 
+  /** URL-canonicalization dedup — group documents by their canonical URL
+    * (the [[graft.functions.UrlCanonicalize]] kernel: fragment dropped,
+    * scheme/host lowercased, `www.` and default ports stripped, public
+    * tracking params removed, surviving params sorted — the
+    * ClearURLs-style normalization crawl pipelines key dedup on).
+    * Returns one row per canonical URL: (canon_url, n_docs, first_doc,
+    * n_variants), where n_variants counts the distinct RAW forms the
+    * canonicalization collapsed.
+    *
+    * Scale shape: the kernel is row-local codegen; the only exchange is
+    * the canon-keyed aggregate, map-side combined, and the output is
+    * bounded by the DISTINCT canonical-URL count — group sizes grow
+    * with the corpus, groups don't.
+    */
+  def urlCanonClusters(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    graft.functions.GraftFunctions.register(urls.sparkSession)
+    urls.withColumn("canon_url", expr(s"url_canonicalize($urlCol)"))
+      .groupBy(col("canon_url"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        countDistinct(col(urlCol)).cast("long").as("n_variants"))
+  }
+
+  /** Deterministic messy-URL synthesis for the p129 card — every branch
+    * of the canonicalizer is exercised (mixed-case scheme/host/www,
+    * default vs non-default ports on both schemes, trailing slash,
+    * unsorted params, utm_ / fbclid / ref tracking params, fragments) while
+    * keeping the CANONICAL key space bounded, so the cluster relation
+    * stays fixed-size as the corpus grows. The formula is restated
+    * verbatim in the DuckDB oracle.
+    */
+  def synthesizeUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+        |  CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'www.'
+        |       WHEN doc_id % 4 = 2 THEN '' ELSE 'WwW.' END,
+        |  source, '.Example.COM',
+        |  CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':80' ELSE '' END,
+        |  '/a/b', CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, '?',
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN concat('utm_source=news&id=', cast(doc_id % 3 AS string), '&z=9&utm_campaign=x')
+        |    ELSE concat('z=9&id=', cast(doc_id % 3 AS string), '&fbclid=XYZ',
+        |      CASE WHEN doc_id % 3 = 0 THEN concat('&ref=', lang) ELSE '' END) END,
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)""".stripMargin).as("url"))
+
   /** KMV (bottom-k) corpus-overlap sketch — "how much does the incoming
     * half overlap the curated half" answered from two k-value sketches
     * instead of a corpus-sized join (Beyer et al. 2007, the k-minimum-

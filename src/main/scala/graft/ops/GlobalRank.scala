@@ -35,7 +35,7 @@ object GlobalRank {
     */
   def ntile(df: DataFrame, buckets: Int, order: Seq[Column], out: String = "ntile"): DataFrame = {
     require(buckets > 0, "ntile needs at least one bucket")
-    val big = col("__tot").divide(buckets).cast("long") + 1L // ceil size q+1
+    val big = expr(s"__tot div $buckets") + 1L // ceil size q+1 (integral: exact past 2^53)
     val r = col("__tot") % buckets                           // buckets of that size
     val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
       .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
@@ -74,6 +74,11 @@ object GlobalRank {
     * unpartitioned window over the value-count relation and broadcasts
     * it, cutting the prefix machinery from ~6 stages to 2. Identical
     * output either way; the flag only trades generality for stages.
+    * If the assertion is VIOLATED at scale, correctness still holds —
+    * the window runs over value COUNTS, never data rows — but the
+    * count relation grows with the distinct-value count, and its
+    * single-partition window sort plus the broadcast of the prefix
+    * become the bottleneck; a caller seeing that should drop the flag.
     */
   def ntileByValue(df: DataFrame, buckets: Int, value: Column, tie: Column,
       out: String = "ntile", boundedValues: Boolean = false): DataFrame = {
@@ -101,7 +106,7 @@ object GlobalRank {
           .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("__nbv_v"), col("__nbv_off"), col("__tot"))
       val lw = Window.partitionBy(value).orderBy(tie)
-      val big = col("__tot").divide(buckets).cast("long") + 1L
+      val big = expr(s"__tot div $buckets") + 1L
       val r = col("__tot") % buckets
       val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
         .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
@@ -118,7 +123,7 @@ object GlobalRank {
         (col("__nbv_cum") - col("__nbv_cnt")).as("__nbv_off"))
     val totDf = pref.agg(max(col("__nbv_off") + col("__nbv_cnt")).as("__tot"))
     val lw = Window.partitionBy(value).orderBy(tie)
-    val big = col("__tot").divide(buckets).cast("long") + 1L
+    val big = expr(s"__tot div $buckets") + 1L
     val r = col("__tot") % buckets
     val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
       .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)

@@ -821,6 +821,32 @@ object TextOps {
       .withColumn("ok_dup_pairs", col("dup_pair_occ") * 5 <= col("n_pairs"))
   }
 
+  /** Per-document suffix statistics — the character-level repetition
+    * card: `lrs_len` = longest substring occurring >= 2 times in the
+    * document (overlaps count; the signal behind suffix-array dedup
+    * thresholds, Lee et al. 2022's 50-char repeats), plus the k-gram
+    * uniqueness pair (`distinct_k` DISTINCT length-k substrings over
+    * `total_k` positions). Distinct from [[dupNgramStats]] (p115):
+    * that measures how MUCH of the doc repeats at a fixed token n,
+    * this measures how LONG the worst verbatim character repeat is at
+    * any length, plus substring diversity at a fixed k.
+    *
+    * Scale shape: entirely ROW-LOCAL — one O(len) suffix-automaton pass
+    * per document inside the codegen'd
+    * [[graft.functions.SuffixStats]] kernel, no explode, no join, no
+    * shuffle beyond the caller's. The oracle pays O(len * lrs) ladder
+    * rows per document for the same numbers, so this card's cross-engine
+    * gap WIDENS with scale in graft's favor by construction.
+    * Returns (doc_id, lrs_len, distinct_k, total_k).
+    */
+  def suffixStats(docs: DataFrame, k: Int = 16): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(s"suffix_stats(text, $k)").as("ss"))
+      .select(col("doc_id"), col("ss.lrs_len").as("lrs_len"),
+        col("ss.distinct_k").as("distinct_k"), col("ss.total_k").as("total_k"))
+  }
+
   def charsetEntropy(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("long")
     def kept(re: String) = (n - length(regexp_replace(col("text"), re, "")).cast("long"))

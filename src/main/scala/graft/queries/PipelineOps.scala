@@ -3038,6 +3038,118 @@ object PipelineOps {
          |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Dedup.sourceOverlapMatrix(t(s, dir, "documents"))
     },
+
+    // Per-doc suffix statistics (r16): longest repeated substring
+    // (overlaps count — the suffix-array dedup threshold signal, Lee et
+    // al. 2022) + 16-gram uniqueness, ONE O(len) suffix-automaton kernel
+    // pass per doc on the Spark side. The oracle reconstructs the exact
+    // LRS with bounded work via monotonicity: has_repeat(L) is monotone
+    // decreasing in L, so a power-of-two ladder finds lo = the largest
+    // pow2 with a repeat, and one refinement sweep over (lo, 2*lo) pins
+    // the exact value — O(len * lrs) substr rows per doc instead of the
+    // O(len^2) all-lengths scan.
+    Q.df(
+      "p127_suffix_stats",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL),
+        |lad AS (SELECT doc_id, text, n, CAST(l AS BIGINT) AS l
+        |  FROM d, unnest([1,2,4,8,16,32,64,128,256,512,1024]) AS t(l)
+        |  WHERE l <= n),
+        |pos1 AS (SELECT doc_id, text, l,
+        |    unnest(generate_series(1, n - l + 1)) AS i FROM lad),
+        |r1 AS (SELECT doc_id, l,
+        |    COUNT(*) > COUNT(DISTINCT substr(text, CAST(i AS INT), CAST(l AS INT))) AS rep
+        |  FROM pos1 GROUP BY 1, 2),
+        |l0 AS (SELECT doc_id, COALESCE(MAX(l) FILTER (WHERE rep), 0) AS lo
+        |  FROM r1 GROUP BY 1),
+        |ref AS (SELECT d.doc_id, d.text, d.n,
+        |    unnest(generate_series(l0.lo + 1,
+        |      least(2 * l0.lo - 1, CAST(d.n AS BIGINT) - 1))) AS l
+        |  FROM d JOIN l0 USING (doc_id) WHERE l0.lo > 0),
+        |pos2 AS (SELECT doc_id, text, l,
+        |    unnest(generate_series(1, n - l + 1)) AS i FROM ref),
+        |r2 AS (SELECT doc_id, l,
+        |    COUNT(*) > COUNT(DISTINCT substr(text, CAST(i AS INT), CAST(l AS INT))) AS rep
+        |  FROM pos2 GROUP BY 1, 2),
+        |hi AS (SELECT doc_id, MAX(l) AS hi FROM r2 WHERE rep GROUP BY 1),
+        |pk AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, n - 15)) AS i FROM d WHERE n >= 16),
+        |k16 AS (SELECT doc_id,
+        |    CAST(COUNT(DISTINCT substr(text, CAST(i AS INT), 16)) AS BIGINT) AS distinct_k,
+        |    CAST(COUNT(*) AS BIGINT) AS total_k
+        |  FROM pk GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN COALESCE(l0.lo, 0) = 0 THEN 0
+        |    ELSE GREATEST(l0.lo, COALESCE(hi.hi, l0.lo)) END AS BIGINT) AS lrs_len,
+        |  COALESCE(k16.distinct_k, 0) AS distinct_k,
+        |  COALESCE(k16.total_k, 0) AS total_k
+        |FROM d LEFT JOIN l0 USING (doc_id)
+        |LEFT JOIN hi USING (doc_id) LEFT JOIN k16 USING (doc_id)""".stripMargin) {
+      (s, dir) => graft.ops.TextOps.suffixStats(t(s, dir, "documents"))
+    },
+
+    // URL-canonicalization dedup (r16): synthesize a deterministic messy
+    // URL per document (mixed-case scheme/host, default ports, trailing
+    // slash, unsorted + tracking params, fragments — every rule of the
+    // kernel exercised), canonicalize with the codegen'd
+    // url_canonicalize kernel, and emit the bounded cluster relation.
+    // The oracle restates the synthesis verbatim and replays the
+    // canonicalization with DuckDB string/list functions.
+    Q.df(
+      "p129_url_canon_dedup",
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'www.'
+        |          WHEN doc_id % 4 = 2 THEN '' ELSE 'WwW.' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':80' ELSE '' END) ||
+        |    '/a/b' || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 'utm_source=news&id=' || CAST(doc_id % 3 AS VARCHAR) || '&z=9&utm_campaign=x'
+        |      ELSE 'z=9&id=' || CAST(doc_id % 3 AS VARCHAR) || '&fbclid=XYZ' ||
+        |        (CASE WHEN doc_id % 3 = 0 THEN '&ref=' || lang ELSE '' END) END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url,
+        |    lower(split_part(url, '://', 1)) AS scheme,
+        |    split_part(split_part(url, '://', 2), '#', 1) AS rest FROM u),
+        |s2 AS (SELECT *,
+        |    CASE WHEN strpos(rest, '/') > 0 AND (strpos(rest, '?') = 0
+        |           OR strpos(rest, '/') < strpos(rest, '?')) THEN strpos(rest, '/')
+        |         WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?')
+        |         ELSE length(rest) + 1 END AS cut FROM s1),
+        |s3 AS (SELECT doc_id, url, scheme,
+        |    substr(rest, 1, cut - 1) AS auth, substr(rest, cut) AS pq FROM s2),
+        |s4 AS (SELECT doc_id, url, scheme,
+        |    regexp_replace(lower(split_part(auth, ':', 1)), '^www\.', '') AS host,
+        |    split_part(auth, ':', 2) AS port,
+        |    split_part(pq, '?', 1) AS path0,
+        |    CASE WHEN strpos(pq, '?') > 0 THEN substr(pq, strpos(pq, '?') + 1)
+        |         ELSE '' END AS query FROM s3),
+        |s5 AS (SELECT doc_id, url, scheme, host,
+        |    CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+        |              AND NOT (scheme = 'http' AND port = '80')
+        |         THEN ':' || port ELSE '' END AS portpart,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN length(path0) > 1 AND path0 LIKE '%/'
+        |           THEN substr(path0, 1, CAST(length(path0) - 1 AS INT))
+        |         ELSE path0 END AS path1,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+        |        AND NOT list_contains(['fbclid','gclid','dclid','gbraid','wbraid',
+        |          'msclkid','twclid','igshid','yclid','mc_cid','mc_eid','ref',
+        |          'ref_src','spm','_ga'], split_part(p, '=', 1)))) AS params
+        |  FROM s4),
+        |c AS (SELECT doc_id, url,
+        |    scheme || '://' || host || portpart || path1 ||
+        |    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+        |         ELSE '' END AS canon_url FROM s5)
+        |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS first_doc,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.urlCanonClusters(Dedup.synthesizeUrls(t(s, dir, "documents")))
+    },
   )
 
   /** Oracle for p98: unrolled power iterations. Every double sum is an

@@ -28,14 +28,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // events arrive in order, so once the sentinel's job is visible, any
     // construction job would be too.
     val sc = spark.sparkContext
-    def visibleJobs: Int = sc.statusTracker.getJobIdsForGroup(null).length
+    // Count via a listener, not statusTracker.getJobIdsForGroup(null):
+    // the group-filtered tracker only sees group-less jobs, so a
+    // construction job launched under a job group (a future fixture
+    // setting one) would be invisible and this guard would pass
+    // vacuously. The listener sees every onJobStart (JobProbe pattern).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
     // The bus is async: poll until the count stops moving, so a job from
     // earlier setup (e.g. the parquet-footer read in Tables.t) can't
     // land inside the measured window and read as a construction job.
     def settled(): Int = {
       var prev = -1
-      var cur = visibleJobs
-      while (cur != prev) { Thread.sleep(100); prev = cur; cur = visibleJobs }
+      var cur = jobCount.get()
+      while (cur != prev) { Thread.sleep(100); prev = cur; cur = jobCount.get() }
       cur
     }
     val docs = Tables.t(spark, sf0001, "documents")
@@ -52,7 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       val after = settled()
       assert(after == before + 1,
         s"construction launched ${after - before - 1} unexpected job(s)")
-    } finally graft.ops.CacheScope.releaseCurrent() // perplexityBuckets' pin
+    } finally {
+      graft.ops.CacheScope.releaseCurrent() // perplexityBuckets' pin
+      sc.removeSparkListener(listener)
+    }
   }
 
   test("q02 filter+project: predicates pushed to parquet, columns pruned") {

@@ -191,6 +191,61 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     assert(rows.isNullAt(4))
   }
 
+  test("suffix_stats == brute-force LRS / distinct-k on arbitrary strings (200 samples)") {
+    // Small alphabet so repeats actually occur; brute force checks every
+    // length top-down with a substring set (overlaps included, exactly
+    // the COUNT(*) > COUNT(DISTINCT) oracle definition).
+    val txt: Gen[String] = for {
+      n <- Gen.chooseNum(0, 60)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield cs.mkString
+    def brute(s: String, k: Int): (Long, Long, Long) = {
+      val n = s.length
+      val lrs = (n - 1 to 1 by -1).find { l =>
+        val seen = scala.collection.mutable.HashSet[String]()
+        (0 to n - l).exists(i => !seen.add(s.substring(i, i + l)))
+      }.getOrElse(0).toLong
+      val dk = if (n >= k) (0 to n - k).map(i => s.substring(i, i + k)).distinct.size.toLong else 0L
+      (lrs, dk, math.max(0, n - k + 1).toLong)
+    }
+    for (k <- Seq(3, 16); s <- samples(txt, 100)) {
+      val r = SuffixStats.compute(UTF8String.fromString(s), k)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == brute(s, k), s"k=$k text='$s'")
+    }
+  }
+
+  test("suffix_stats handles edge shapes: empty, all-same, non-BMP code points") {
+    def ss(s: String, k: Int) = {
+      val r = SuffixStats.compute(UTF8String.fromString(s), k)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(ss("", 16) == (0L, 0L, 0L))
+    assert(ss("x", 1) == (0L, 1L, 1L)) // one 1-gram, no repeat
+    assert(ss("aaaa", 2) == (3L, 1L, 3L)) // overlapping "aaa" repeats
+    assert(ss("abcab", 2) == (2L, 3L, 4L)) // "ab" twice; ab,bc,ca distinct
+    // Positions are code points: a surrogate-pair emoji is ONE unit.
+    assert(ss("😀x😀", 1) == (1L, 2L, 3L))
+  }
+
+  test("url_canonicalize applies every rule; non-URLs pass through") {
+    def c(s: String) = UrlCanonicalize.compute(UTF8String.fromString(s)).toString
+    // scheme+host lowering, www strip, default port, fragment, param
+    // sort, tracking strip, trailing slash — all at once.
+    assert(c("HTTPS://WWW.Ex.COM:443/a/b/?z=1&utm_source=x&a=2#f") ==
+      "https://ex.com/a/b?a=2&z=1")
+    assert(c("http://ex.com:80/") == "http://ex.com/")
+    assert(c("http://ex.com:8080/p") == "http://ex.com:8080/p") // non-default kept
+    assert(c("https://ex.com:80/p") == "https://ex.com:80/p") // 80 not https default
+    assert(c("https://ex.com") == "https://ex.com/") // empty path -> root
+    assert(c("https://ex.com?b=2&fbclid=x&ref=abc") == "https://ex.com/?b=2")
+    assert(c("https://ex.com/p?utm_campaign=a&utm_b=c") == "https://ex.com/p") // all stripped
+    assert(c("https://ex.com/p?&&a=1&") == "https://ex.com/p?a=1") // empty segments
+    assert(c("https://ex.com/p?flag") == "https://ex.com/p?flag") // valueless non-tracking kept
+    assert(c("https://ex.com/p?ref") == "https://ex.com/p") // valueless tracking stripped
+    assert(c("not a url") == "not a url")
+    assert(c("doc:12345") == "doc:12345") // no ://, opaque id stable
+  }
+
   test("pq_code validates subvector length and subspace range with named errors") {
     val cb = Array(0.0, 1.0, 2.0, 3.0) // m=1, ks=2, subDim=2
     val short = new GenericArrayData(Array[AnyRef](java.lang.Double.valueOf(0.0)))

@@ -1428,13 +1428,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("lsh tuning card counts are internally consistent") {
-    val r = Dedup.lshTuningCard(docs, 3, 0.8, 8, 4).head()
-    val (nc, nt, nv, nm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    assert(nv <= nc && nv <= nt, "verified is an intersection")
-    assert(nv + nm == nt, "verified + missed partitions the true pairs")
-    // On this corpus the exact duplicates share most shingles, so 4-band
-    // minhash should find at least one of them.
-    assert(nt > 0 && nv > 0)
+    // Construction registers two thread-local isolation persists (eager
+    // by design — see the scaladoc); drain them here rather than leaning
+    // on the fixture-level clearCache so the suite's cache state stays
+    // clean between tests.
+    try {
+      val r = Dedup.lshTuningCard(docs, 3, 0.8, 8, 4).head()
+      val (nc, nt, nv, nm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nv <= nc && nv <= nt, "verified is an intersection")
+      assert(nv + nm == nt, "verified + missed partitions the true pairs")
+      // On this corpus the exact duplicates share most shingles, so 4-band
+      // minhash should find at least one of them.
+      assert(nt > 0 && nv > 0)
+    } finally graft.ops.CacheScope.releaseCurrent()
   }
 
   test("waterfill quotas: exact budget, caps only the dominant sources") {
