@@ -333,11 +333,22 @@ object TextOps {
       case other => throw new IllegalArgumentException(
         s"joinStrategy must be auto | broadcast | shuffle_hash, got: $other")
     }
+    // Aggregate order (bits-sum FIRST) matters for plan reuse, not
+    // values: perplexityBuckets consumes this aggregate on two branches
+    // whose project-collapse rewrites the function list into downstream
+    // REFERENCE order, which is [sum(c*bits), sum(c)] on both once the
+    // ppl_scaled projection leads with bigram_bits — emitting that order
+    // natively (no restoring select, which would itself collapse and
+    // rewrite the order back) makes both consumers' partial-aggregate
+    // exchanges canonically identical, so AQE materializes the corpus
+    // scoring shuffle ONCE (ReusedExchange) instead of re-running the
+    // scan per consumer. Column order is not part of the contract (the
+    // gate sorts columns by name); the schema is.
     bitsJoined
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("c")).cast("long").as("n_pairs"),
-        sum(col("c") * col("bits")).cast("long").as("bigram_bits"))
+        sum(col("c") * col("bits")).cast("long").as("bigram_bits"),
+        sum(col("c")).cast("long").as("n_pairs"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
@@ -361,16 +372,29 @@ object TextOps {
       scaleBits: Int = 20, joinStrategy: String = "auto"): DataFrame = {
     require(buckets > 0 && scaleBits >= 0 && scaleBits < 22,
       "buckets must be positive; scaleBits in [0, 22) keeps the product exact")
-    // Persisted: ntileByValue consumes the scored relation on two
-    // branches (value counts + the windowed data pass) and the surprisal
-    // lineage behind it is the expensive part of the query — one
-    // materialization of the narrow (doc, n_pairs, score) relation
-    // replaces three recomputations (r12; the r11 form's range-ntile also
-    // re-ran the lineage for its range sampler).
-    val scored = CacheScope.persistTracked(bigramSurprisal(docs, joinStrategy)
-      .select(col("doc_id"), col("n_pairs"),
+    // NOT persisted (r16): ntileByValue's bounded path consumes the
+    // scored relation on exactly two branches (value counts + the
+    // windowed data pass), and both share the per-doc aggregate EXCHANGE
+    // at the tail of the surprisal lineage — AQE's ReusedExchange
+    // materializes that shuffle once and each branch re-runs only the
+    // final hash-aggregate over it, so the expensive corpus lineage
+    // never executes twice. The r12 persist predates this shape: the
+    // range-ntile then had THREE consumers (incl. the range sampler) and
+    // pinning beat triple recomputation; with two identical consumers
+    // the r13 CMS/HLL measurement holds — letting ReusedExchange share
+    // the shuffle beats an InMemoryRelation materialization barrier
+    // (100x: 12.5 -> ~10.5 s steady, two 32-task persist jobs gone).
+    // Column order here (ppl_scaled BEFORE n_pairs) is part of the reuse
+    // contract: project-collapse rewrites each consumer's aggregate into
+    // downstream REFERENCE order, and the counts branch keeps only
+    // ppl_scaled (references bits-sum first) — listing ppl_scaled first
+    // makes the window branch collapse to the same [sum(c*bits), sum(c)]
+    // function order, so the two partial-aggregate exchanges canonicalize
+    // identically and reuse. The public output order is restored below.
+    val scored = bigramSurprisal(docs, joinStrategy)
+      .select(col("doc_id"),
         expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")
-          .as("ppl_scaled")))
+          .as("ppl_scaled"), col("n_pairs"))
     // boundedValues: the integerized rate concentrates — 666 distinct
     // ppl_scaled values at sf0.1, 770 at 10× (measured r15) — so the
     // value-count relation is cardinality-bounded and the cheap prefix

@@ -325,16 +325,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // would be the single-reducer global NTILE); the only unpartitioned
     // window runs over the VALUE-COUNT relation (__nbv_v — cardinality-
     // bounded: 666 distinct values at sf0.1, 770 at 10×), which then
-    // BROADCASTS onto the data pass. The scored relation must come out
-    // of InMemoryRelation (persisted once), no range machinery anywhere
-    // (the r12 prefixSum path cost p90 a 31-job cascade), and no
-    // cartesian.
+    // BROADCASTS onto the data pass. No range machinery anywhere (the
+    // r12 prefixSum path cost p90 a 31-job cascade), and no cartesian.
+    // r16: the scored relation is NOT persisted — both consumers must
+    // share the per-doc scoring exchange via AQE ReusedExchange instead
+    // (asserted below on the executed-after-action plan).
     val p = plan("p90_perplexity_buckets")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     val (narrow, data) = specs.partition(_.contains("__nbv_v"))
     assert(narrow.nonEmpty && data.nonEmpty, specs.mkString("\n"))
     assert(data.forall(_.contains("ppl_scaled")), specs.mkString("\n"))
-    assert(p.contains("InMemoryRelation"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("InMemoryRelation"), p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("RangePartitioning"), p)
     // The broadcast must be ntileByValue's narrow prefix relation — p90
@@ -342,6 +343,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // keys are the __nbv_v value column, not on any broadcast join.
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("__nbv_v")), p)
+  }
+
+  test("perplexity buckets: consumers REUSE the per-doc scoring exchange (r16)") {
+    // The r16 persist removal relies on a plan-shape contract: the
+    // counts branch and the window branch collapse to the SAME
+    // [sum(c*bits), sum(c)] partial-aggregate order (bigramSurprisal
+    // emits bits-first; perplexityBuckets' projection leads with
+    // ppl_scaled), so their doc-keyed exchanges canonicalize identically
+    // and AQE materializes the corpus scoring shuffle once. Exchange
+    // reuse is a RUNTIME decision — assert it on the executed plan after
+    // an action (r13 lesson). A source reorder that silently breaks the
+    // canonical match would re-run the corpus scan per consumer; this
+    // pin catches that as a missing doc-keyed ReusedExchange.
+    val df = SparkEntry.queries("p90_perplexity_buckets")(spark, sf0001)
+    try {
+      df.queryExecution.toRdd.count()
+      val ep = df.queryExecution.executedPlan.toString
+      assert(ep.linesIterator.exists(l => l.contains("ReusedExchange") &&
+        l.contains("hashpartitioning(doc_id")), ep.linesIterator.filter(
+        _.contains("Exchange")).mkString("\n"))
+    } finally graft.ops.CacheScope.releaseCurrent()
   }
 
   test("vocab coverage: no single-reducer window, total broadcasts") {

@@ -1087,7 +1087,10 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // doc 2: (a,c)x1 -> 1 bit over 1 pair.  doc 3: no pairs -> absent.
     val d = Seq((1L, "a b a b a c"), (2L, "a c"), (3L, "z"))
       .toDF("doc_id", "text")
+    // Select by NAME: the op's column order is not part of its contract
+    // (r16 emits bigram_bits first for the exchange-reuse canonical form).
     val out = graft.ops.TextOps.bigramSurprisal(d)
+      .select("doc_id", "n_pairs", "bigram_bits")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
@@ -1501,7 +1504,8 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val sorted = out.sortBy(r => (r.getLong(2), r.getLong(0)))
     assert(sorted.map(_.getInt(3)).sliding(2).forall(p => p.head <= p.last))
     // The scaled rate replays its own definition for every row.
-    val scored = TextOps.bigramSurprisal(docs).collect()
+    val scored = TextOps.bigramSurprisal(docs)
+      .select("doc_id", "n_pairs", "bigram_bits").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     out.foreach { r =>
       val (nPairs, bits) = scored(r.getLong(0))
