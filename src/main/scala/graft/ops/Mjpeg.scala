@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * any single-component baseline JPEG without restart markers (DRI/RSTn
   * are unsupported; the scan must reference quant table 0, though the
   * DQT segments may pack/order tables freely — the parse walks them all
-  * and keeps Tq = 0).
+  * and keeps Tq = 0). As of r16 the COLOR path is real too:
+  * [[decodeJpegColorStats]] decodes three-component YCbCr 4:2:0
+  * interleaved scans (the layout camera MJPEG emits) with per-component
+  * quant/Huffman selection from the stream — the r15 "luma-only"
+  * restriction is closed; DRI/RSTn remain the declared gap.
   *
   * Scale/plumbing shape: per-partition iteration over the typed binary
   * column (the subprocess-decoder batch shape), one row per frame, no
@@ -194,7 +198,17 @@ object Mjpeg {
     * Frame f's block b carries k = ((id*31 + f*17 + b*7) mod 17) - 8,
     * the deterministic formula the oracle restates.
     */
-  def synthMjpegAvi(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+  def synthMjpegAvi(id: Long, width: Int, height: Int, frames: Int): Array[Byte] =
+    aviContainer(width, height, frames, f =>
+      synthJpegFlatBlocks(width, height,
+        b => (((id * 31 + f * 17 + b * 7) % 17) - 8).toInt))
+
+  /** RIFF/AVI wrapper shared by the gray and color synthesizers: hdrl
+    * (avih + one vids/MJPG stream) + movi with one `00dc` chunk per
+    * frame from `frameBytes`.
+    */
+  private def aviContainer(width: Int, height: Int, frames: Int,
+      frameBytes: Int => Array[Byte]): Array[Byte] = {
     val avih = chunk("avih",
       le32Bytes(33333) ++ le32Bytes(0) ++ le32Bytes(0) ++ le32Bytes(0x10) ++
         le32Bytes(frames) ++ le32Bytes(0) ++ le32Bytes(1) ++ le32Bytes(0) ++
@@ -209,10 +223,7 @@ object Mjpeg {
         le32Bytes(width * height * 3) ++ Array.fill(16)(0.toByte))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi",
-      (0 until frames).toArray.flatMap { f =>
-        chunk("00dc", synthJpegFlatBlocks(width, height,
-          b => (((id * 31 + f * 17 + b * 7) % 17) - 8).toInt))
-      })
+      (0 until frames).toArray.flatMap(f => chunk("00dc", frameBytes(f))))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32Bytes(body.length) ++ body
   }
@@ -408,9 +419,7 @@ object Mjpeg {
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
     val rd = new BitReader(b, scanAt)
-    val coef = new Array[Int](64)
     val blockPix = new Array[Int](64)
-    val idctAcc = new Array[Double](64)
     var sum = 0L
     var mn = 255
     var mx = 0
@@ -418,67 +427,11 @@ object Mjpeg {
     var blk = 0
     val nBlocks = bw * bh
     while (blk < nBlocks) {
-      java.util.Arrays.fill(coef, 0)
-      val s = rd.decode(dcTab)
-      if (s < 0) return None
-      var diff = 0
-      if (s > 0) {
-        val v = rd.bits(s); if (v < 0) return None
-        // Magnitude extension: values with a 0 high bit are negative.
-        diff = if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-      }
-      prevDc += diff
-      coef(0) = prevDc * quant(0)
-      var k = 1
-      var run = true
-      while (run && k < 64) {
-        val rs = rd.decode(acTab)
-        if (rs < 0) return None
-        if (rs == 0x00) run = false // EOB
-        else if (rs == 0xf0) k += 16 // ZRL
-        else {
-          k += (rs >> 4)
-          val sz = rs & 0x0f
-          if (k > 63 || sz == 0) return None
-          val v = rd.bits(sz); if (v < 0) return None
-          val ac = if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
-          coef(ZigZag(k)) = ac * quant(k)
-          k += 1
-        }
-      }
-      // Full 2D IDCT + level shift + clamp, SPARSE over the nonzero
-      // coefficients (what every production decoder does: typical
-      // blocks are mostly zeros after quantization, so cost scales
-      // with 64 × nnz instead of a dense 64 × 64) — the general path;
-      // the synthesized DC-only blocks are just its nnz = 1 case.
-      java.util.Arrays.fill(idctAcc, 0.0)
-      var ci = 0
-      while (ci < 64) {
-        val c = coef(ci)
-        if (c != 0) {
-          val u = ci & 7
-          val v = ci >> 3
-          val scale = (if (u == 0) 0.7071067811865476 else 1.0) *
-            (if (v == 0) 0.7071067811865476 else 1.0) * c
-          var y = 0
-          while (y < 8) {
-            val cy = scale * CosTable(y * 8 + v)
-            var x = 0
-            while (x < 8) {
-              idctAcc(y * 8 + x) += cy * CosTable(x * 8 + u)
-              x += 1
-            }
-            y += 1
-          }
-        }
-        ci += 1
-      }
-      var pi = 0
-      while (pi < 64) {
-        val p = StrictMath.round(idctAcc(pi) / 4 + 128).toInt
-        blockPix(pi) = math.max(0, math.min(255, p))
-        pi += 1
-      }
+      // Shared block decoder (entropy + dequant + sparse IDCT + clamp);
+      // arithmetic identical to the r14 inline form.
+      val nd = decodeBlockStats(rd, dcTab, acTab, quant, prevDc, blockPix)
+      if (nd == Int.MinValue) return None
+      prevDc = nd
       // Reduce the block against the frame geometry (edge blocks of a
       // non-multiple-of-8 image only count their in-bounds pixels).
       val bx = (blk % bw) * 8
@@ -514,56 +467,441 @@ object Mjpeg {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
         val rows = Seq.newBuilder[(Long, Int, Int, Int, Long, Int, Int)]
-        if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") {
-          val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
-          // Top-level chunk walk to the movi LIST. A truncated payload
-          // (the RIFF/LIST sizes claim more than is present) clamps the
-          // walk to the bytes that exist — the frames before the cut
-          // still decode, the cut one stops the walk below.
-          var i = 12
-          var movi = -1
-          var moviEnd = -1
-          while (movi < 0 && i + 8 <= end) {
-            val sz = le32(b, i + 4)
-            if (sz < 0) { i = end } // corrupt size: stop
-            else if (fourcc(b, i) == "LIST" && sz >= 4 && i + 12 <= end &&
-              fourcc(b, i + 8) == "movi") {
-              movi = i + 12
-              moviEnd = math.min(i + 8L + sz, end.toLong).toInt
-            } else if (i + 8L + sz > end) { i = end } // truncated non-movi: stop
-            else i += 8 + sz + (sz & 1)
-          }
-          if (movi >= 0) {
-            var p = movi
-            var f = 0
-            var ok = true
-            while (ok && p + 8 <= moviEnd) {
-              val cid = fourcc(b, p)
-              val sz = le32(b, p + 4)
-              if (sz < 0 || p + 8L + sz > moviEnd) ok = false
-              else {
-                if (cid.endsWith("dc")) {
-                  // The decoder is bounds-checked; the catch is the
-                  // defensive backstop for any malformed shape it
-                  // misses — a decode fault must cost THIS payload's
-                  // remaining frames, never the Spark task.
-                  val dec =
-                    try decodeJpegGrayStats(b.slice(p + 8, p + 8 + sz))
-                    catch { case scala.util.control.NonFatal(_) => None }
-                  dec match {
-                    case Some((w, h, s, mn, mx)) =>
-                      rows += ((id, f, w, h, s, mn, mx))
-                      f += 1
-                    case None => ok = false
-                  }
-                }
-                p += 8 + sz + (sz & 1)
-              }
-            }
+        walkMoviFrames(b) { (f, frame) =>
+          // The decoder is bounds-checked; the catch is the defensive
+          // backstop for any malformed shape it misses — a decode fault
+          // must cost THIS payload's remaining frames, never the task.
+          val dec =
+            try decodeJpegGrayStats(frame)
+            catch { case scala.util.control.NonFatal(_) => None }
+          dec match {
+            case Some((w, h, s, mn, mx)) =>
+              rows += ((id, f, w, h, s, mn, mx))
+              true
+            case None => false
           }
         }
         rows.result()
       }
       .toDF("doc_id", "frame_idx", "width", "height", "y_sum", "y_min", "y_max")
+  }
+
+  /** Decode ONE 8x8 block (DC diff + AC runs, dequant, sparse IDCT,
+    * level shift, clamp) into `outPix`; returns the new DC predictor,
+    * or Int.MinValue on any entropy/structure fault. Shared by the
+    * gray and color paths — identical arithmetic to the r14 decoder.
+    */
+  private def decodeBlockStats(rd: BitReader, dcTab: HuffTable,
+      acTab: HuffTable, quant: Array[Int], prevDc: Int,
+      outPix: Array[Int]): Int = {
+    val coef = new Array[Int](64)
+    val s = rd.decode(dcTab)
+    if (s < 0) return Int.MinValue
+    var diff = 0
+    if (s > 0) {
+      val v = rd.bits(s); if (v < 0) return Int.MinValue
+      diff = if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    val dc = prevDc + diff
+    coef(0) = dc * quant(0)
+    var k = 1
+    var run = true
+    while (run && k < 64) {
+      val rs = rd.decode(acTab)
+      if (rs < 0) return Int.MinValue
+      if (rs == 0x00) run = false // EOB
+      else if (rs == 0xf0) k += 16 // ZRL
+      else {
+        k += (rs >> 4)
+        val sz = rs & 0x0f
+        if (k > 63 || sz == 0) return Int.MinValue
+        val v = rd.bits(sz); if (v < 0) return Int.MinValue
+        val ac = if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+        coef(ZigZag(k)) = ac * quant(k)
+        k += 1
+      }
+    }
+    val idctAcc = new Array[Double](64)
+    var ci = 0
+    while (ci < 64) {
+      val c = coef(ci)
+      if (c != 0) {
+        val u = ci & 7
+        val v = ci >> 3
+        val scale = (if (u == 0) 0.7071067811865476 else 1.0) *
+          (if (v == 0) 0.7071067811865476 else 1.0) * c
+        var y = 0
+        while (y < 8) {
+          val cy = scale * CosTable(y * 8 + v)
+          var x = 0
+          while (x < 8) {
+            idctAcc(y * 8 + x) += cy * CosTable(x * 8 + u)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      ci += 1
+    }
+    var pi = 0
+    while (pi < 64) {
+      val p = StrictMath.round(idctAcc(pi) / 4 + 128).toInt
+      outPix(pi) = math.max(0, math.min(255, p))
+      pi += 1
+    }
+    dc
+  }
+
+  /** RIFF walk to the movi LIST, invoking `handler(frameIdx, bytes)` per
+    * `..dc` chunk; handler returns false to stop (malformed frame —
+    * frames decoded before the fault are kept). Shared by the gray and
+    * color stat readers; bounds posture identical to the r14 walk.
+    */
+  private def walkMoviFrames(b: Array[Byte])(
+      handler: (Int, Array[Byte]) => Boolean): Unit = {
+    if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") {
+      val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+      var i = 12
+      var movi = -1
+      var moviEnd = -1
+      while (movi < 0 && i + 8 <= end) {
+        val sz = le32(b, i + 4)
+        if (sz < 0) { i = end }
+        else if (fourcc(b, i) == "LIST" && sz >= 4 && i + 12 <= end &&
+          fourcc(b, i + 8) == "movi") {
+          movi = i + 12
+          moviEnd = math.min(i + 8L + sz, end.toLong).toInt
+        } else if (i + 8L + sz > end) { i = end }
+        else i += 8 + sz + (sz & 1)
+      }
+      if (movi >= 0) {
+        var p = movi
+        var f = 0
+        var ok = true
+        while (ok && p + 8 <= moviEnd) {
+          val cid = fourcc(b, p)
+          val sz = le32(b, p + 4)
+          if (sz < 0 || p + 8L + sz > moviEnd) ok = false
+          else {
+            if (cid.endsWith("dc")) {
+              if (handler(f, b.slice(p + 8, p + 8 + sz))) f += 1
+              else ok = false
+            }
+            p += 8 + sz + (sz & 1)
+          }
+        }
+      }
+    }
+  }
+
+  // ---- JPEG encoder (baseline, YCbCr 4:2:0, DC-only blocks) ---------------
+
+  /** One COLOR baseline JPEG (YCbCr, 4:2:0 subsampling — the layout real
+    * camera MJPEG emits): three components in one interleaved scan, MCUs
+    * of four Y blocks + one Cb + one Cr, TWO quant tables (luma all-ones,
+    * chroma all-TWOS — a genuinely different dequant path whose math
+    * still lands on integers: chroma DC 32k against quant 2 gives
+    * 64k = pixel 128 + 8k), four DHT slots (DC/AC × luma/chroma ids; the
+    * chroma slots carry the same Annex-K arrays under their own Th — the
+    * decoder must still select tables PER COMPONENT from the stream).
+    * Block values: luma block b (MCU scan order) = 128 + 8*kY(b); chroma
+    * block c (one per MCU) = 128 + 8*kC(c)._1 / ._2. Geometry must be
+    * multiples of 16 (full MCUs).
+    */
+  private[ops] def synthJpegYcbcr420(width: Int, height: Int,
+      kY: Int => Int, kC: Int => (Int, Int)): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0 && width > 0 && height > 0,
+      "synth 4:2:0 geometry must be positive multiples of 16")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    // One DQT segment PACKING both tables (exercises the walk-all parse).
+    marker(0xdb, Array[Byte](0x00) ++ Array.fill(64)(1.toByte) ++
+      Array[Byte](0x01) ++ Array.fill(64)(2.toByte))
+    marker(0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, // Nf = 3 components
+      1, 0x22, 0, // Y: H=2,V=2, quant 0
+      2, 0x11, 1, // Cb: H=1,V=1, quant 1
+      3, 0x11, 1)) // Cr
+    marker(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals)
+    marker(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals)
+    marker(0xc4, Array[Byte](0x01) ++ DcBits.map(_.toByte) ++ DcVals)
+    marker(0xc4, Array[Byte](0x11) ++ AcBits.map(_.toByte) ++ AcVals)
+    marker(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val (eobLen, eobCode) = acEnc(0x00)
+    def putDc(diff: Int): Unit = {
+      var mag = math.abs(diff)
+      var size = 0
+      while (mag > 0) { size += 1; mag >>= 1 }
+      val (cl, cc) = dcEnc(size)
+      bw.put(cc, cl)
+      if (size > 0) {
+        var d = diff
+        if (d < 0) d += (1 << size) - 1
+        bw.put(d & ((1 << size) - 1), size)
+      }
+      bw.put(eobCode, eobLen) // flat block: all AC zero
+    }
+    val mcus = (width / 16) * (height / 16)
+    var prevY = 0
+    var prevCb = 0
+    var prevCr = 0
+    var m = 0
+    while (m < mcus) {
+      var sub = 0
+      while (sub < 4) { // four luma blocks per MCU, MCU-scan index
+        val dc = 64 * kY(m * 4 + sub)
+        putDc(dc - prevY); prevY = dc
+        sub += 1
+      }
+      val (kcb, kcr) = kC(m)
+      val cb = 32 * kcb // against quant 2 -> coef 64*k -> pixel 128+8k
+      putDc(cb - prevCb); prevCb = cb
+      val cr = 32 * kcr
+      putDc(cr - prevCr); prevCr = cr
+      m += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Genuine RIFF/AVI around YCbCr 4:2:0 MJPEG frames; same container
+    * writer as [[synthMjpegAvi]], color payloads. Frame f of stream id:
+    * luma block b (MCU order) k = ((id*31 + f*17 + b*7) mod 17) - 8,
+    * chroma block c: Cb k = ((id*13 + f*7 + c*5) mod 17) - 8,
+    * Cr k = ((id*7 + f*11 + c*3) mod 17) - 8 — the oracle restates all
+    * three.
+    */
+  def synthYcbcrAvi(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+    aviContainer(width, height, frames, f =>
+      synthJpegYcbcr420(width, height,
+        b => (((id * 31 + f * 17 + b * 7) % 17) - 8).toInt,
+        c => ((((id * 13 + f * 7 + c * 5) % 17) - 8).toInt,
+          (((id * 7 + f * 11 + c * 3) % 17) - 8).toInt)))
+  }
+
+  /** Demo color source over `documents`: w ∈ {16,32}, h ∈ {16,32,48},
+    * 1–4 frames; the same pre-synthesis id spread as the gray source.
+    */
+  def synthesizeYcbcrAviVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => (id, synthYcbcrAvi(id, ((id % 2 + 1) * 16).toInt,
+        ((id % 3 + 1) * 16).toInt, (id % 4 + 1).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
+  // ---- JPEG decoder (baseline, YCbCr 4:2:0 interleaved) -------------------
+
+  /** Per-frame color stats from a REAL three-component baseline decode:
+    * same marker walk, Huffman and sparse-IDCT machinery as the gray
+    * path, extended with per-component quant/table selection (SOF0 Tq,
+    * SOS Td/Ta — all four DHT slots honored from the stream), per-
+    * component DC predictors, and the 4:2:0 interleaved MCU walk
+    * (4 Y + Cb + Cr per MCU). Chroma planes are ceil(w/2) × ceil(h/2);
+    * edge blocks count only in-bounds pixels on each plane. Returns
+    * (w, h, ySum, yMin, yMax, cbSum, cbMin, cbMax, crSum, crMin, crMax).
+    * DRI/RSTn remain unsupported (as in the gray path).
+    */
+  private[ops] def decodeJpegColorStats(b: Array[Byte]):
+      Option[(Int, Int, Long, Int, Int, Long, Int, Int, Long, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val quant = new Array[Array[Int]](2) // Tq 0/1 (8-bit tables)
+    val dcTabs = new Array[HuffTable](2)
+    val acTabs = new Array[HuffTable](2)
+    var width = 0
+    var height = 0
+    // Per SOF component (index 0=Y, 1=Cb, 2=Cr): id, quant selector.
+    val compId = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
+    var scanAt = -1
+    while (scanAt < 0 && i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val seg = i + 4
+      if (len < 2 || seg + len - 2 > b.length) return None
+      val segEnd = seg + len - 2
+      m match {
+        case 0xdb =>
+          var p = seg
+          while (p < segEnd) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            val w = 1 + 64 * (pq + 1)
+            if (pq > 1 || p + w > segEnd) return None
+            if (pq == 0 && tq <= 1)
+              quant(tq) = (0 until 64).map(k => b(p + 1 + k) & 0xff).toArray
+            p += w
+          }
+        case 0xc0 =>
+          if (len < 8 + 3 * 3) return None
+          height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+          width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+          if ((b(seg) & 0xff) != 8 || (b(seg + 5) & 0xff) != 3) return None
+          var c = 0
+          while (c < 3) {
+            compId(c) = b(seg + 6 + c * 3) & 0xff
+            val hv = b(seg + 7 + c * 3) & 0xff
+            compTq(c) = b(seg + 8 + c * 3) & 0xff
+            // This decoder implements the 4:2:0 layout: Y 2x2, chroma 1x1.
+            if (c == 0 && hv != 0x22) return None
+            if (c > 0 && hv != 0x11) return None
+            if (compTq(c) > 1) return None
+            c += 1
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < segEnd) {
+            if (p + 17 > segEnd) return None
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            if (th > 1) return None
+            val bits = (0 until 16).map(k => b(p + 1 + k) & 0xff).toArray
+            val n = bits.sum
+            if (p + 17 + n > segEnd) return None
+            val vals = b.slice(p + 17, p + 17 + n)
+            if (tc == 0) dcTabs(th) = new HuffTable(bits, vals)
+            else acTabs(th) = new HuffTable(bits, vals)
+            p += 17 + n
+          }
+        case 0xda =>
+          val ns = b(seg) & 0xff
+          if (ns != 3 || len < 2 + 1 + ns * 2 + 3) return None
+          var c = 0
+          while (c < 3) {
+            val cid = b(seg + 1 + c * 2) & 0xff
+            val tdta = b(seg + 2 + c * 2) & 0xff
+            // Map scan selectors back to the SOF component order.
+            var k = 0
+            var found = false
+            while (k < 3 && !found) {
+              if (compId(k) == cid) {
+                compTd(k) = (tdta & 0xf0) >> 4
+                compTa(k) = tdta & 0x0f
+                found = true
+              }
+              k += 1
+            }
+            if (!found) return None
+            c += 1
+          }
+          scanAt = seg + ns * 2 + 4
+        case 0xd9 => return None
+        case _ => ()
+      }
+      i = if (scanAt < 0) seg + len - 2 else i
+    }
+    if (scanAt < 0 || width <= 0 || height <= 0) return None
+    var c = 0
+    while (c < 3) {
+      if (quant(compTq(c)) == null || dcTabs(compTd(c)) == null ||
+        acTabs(compTa(c)) == null) return None
+      c += 1
+    }
+    val mcuW = (width + 15) / 16
+    val mcuH = (height + 15) / 16
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    val rd = new BitReader(b, scanAt)
+    val blockPix = new Array[Int](64)
+    val sums = new Array[Long](3)
+    val mins = Array(255, 255, 255)
+    val maxs = Array(0, 0, 0)
+    val preds = new Array[Int](3)
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        var sub = 0
+        while (sub < 4) { // Y blocks: 2x2 within the MCU
+          val nd = decodeBlockStats(rd, dcTabs(compTd(0)), acTabs(compTa(0)),
+            quant(compTq(0)), preds(0), blockPix)
+          if (nd == Int.MinValue) return None
+          preds(0) = nd
+          val bx = mx * 16 + (sub % 2) * 8
+          val by = my * 16 + (sub / 2) * 8
+          accumulate(blockPix, bx, by, width, height, sums, mins, maxs, 0)
+          sub += 1
+        }
+        var cc = 1
+        while (cc < 3) { // Cb then Cr, one block each on the half plane
+          val nd = decodeBlockStats(rd, dcTabs(compTd(cc)), acTabs(compTa(cc)),
+            quant(compTq(cc)), preds(cc), blockPix)
+          if (nd == Int.MinValue) return None
+          preds(cc) = nd
+          accumulate(blockPix, mx * 8, my * 8, cw, ch, sums, mins, maxs, cc)
+          cc += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    Some((width, height, sums(0), mins(0), maxs(0),
+      sums(1), mins(1), maxs(1), sums(2), mins(2), maxs(2)))
+  }
+
+  /** In-bounds pixel accumulation of one 8x8 block at (bx, by) on a
+    * plane of (pw, ph), into channel `ch` of the stat arrays.
+    */
+  private def accumulate(blockPix: Array[Int], bx: Int, by: Int,
+      pw: Int, ph: Int, sums: Array[Long], mins: Array[Int],
+      maxs: Array[Int], ch: Int): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        if (bx + xx < pw && by + yy < ph) {
+          val p = blockPix(yy * 8 + xx)
+          sums(ch) += p
+          if (p < mins(ch)) mins(ch) = p
+          if (p > maxs(ch)) maxs(ch) = p
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** REAL color MJPEG frame decode over AVI payloads — the gray walk with
+    * the three-component decoder. Returns (doc_id, frame_idx, width,
+    * height, y_sum, y_min, y_max, cb_sum, cb_min, cb_max, cr_sum,
+    * cr_min, cr_max).
+    */
+  def aviColorFrameStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val rows = Seq.newBuilder[
+          (Long, Int, Int, Int, Long, Int, Int, Long, Int, Int, Long, Int, Int)]
+        walkMoviFrames(b) { (f, frame) =>
+          val dec =
+            try decodeJpegColorStats(frame)
+            catch { case scala.util.control.NonFatal(_) => None }
+          dec match {
+            case Some((w, h, ys, ymn, ymx, cs, cmn, cmx, rs, rmn, rmx)) =>
+              rows += ((id, f, w, h, ys, ymn, ymx, cs, cmn, cmx, rs, rmn, rmx))
+              true
+            case None => false
+          }
+        }
+        rows.result()
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "y_sum", "y_min",
+        "y_max", "cb_sum", "cb_min", "cb_max", "cr_sum", "cr_min", "cr_max")
   }
 }

@@ -2791,6 +2791,45 @@ object PipelineOps {
         graft.ops.Mjpeg.synthesizeAviVideos(s, t(s, dir, "documents")))
     },
 
+    // REAL color decode (r16): YCbCr 4:2:0 baseline JPEG in AVI — the
+    // layout camera MJPEG actually emits. Extends p126's luma-only path
+    // with three components in ONE interleaved scan: 4:2:0 MCUs
+    // (4 Y + Cb + Cr), TWO quant tables (chroma all-twos — a distinct
+    // dequant path that still lands on integers), four DHT slots
+    // selected per component from the stream. Flat-block synthesis keeps
+    // every per-frame channel stat closed-form; the decoder runs the
+    // general entropy/IDCT machinery (shared block decoder with p126).
+    Q.df(
+      "p128_ycbcr_decode",
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((doc_id % 2 + 1) * 16 AS INT) AS width,
+        |  CAST((doc_id % 3 + 1) * 16 AS INT) AS height,
+        |  CAST(64 * list_sum(ys) AS BIGINT) AS y_sum,
+        |  CAST(list_aggregate(ys, 'min') AS INT) AS y_min,
+        |  CAST(list_aggregate(ys, 'max') AS INT) AS y_max,
+        |  CAST(64 * list_sum(cbs) AS BIGINT) AS cb_sum,
+        |  CAST(list_aggregate(cbs, 'min') AS INT) AS cb_min,
+        |  CAST(list_aggregate(cbs, 'max') AS INT) AS cb_max,
+        |  CAST(64 * list_sum(crs) AS BIGINT) AS cr_sum,
+        |  CAST(list_aggregate(crs, 'min') AS INT) AS cr_min,
+        |  CAST(list_aggregate(crs, 'max') AS INT) AS cr_max
+        |FROM (
+        |  SELECT doc_id, f,
+        |    list_transform(
+        |      generate_series(0, CAST((doc_id%2+1)*(doc_id%3+1)*4 - 1 AS INT)),
+        |      b -> 128 + 8 * (((doc_id*31 + f*17 + b*7) % 17) - 8)) AS ys,
+        |    list_transform(
+        |      generate_series(0, CAST((doc_id%2+1)*(doc_id%3+1) - 1 AS INT)),
+        |      c -> 128 + 8 * (((doc_id*13 + f*7 + c*5) % 17) - 8)) AS cbs,
+        |    list_transform(
+        |      generate_series(0, CAST((doc_id%2+1)*(doc_id%3+1) - 1 AS INT)),
+        |      c -> 128 + 8 * (((doc_id*7 + f*11 + c*3) % 17) - 8)) AS crs
+        |  FROM documents CROSS JOIN generate_series(0, 3) t(f)
+        |  WHERE f <= doc_id % 4) x""".stripMargin) { (s, dir) =>
+      graft.ops.Mjpeg.aviColorFrameStats(s,
+        graft.ops.Mjpeg.synthesizeYcbcrAviVideos(s, t(s, dir, "documents")))
+    },
+
     // Dedup cluster-size histogram (r12): the release QA card — cluster
     // sizes bucketed by bit length (exact integers; singletons bucket
     // 0), surfacing a pathological mega-cluster before training.

@@ -2295,6 +2295,55 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(graft.ops.MediaHeaders.parse(3L, wav).fmt == "wav")
   }
 
+
+  test("ycbcr 4:2:0 decode: interleaved MCUs, per-component tables/quant/predictors") {
+    import spark.implicits._
+    import graft.ops.Mjpeg
+    // Round-trip the closed form: id=5 → w=(5%2+1)*16=32, h=(5%3+1)*16=48,
+    // frames=5%4+1=2. Luma blocks 4*2*3=24 (MCU-scan order — the stats
+    // are order-insensitive), chroma blocks 2*3=6 per plane.
+    val b = Mjpeg.synthYcbcrAvi(5L, 32, 48, 2)
+    val r = Mjpeg.aviColorFrameStats(spark, Seq((5L, b)).toDF("doc_id", "payload"))
+      .collect().map(x => x.getInt(1) -> x).toMap
+    assert(r.keySet == Set(0, 1))
+    def kpix(a: Long, fm: Long, cm: Long)(f: Int, i: Int): Int =
+      128 + 8 * ((((5L * a + f * fm + i * cm) % 17) - 8).toInt)
+    (0 to 1).foreach { f =>
+      val ys = (0 until 24).map(kpix(31, 17, 7)(f, _))
+      val cbs = (0 until 6).map(kpix(13, 7, 5)(f, _))
+      val crs = (0 until 6).map(kpix(7, 11, 3)(f, _))
+      val x = r(f)
+      assert((x.getInt(2), x.getInt(3)) == ((32, 48)), s"frame $f geometry")
+      assert((x.getLong(4), x.getInt(5), x.getInt(6)) ==
+        ((64L * ys.sum, ys.min, ys.max)), s"frame $f luma")
+      assert((x.getLong(7), x.getInt(8), x.getInt(9)) ==
+        ((64L * cbs.sum, cbs.min, cbs.max)), s"frame $f cb")
+      assert((x.getLong(10), x.getInt(11), x.getInt(12)) ==
+        ((64L * crs.sum, crs.min, crs.max)), s"frame $f cr")
+    }
+    // The chroma path really dequantizes against table 1 (all twos): a
+    // stream whose chroma DC is 32 must decode to pixel 128 + 8 = 136,
+    // which only holds if quant(0)=2 is applied (32*2/8 = 8).
+    val one = Mjpeg.synthJpegYcbcr420(16, 16, _ => 0, _ => (1, -1))
+    val d = Mjpeg.decodeJpegColorStats(one)
+    assert(d.isDefined)
+    val (w1, h1, ys1, ymn1, ymx1, cs1, cmn1, cmx1, rs1, rmn1, rmx1) = d.get
+    assert((w1, h1) == ((16, 16)))
+    assert((ys1, ymn1, ymx1) == ((256L * 128, 128, 128)))
+    assert((cs1, cmn1, cmx1) == ((64L * 136, 136, 136))) // 8x8 chroma plane
+    assert((rs1, rmn1, rmx1) == ((64L * 120, 120, 120)))
+    // Truncated mid-movi keeps prior frames (shared walk posture).
+    val cut = Mjpeg.aviColorFrameStats(spark,
+      Seq((5L, b.take(b.length - 10))).toDF("doc_id", "payload")).collect()
+    assert(cut.length == 1 && cut.head.getInt(1) == 0)
+    // A gray (single-component) frame through the color decoder is an
+    // honest None, and vice versa the gray decoder refuses color.
+    val gray = Mjpeg.synthJpegFlatBlocks(8, 8, _ => 0)
+    assert(Mjpeg.decodeJpegColorStats(gray).isEmpty)
+    assert(Mjpeg.decodeJpegGrayStats(
+      Mjpeg.synthJpegYcbcr420(16, 16, _ => 0, _ => (0, 0))).isEmpty)
+  }
+
   test("mjpeg decode: DQT walk keeps table 0 regardless of packing order (ADVICE r14)") {
     import graft.ops.Mjpeg
     // A DQT segment may pack several tables in any order; the scan
