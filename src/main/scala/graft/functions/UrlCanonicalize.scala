@@ -25,8 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   7. normalize the path: empty -> `/`, one trailing `/` stripped
   *      unless the path IS `/`.
   *
-  * Inputs without `://` are returned unchanged (opaque identifiers stay
-  * stable keys). Bytewise param sort == java String order on ASCII;
+  * Userinfo (`user:pw@`) is preserved verbatim (credentials are not
+  * case-insensitive hostname material) with the host parsed after the
+  * LAST `@`; IPv6 literals (`[...]`) lowercase like any host (RFC 5952
+  * prefers lowercase hex) and split their port at the colon AFTER the
+  * closing bracket. Inputs without `://` are returned unchanged (opaque
+  * identifiers stay stable keys). Bytewise param sort == java String order on ASCII;
   * non-ASCII params sort by UTF-16 code unit, which diverges from UTF-8
   * byte order only beyond the BMP — state this if the corpus has
   * non-ASCII query strings.
@@ -89,11 +93,25 @@ object UrlCanonicalize {
     val auth = rest.substring(0, cut)
     val pq = rest.substring(cut)
 
-    val colon = auth.indexOf(':')
-    var host = (if (colon >= 0) auth.substring(0, colon) else auth)
+    // Authority = [userinfo@]host[:port]. Userinfo (split at the LAST
+    // '@' — earlier ones belong to the userinfo) is kept verbatim: it is
+    // credential material, not a case-insensitive hostname. An IPv6
+    // literal's brackets contain ':', so its port colon is the one AFTER
+    // the closing ']'; a bracketed literal never carries 'www.'.
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    val hostport = auth.substring(at + 1)
+    val colon =
+      if (hostport.startsWith("[")) {
+        val close = hostport.indexOf(']')
+        if (close >= 0 && close + 1 < hostport.length &&
+          hostport.charAt(close + 1) == ':') close + 1
+        else -1
+      } else hostport.indexOf(':')
+    var host = (if (colon >= 0) hostport.substring(0, colon) else hostport)
       .toLowerCase(java.util.Locale.ROOT)
     if (host.startsWith("www.")) host = host.substring(4)
-    val port = if (colon >= 0) auth.substring(colon + 1) else ""
+    val port = if (colon >= 0) hostport.substring(colon + 1) else ""
     val keepPort = port.nonEmpty &&
       !(scheme == "https" && port == "443") && !(scheme == "http" && port == "80")
 
@@ -118,7 +136,7 @@ object UrlCanonicalize {
       java.util.Collections.sort(kept)
     }
     val sb = new java.lang.StringBuilder(raw.length)
-    sb.append(scheme).append("://").append(host)
+    sb.append(scheme).append("://").append(userinfo).append(host)
     if (keepPort) sb.append(':').append(port)
     sb.append(path)
     if (!kept.isEmpty) {

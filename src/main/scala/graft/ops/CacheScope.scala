@@ -11,8 +11,8 @@ import org.apache.spark.storage.StorageLevel
   * `Engine.executeQuery`, `Verify`'s per-query loop) calls
   * [[releaseCurrent]] once the result is fully materialized. Without
   * this, correctness persists (GlobalRank's pinned range partitioning)
-  * and cost persists (perplexityBuckets' scored relation,
-  * lshTuningCard's materialized pair sides) accumulate blocks on the SHARED
+  * and cost persists (lshTuningCard's materialized pair sides)
+  * accumulate blocks on the SHARED
   * block manager for the lifetime of the SparkContext — per-request
   * `newSession()` isolates conf and catalog, not storage.
   *

@@ -420,6 +420,8 @@ object Mjpeg {
     val bh = (height + 7) / 8
     val rd = new BitReader(b, scanAt)
     val blockPix = new Array[Int](64)
+    val coefScratch = new Array[Int](64)
+    val idctScratch = new Array[Double](64)
     var sum = 0L
     var mn = 255
     var mx = 0
@@ -429,7 +431,8 @@ object Mjpeg {
     while (blk < nBlocks) {
       // Shared block decoder (entropy + dequant + sparse IDCT + clamp);
       // arithmetic identical to the r14 inline form.
-      val nd = decodeBlockStats(rd, dcTab, acTab, quant, prevDc, blockPix)
+      val nd = decodeBlockStats(rd, dcTab, acTab, quant, prevDc, blockPix,
+        coefScratch, idctScratch)
       if (nd == Int.MinValue) return None
       prevDc = nd
       // Reduce the block against the frame geometry (edge blocks of a
@@ -493,8 +496,12 @@ object Mjpeg {
     */
   private def decodeBlockStats(rd: BitReader, dcTab: HuffTable,
       acTab: HuffTable, quant: Array[Int], prevDc: Int,
-      outPix: Array[Int]): Int = {
-    val coef = new Array[Int](64)
+      outPix: Array[Int], coef: Array[Int], idctAcc: Array[Double]): Int = {
+    // Scratch arrays are caller-owned and amortized per FRAME (the r14
+    // inline form's shape) — a per-block allocation here would be ~768
+    // bytes of garbage per 8x8 block in the decode hot path.
+    java.util.Arrays.fill(coef, 0)
+    java.util.Arrays.fill(idctAcc, 0.0)
     val s = rd.decode(dcTab)
     if (s < 0) return Int.MinValue
     var diff = 0
@@ -521,7 +528,6 @@ object Mjpeg {
         k += 1
       }
     }
-    val idctAcc = new Array[Double](64)
     var ci = 0
     while (ci < 64) {
       val c = coef(ci)
@@ -818,6 +824,8 @@ object Mjpeg {
     val ch = (height + 1) / 2
     val rd = new BitReader(b, scanAt)
     val blockPix = new Array[Int](64)
+    val coefScratch = new Array[Int](64)
+    val idctScratch = new Array[Double](64)
     val sums = new Array[Long](3)
     val mins = Array(255, 255, 255)
     val maxs = Array(0, 0, 0)
@@ -829,7 +837,7 @@ object Mjpeg {
         var sub = 0
         while (sub < 4) { // Y blocks: 2x2 within the MCU
           val nd = decodeBlockStats(rd, dcTabs(compTd(0)), acTabs(compTa(0)),
-            quant(compTq(0)), preds(0), blockPix)
+            quant(compTq(0)), preds(0), blockPix, coefScratch, idctScratch)
           if (nd == Int.MinValue) return None
           preds(0) = nd
           val bx = mx * 16 + (sub % 2) * 8
@@ -840,7 +848,7 @@ object Mjpeg {
         var cc = 1
         while (cc < 3) { // Cb then Cr, one block each on the half plane
           val nd = decodeBlockStats(rd, dcTabs(compTd(cc)), acTabs(compTa(cc)),
-            quant(compTq(cc)), preds(cc), blockPix)
+            quant(compTq(cc)), preds(cc), blockPix, coefScratch, idctScratch)
           if (nd == Int.MinValue) return None
           preds(cc) = nd
           accumulate(blockPix, mx * 8, my * 8, cw, ch, sums, mins, maxs, cc)

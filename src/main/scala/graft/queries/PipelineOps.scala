@@ -3092,7 +3092,8 @@ object PipelineOps {
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE text IS NOT NULL),
         |lad AS (SELECT doc_id, text, n, CAST(l AS BIGINT) AS l
-        |  FROM d, unnest([1,2,4,8,16,32,64,128,256,512,1024]) AS t(l)
+        |  FROM d, unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,
+        |    16384,32768,65536,131072,262144,524288,1048576]) AS t(l)
         |  WHERE l <= n),
         |pos1 AS (SELECT doc_id, text, l,
         |    unnest(generate_series(1, n - l + 1)) AS i FROM lad),

@@ -14,7 +14,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private def plan(name: String): String =
     try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
     // Some operators persist at construction (lshTuningCard's isolation
-    // persists, perplexityBuckets' scored pin); drain them so one test's
+    // persists; perplexityBuckets is persist-free as of r16); drain so a test's
     // build can't leak cached blocks into later tests' plan assertions.
     finally graft.ops.CacheScope.releaseCurrent()
 
@@ -64,7 +64,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       assert(after == before + 1,
         s"construction launched ${after - before - 1} unexpected job(s)")
     } finally {
-      graft.ops.CacheScope.releaseCurrent() // perplexityBuckets' pin
+      graft.ops.CacheScope.releaseCurrent() // defensive: nothing should be pinned here (r16: perplexityBuckets no longer persists)
       sc.removeSparkListener(listener)
     }
   }

@@ -244,6 +244,14 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     assert(c("https://ex.com/p?ref") == "https://ex.com/p") // valueless tracking stripped
     assert(c("not a url") == "not a url")
     assert(c("doc:12345") == "doc:12345") // no ://, opaque id stable
+    // Userinfo is preserved verbatim; the host after the LAST '@' still
+    // lowercases, www-strips and drops its default port.
+    assert(c("https://User:Pw@WWW.Ex.COM:443/p") == "https://User:Pw@ex.com/p")
+    assert(c("https://a@b@C.com/p") == "https://a@b@c.com/p")
+    // IPv6: the port colon is the one after the bracket; hex lowercases.
+    assert(c("https://[2001:DB8::1]:443/p") == "https://[2001:db8::1]/p")
+    assert(c("http://[::1]:8080/p") == "http://[::1]:8080/p")
+    assert(c("http://[::1]/p") == "http://[::1]/p")
   }
 
   test("pq_code validates subvector length and subspace range with named errors") {
