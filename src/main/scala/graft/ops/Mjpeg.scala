@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * frame's luma statistics in closed form. The DECODER never assumes
   * any of this — it runs the general entropy/IDCT path and would decode
   * any single-component baseline JPEG without restart markers (DRI/RSTn
-  * are unsupported; the scan must reference quant table 0, though the
-  * DQT segments may pack/order tables freely — the parse walks them all
-  * and keeps Tq = 0). As of r16 the COLOR path is real too:
+  * are unsupported). As of r16 both decoders share ONE header parse
+  * (`parseJpegHeader`) that walks every packed DQT/DHT table and honors
+  * the stream's per-component selectors (SOF Tq, SOS Td/Ta) — the
+  * earlier "scan must reference quant table 0" gray restriction fell
+  * out in the unification. The COLOR path is real too:
   * [[decodeJpegColorStats]] decodes three-component YCbCr 4:2:0
   * interleaved scans (the layout camera MJPEG emits) with per-component
   * quant/Huffman selection from the stream — the r15 "luma-only"
@@ -350,14 +352,46 @@ object Mjpeg {
     * reduced directly to (sum, min, max) — frames are decoded for their
     * statistics, the p101/p117 card contract.
     */
-  private[ops] def decodeJpegGrayStats(b: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+  /** Parsed baseline-JPEG header state: geometry, the 8-bit quant
+    * tables (Tq 0/1), the four Huffman slots (Tc x Th 0/1), per-
+    * component SOF ids / sampling / quant selectors and SOS table
+    * selectors, and the entropy-segment offset.
+    */
+  private final class JpegHeader(
+      val width: Int, val height: Int, val nf: Int,
+      val quant: Array[Array[Int]],
+      val dcTabs: Array[HuffTable], val acTabs: Array[HuffTable],
+      val compHv: Array[Int], val compTq: Array[Int],
+      val compTd: Array[Int], val compTa: Array[Int],
+      val scanAt: Int)
+
+  /** Marker/segment walk shared by the gray and color decoders (the r16
+    * review's duplication item): SOI check, DQT walk over EVERY packed
+    * table (8-bit Tq 0/1 kept, 16-bit skipped by declared width), DHT
+    * walk storing all four (Tc, Th <= 1) slots, SOF0 with 1..3
+    * components (precision 8), SOS mapping each scan selector back to
+    * its SOF component by id. Every branch reads only inside its
+    * DECLARED segment [seg, seg + len - 2): a truncated marker (len
+    * shorter than the structure it announces) is malformed input and
+    * must yield None, never an out-of-bounds read — the whole-job-
+    * killing failure a flatMap task exception would be. Callers enforce
+    * their component-count/sampling contract and that the tables their
+    * components select are present.
+    */
+  private def parseJpegHeader(b: Array[Byte]): Option[JpegHeader] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
-    var quant: Array[Int] = null
-    var dcTab: HuffTable = null
-    var acTab: HuffTable = null
+    val quant = new Array[Array[Int]](2)
+    val dcTabs = new Array[HuffTable](2)
+    val acTabs = new Array[HuffTable](2)
     var width = 0
     var height = 0
+    var nf = 0
+    val compId = new Array[Int](3)
+    val compHv = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
     var scanAt = -1
     while (scanAt < 0 && i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -365,60 +399,101 @@ object Mjpeg {
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       val seg = i + 4
       if (len < 2 || seg + len - 2 > b.length) return None
-      // Every branch below reads only inside its DECLARED segment
-      // [seg, seg + len - 2): a truncated marker (len shorter than the
-      // structure it announces) is malformed input and must yield None,
-      // never an out-of-bounds read — the whole-job-killing failure a
-      // flatMap task exception would be.
       val segEnd = seg + len - 2
       m match {
         case 0xdb =>
-          // Walk EVERY table in the segment (a DQT segment may pack
-          // several, in any order — mirroring the DHT loop below): keep
-          // the 8-bit (Pq = 0) table with id Tq = 0, the one the
-          // single-component scan references; skip over others by their
-          // declared width (65 bytes for 8-bit, 129 for 16-bit entries).
           var p = seg
           while (p < segEnd) {
             val pq = (b(p) & 0xf0) >> 4
             val tq = b(p) & 0x0f
             val w = 1 + 64 * (pq + 1)
             if (pq > 1 || p + w > segEnd) return None // malformed/truncated
-            if (pq == 0 && tq == 0)
-              quant = (0 until 64).map(k => b(p + 1 + k) & 0xff).toArray
+            if (pq == 0 && tq <= 1)
+              quant(tq) = (0 until 64).map(k => b(p + 1 + k) & 0xff).toArray
             p += w
           }
         case 0xc0 =>
-          if (len < 11) return None // precision + H + W + Nf + 1 component
+          if (len < 8) return None
           height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
           width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
-          if ((b(seg) & 0xff) != 8 || (b(seg + 5) & 0xff) != 1) return None
+          nf = b(seg + 5) & 0xff
+          if ((b(seg) & 0xff) != 8 || nf < 1 || nf > 3) return None
+          if (len < 8 + 3 * nf) return None
+          var c = 0
+          while (c < nf) {
+            compId(c) = b(seg + 6 + c * 3) & 0xff
+            compHv(c) = b(seg + 7 + c * 3) & 0xff
+            compTq(c) = b(seg + 8 + c * 3) & 0xff
+            if (compTq(c) > 1) return None
+            c += 1
+          }
         case 0xc4 =>
           var p = seg
           while (p < segEnd) {
             if (p + 17 > segEnd) return None // TcTh + 16 bit counts
             val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            if (th > 1) return None
             val bits = (0 until 16).map(k => b(p + 1 + k) & 0xff).toArray
             val n = bits.sum
             if (p + 17 + n > segEnd) return None // declared values truncated
             val vals = b.slice(p + 17, p + 17 + n)
-            if (tc == 0) dcTab = new HuffTable(bits, vals)
-            else acTab = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = new HuffTable(bits, vals)
+            else acTabs(th) = new HuffTable(bits, vals)
             p += 17 + n
           }
         case 0xda =>
-          if (len < 8) return None // Ns + 1 component + Ss/Se/AhAl
-          scanAt = seg + (b(seg) & 0xff) * 2 + 4 // Ns comps + Ss/Se/AhAl
+          val ns = b(seg) & 0xff
+          if (ns != nf || nf == 0 || len < 2 + 1 + ns * 2 + 3) return None
+          var c = 0
+          while (c < ns) {
+            val cid = b(seg + 1 + c * 2) & 0xff
+            val tdta = b(seg + 2 + c * 2) & 0xff
+            var k = 0
+            var found = false
+            while (k < nf && !found) {
+              if (compId(k) == cid) {
+                compTd(k) = (tdta & 0xf0) >> 4
+                compTa(k) = tdta & 0x0f
+                found = true
+              }
+              k += 1
+            }
+            if (!found || (tdta & 0xf0) > 0x10 || (tdta & 0x0f) > 1) return None
+            c += 1
+          }
+          scanAt = seg + ns * 2 + 4
         case 0xd9 => return None // EOI before any scan
         case _ => () // APPn/COM etc: skip
       }
       i = if (scanAt < 0) seg + len - 2 else i
     }
-    if (scanAt < 0 || quant == null || dcTab == null || acTab == null ||
-      width <= 0 || height <= 0) return None
+    if (scanAt < 0 || width <= 0 || height <= 0) return None
+    // Every selected table must exist in the stream.
+    var c = 0
+    while (c < nf) {
+      if (quant(compTq(c)) == null || dcTabs(compTd(c)) == null ||
+        acTabs(compTa(c)) == null) return None
+      c += 1
+    }
+    Some(new JpegHeader(width, height, nf, quant, dcTabs, acTabs,
+      compHv, compTq, compTd, compTa, scanAt))
+  }
+
+
+  private[ops] def decodeJpegGrayStats(b: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    val h = parseJpegHeader(b) match {
+      case Some(x) if x.nf == 1 => x
+      case _ => return None
+    }
+    val width = h.width
+    val height = h.height
+    val dcTab = h.dcTabs(h.compTd(0))
+    val acTab = h.acTabs(h.compTa(0))
+    val quant = h.quant(h.compTq(0))
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
-    val rd = new BitReader(b, scanAt)
+    val rd = new BitReader(b, h.scanAt)
     val blockPix = new Array[Int](64)
     val coefScratch = new Array[Int](64)
     val idctScratch = new Array[Double](64)
@@ -721,108 +796,25 @@ object Mjpeg {
     */
   private[ops] def decodeJpegColorStats(b: Array[Byte]):
       Option[(Int, Int, Long, Int, Int, Long, Int, Int, Long, Int, Int)] = {
-    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
-    var i = 2
-    val quant = new Array[Array[Int]](2) // Tq 0/1 (8-bit tables)
-    val dcTabs = new Array[HuffTable](2)
-    val acTabs = new Array[HuffTable](2)
-    var width = 0
-    var height = 0
-    // Per SOF component (index 0=Y, 1=Cb, 2=Cr): id, quant selector.
-    val compId = new Array[Int](3)
-    val compTq = new Array[Int](3)
-    val compTd = new Array[Int](3)
-    val compTa = new Array[Int](3)
-    var scanAt = -1
-    while (scanAt < 0 && i + 4 <= b.length) {
-      if ((b(i) & 0xff) != 0xff) return None
-      val m = b(i + 1) & 0xff
-      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      val seg = i + 4
-      if (len < 2 || seg + len - 2 > b.length) return None
-      val segEnd = seg + len - 2
-      m match {
-        case 0xdb =>
-          var p = seg
-          while (p < segEnd) {
-            val pq = (b(p) & 0xf0) >> 4
-            val tq = b(p) & 0x0f
-            val w = 1 + 64 * (pq + 1)
-            if (pq > 1 || p + w > segEnd) return None
-            if (pq == 0 && tq <= 1)
-              quant(tq) = (0 until 64).map(k => b(p + 1 + k) & 0xff).toArray
-            p += w
-          }
-        case 0xc0 =>
-          if (len < 8 + 3 * 3) return None
-          height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
-          width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
-          if ((b(seg) & 0xff) != 8 || (b(seg + 5) & 0xff) != 3) return None
-          var c = 0
-          while (c < 3) {
-            compId(c) = b(seg + 6 + c * 3) & 0xff
-            val hv = b(seg + 7 + c * 3) & 0xff
-            compTq(c) = b(seg + 8 + c * 3) & 0xff
-            // This decoder implements the 4:2:0 layout: Y 2x2, chroma 1x1.
-            if (c == 0 && hv != 0x22) return None
-            if (c > 0 && hv != 0x11) return None
-            if (compTq(c) > 1) return None
-            c += 1
-          }
-        case 0xc4 =>
-          var p = seg
-          while (p < segEnd) {
-            if (p + 17 > segEnd) return None
-            val tc = (b(p) & 0xf0) >> 4
-            val th = b(p) & 0x0f
-            if (th > 1) return None
-            val bits = (0 until 16).map(k => b(p + 1 + k) & 0xff).toArray
-            val n = bits.sum
-            if (p + 17 + n > segEnd) return None
-            val vals = b.slice(p + 17, p + 17 + n)
-            if (tc == 0) dcTabs(th) = new HuffTable(bits, vals)
-            else acTabs(th) = new HuffTable(bits, vals)
-            p += 17 + n
-          }
-        case 0xda =>
-          val ns = b(seg) & 0xff
-          if (ns != 3 || len < 2 + 1 + ns * 2 + 3) return None
-          var c = 0
-          while (c < 3) {
-            val cid = b(seg + 1 + c * 2) & 0xff
-            val tdta = b(seg + 2 + c * 2) & 0xff
-            // Map scan selectors back to the SOF component order.
-            var k = 0
-            var found = false
-            while (k < 3 && !found) {
-              if (compId(k) == cid) {
-                compTd(k) = (tdta & 0xf0) >> 4
-                compTa(k) = tdta & 0x0f
-                found = true
-              }
-              k += 1
-            }
-            if (!found) return None
-            c += 1
-          }
-          scanAt = seg + ns * 2 + 4
-        case 0xd9 => return None
-        case _ => ()
-      }
-      i = if (scanAt < 0) seg + len - 2 else i
+    val h = parseJpegHeader(b) match {
+      // This decoder implements the 4:2:0 layout: Y 2x2, chroma 1x1.
+      case Some(x) if x.nf == 3 && x.compHv(0) == 0x22 &&
+        x.compHv(1) == 0x11 && x.compHv(2) == 0x11 => x
+      case _ => return None
     }
-    if (scanAt < 0 || width <= 0 || height <= 0) return None
-    var c = 0
-    while (c < 3) {
-      if (quant(compTq(c)) == null || dcTabs(compTd(c)) == null ||
-        acTabs(compTa(c)) == null) return None
-      c += 1
-    }
+    val width = h.width
+    val height = h.height
+    val quant = h.quant
+    val dcTabs = h.dcTabs
+    val acTabs = h.acTabs
+    val compTq = h.compTq
+    val compTd = h.compTd
+    val compTa = h.compTa
     val mcuW = (width + 15) / 16
     val mcuH = (height + 15) / 16
     val cw = (width + 1) / 2
     val ch = (height + 1) / 2
-    val rd = new BitReader(b, scanAt)
+    val rd = new BitReader(b, h.scanAt)
     val blockPix = new Array[Int](64)
     val coefScratch = new Array[Int](64)
     val idctScratch = new Array[Double](64)
