@@ -3,8 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Fixture dir resolution (VERDICT r16 #3): argv(0) wins, the env is
+    * the fallback — `runMain graft.Bench /tmp/sf100x` used to silently
+    * bench the env/default dir (graft.Verify takes positional args, so
+    * the asymmetry cost a measurement run). More than one argument is
+    * an error, not a guess.
+    */
+  private[graft] def resolveSfDir(args: Array[String],
+      env: Map[String, String]): Either[String, String] =
+    if (args.length > 1)
+      Left(s"unexpected arguments: ${args.drop(1).mkString(" ")} " +
+        "(usage: graft.Bench [sfDir])")
+    else
+      Right(args.headOption.getOrElse(
+        env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = resolveSfDir(args, sys.env) match {
+      case Right(d) => d
+      case Left(msg) => System.err.println(s"graft.Bench: $msg"); sys.exit(2); return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -66,7 +66,7 @@ object GraftFunctions {
     reg("winnow_hashes", WinnowHashes.forArgs)
     reg("cdc_chunks", CdcChunks.forArgs)
     reg("suffix_stats", SuffixStats.forArgs)
-    reg("url_canonicalize", exprs => UrlCanonicalize(exprs.head))
+    reg("url_canonicalize", UrlCanonicalize.forArgs)
     reg("winnow_anchors", WinnowAnchors.forArgs)
     reg("bpe_frame", exprs => BpeFrame(exprs.head))
     reg("bigram_bucket_counts", BigramBuckets.forArgs)

@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *      bare trailing `:`;
   *   5. drop tracking query params by NAME: any `utm_*`, plus
   *      fbclid, gclid, dclid, gbraid, wbraid, msclkid, twclid, igshid,
-  *      yclid, mc_cid, mc_eid, ref, ref_src, spm, _ga;
+  *      yclid, mc_cid, mc_eid, ref_src, _ga — UNAMBIGUOUS tracker names
+  *      only. Bare `ref` and `spm` are deliberately KEPT (ADVICE r16):
+  *      both are semantic on real sites (GitHub `?ref=branch`,
+  *      referrer-as-content params), and a dedup key that strips them
+  *      over-merges genuinely distinct resources;
   *   6. sort surviving `k=v` params bytewise and rejoin with `&`
   *      (param order is not semantic for dedup; empty query drops `?`);
   *   7. normalize the path: empty -> `/`, one trailing `/` stripped
@@ -58,11 +62,24 @@ case class UrlCanonicalize(child: Expression) extends UnaryExpression {
 
 object UrlCanonicalize {
 
-  /** Exact-name tracking params (utm_* is a prefix rule, handled apart). */
+  /** Registry builder with the arity check (ADVICE r16): extra
+    * arguments must fail loudly, not be silently ignored.
+    */
+  def forArgs(exprs: Seq[Expression]): UrlCanonicalize = {
+    if (exprs.size != 1)
+      throw new IllegalArgumentException(
+        s"url_canonicalize takes (url); got ${exprs.size} arguments")
+    UrlCanonicalize(exprs.head)
+  }
+
+  /** Exact-name tracking params (utm_* is a prefix rule, handled apart).
+    * Unambiguous tracker names only — see scaladoc rule 5 for why bare
+    * `ref`/`spm` are NOT here.
+    */
   private val TrackingNames: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("fbclid", "gclid", "dclid", "gbraid", "wbraid", "msclkid", "twclid",
-      "igshid", "yclid", "mc_cid", "mc_eid", "ref", "ref_src", "spm", "_ga")
+      "igshid", "yclid", "mc_cid", "mc_eid", "ref_src", "_ga")
       .foreach(s.add)
     s
   }

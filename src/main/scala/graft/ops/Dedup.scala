@@ -780,6 +780,13 @@ object Dedup {
     * n_variants), where n_variants counts the distinct RAW forms the
     * canonicalization collapsed.
     *
+    * Over-merge risk (ADVICE r16): canonicalization-keyed dedup MERGES
+    * whatever the strip list removes, so the kernel strips UNAMBIGUOUS
+    * tracker names only — bare `ref`/`spm` are kept because they carry
+    * content on real sites (GitHub `?ref=branch`). A corpus whose URLs
+    * use other semantic params under tracker-looking names needs the
+    * list audited before trusting these clusters as dedup decisions.
+    *
     * Scale shape: the kernel is row-local codegen; the only exchange is
     * the canon-keyed aggregate, map-side combined, and the output is
     * bounded by the DISTINCT canonical-URL count — group sizes grow
@@ -798,10 +805,12 @@ object Dedup {
   /** Deterministic messy-URL synthesis for the p129 card — every branch
     * of the canonicalizer is exercised (mixed-case scheme/host/www,
     * default vs non-default ports on both schemes, trailing slash,
-    * unsorted params, utm_ / fbclid / ref tracking params, fragments) while
-    * keeping the CANONICAL key space bounded, so the cluster relation
-    * stays fixed-size as the corpus grows. The formula is restated
-    * verbatim in the DuckDB oracle.
+    * unsorted params, utm_ / fbclid tracking params, fragments, AND a
+    * `ref=` param that must be KEPT — the ADVICE-r16 negative rule,
+    * which also keys distinct lang clusters) while keeping the
+    * CANONICAL key space bounded, so the cluster relation stays
+    * fixed-size as the corpus grows. The formula is restated verbatim
+    * in the DuckDB oracle.
     */
   def synthesizeUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(

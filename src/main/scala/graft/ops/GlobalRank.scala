@@ -35,13 +35,28 @@ object GlobalRank {
     */
   def ntile(df: DataFrame, buckets: Int, order: Seq[Column], out: String = "ntile"): DataFrame = {
     require(buckets > 0, "ntile needs at least one bucket")
-    val big = expr(s"__tot div $buckets") + 1L // ceil size q+1 (integral: exact past 2^53)
-    val r = col("__tot") % buckets                           // buckets of that size
-    val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
-      .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
     withGlobalRank(df, order)
-      .withColumn(out, floor(bucket).cast("int"))
+      .withColumn(out, ntileBucket(buckets))
       .drop("__rn", "__tot")
+  }
+
+  /** Bucket index from the global row number `__rn` and total `__tot` —
+    * ALL integral arithmetic (`div`, ADVICE r16: the earlier Column `/`
+    * was double division, so "exact past 2^53" only held for `big`
+    * itself). Boundaries match the single-reducer NTILE: the first
+    * `__tot % buckets` buckets take `__tot div buckets + 1` rows, the
+    * rest one fewer. The ELSE branch divides by `__tot div buckets`,
+    * which is 0 only when `__tot < buckets` — and then the WHEN arm
+    * covers every row (`__rn <= __tot * 1`), so the zero divisor is
+    * never evaluated (CASE short-circuits per row).
+    */
+  private def ntileBucket(buckets: Int): Column = {
+    val big = s"((__tot div $buckets) + 1)" // ceil bucket size
+    val r = s"(__tot % $buckets)"           // # buckets of that size
+    expr(s"""CASE WHEN __rn <= $r * $big
+      THEN (__rn - 1) div $big + 1
+      ELSE $r + (__rn - $r * $big - 1) div (__tot div $buckets) + 1
+      END""").cast("int")
   }
 
   /** Exact NTILE(buckets) under the total order (value, tie) — identical
@@ -106,14 +121,10 @@ object GlobalRank {
           .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("__nbv_v"), col("__nbv_off"), col("__tot"))
       val lw = Window.partitionBy(value).orderBy(tie)
-      val big = expr(s"__tot div $buckets") + 1L
-      val r = col("__tot") % buckets
-      val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
-        .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
       return df.withColumn("__nbv_lrn", row_number().over(lw).cast("long"))
         .join(broadcast(pref), value <=> col("__nbv_v"))
         .withColumn("__rn", col("__nbv_off") + col("__nbv_lrn"))
-        .withColumn(out, floor(bucket).cast("int"))
+        .withColumn(out, ntileBucket(buckets))
         .drop("__nbv_v", "__nbv_off", "__nbv_lrn", "__rn", "__tot")
     }
     // prefixSum persists its ranged copy of the narrow count relation, so
@@ -123,10 +134,6 @@ object GlobalRank {
         (col("__nbv_cum") - col("__nbv_cnt")).as("__nbv_off"))
     val totDf = pref.agg(max(col("__nbv_off") + col("__nbv_cnt")).as("__tot"))
     val lw = Window.partitionBy(value).orderBy(tie)
-    val big = expr(s"__tot div $buckets") + 1L
-    val r = col("__tot") % buckets
-    val bucket = when(col("__rn") <= r * big, (col("__rn") - 1L) / big + 1L)
-      .otherwise(r + (col("__rn") - r * big - 1L) / (big - 1L) + 1L)
     // Null-safe equality: a NULL value forms its own count group (Spark
     // sorts nulls first, matching [[ntile]]'s range partitioning), and a
     // plain === would silently drop those rows while still counting them
@@ -136,7 +143,7 @@ object GlobalRank {
         value <=> col("__nbv_v"))
       .withColumn("__rn", col("__nbv_off") + col("__nbv_lrn"))
       .crossJoin(broadcast(totDf))
-      .withColumn(out, floor(bucket).cast("int"))
+      .withColumn(out, ntileBucket(buckets))
       .drop("__nbv_v", "__nbv_off", "__nbv_lrn", "__rn", "__tot")
   }
 

@@ -391,6 +391,11 @@ object TextOps {
     // makes the window branch collapse to the same [sum(c*bits), sum(c)]
     // function order, so the two partial-aggregate exchanges canonicalize
     // identically and reuse. The public output order is restored below.
+    // CONTRACT VERSION NOTE (ADVICE r16): this reuse rides runtime AQE
+    // canonicalization behavior validated on Spark 4.1.2 (the shipped
+    // jars); PlanAuditSpec pins ReusedExchange on the EXECUTED plan, so
+    // a Spark upgrade that breaks the contract fails that spec rather
+    // than silently re-running the scoring lineage twice.
     val scored = bigramSurprisal(docs, joinStrategy)
       .select(col("doc_id"),
         expr(s"cast(shiftleft(bigram_bits, $scaleBits) div n_pairs as bigint)")

@@ -3086,15 +3086,18 @@ object PipelineOps {
     // decreasing in L, so a power-of-two ladder finds lo = the largest
     // pow2 with a repeat, and one refinement sweep over (lo, 2*lo) pins
     // the exact value — O(len * lrs) substr rows per doc instead of the
-    // O(len^2) all-lengths scan.
+    // O(len^2) all-lengths scan. The ladder is DERIVED from max doc
+    // length (ADVICE r16: a fixed cap silently under-reports lrs_len
+    // the day fixtures outgrow it — the r16 review caught exactly that
+    // bug at cap 1024, so the cap is now data-driven by construction).
     Q.df(
       "p127_suffix_stats",
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE text IS NOT NULL),
-        |lad AS (SELECT doc_id, text, n, CAST(l AS BIGINT) AS l
-        |  FROM d, unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,
-        |    16384,32768,65536,131072,262144,524288,1048576]) AS t(l)
-        |  WHERE l <= n),
+        |lad AS (SELECT doc_id, text, n, CAST(power(2, k) AS BIGINT) AS l
+        |  FROM d, (SELECT unnest(generate_series(0, GREATEST(0,
+        |      CAST(ceil(log2(GREATEST(2, (SELECT MAX(n) FROM d)))) AS INT)))) AS k) ks
+        |  WHERE CAST(power(2, k) AS BIGINT) <= n),
         |pos1 AS (SELECT doc_id, text, l,
         |    unnest(generate_series(1, n - l + 1)) AS i FROM lad),
         |r1 AS (SELECT doc_id, l,
@@ -3177,8 +3180,8 @@ object PipelineOps {
         |    list_sort(list_filter(string_split(query, '&'),
         |      p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
         |        AND NOT list_contains(['fbclid','gclid','dclid','gbraid','wbraid',
-        |          'msclkid','twclid','igshid','yclid','mc_cid','mc_eid','ref',
-        |          'ref_src','spm','_ga'], split_part(p, '=', 1)))) AS params
+        |          'msclkid','twclid','igshid','yclid','mc_cid','mc_eid',
+        |          'ref_src','_ga'], split_part(p, '=', 1)))) AS params
         |  FROM s4),
         |c AS (SELECT doc_id, url,
         |    scheme || '://' || host || portpart || path1 ||

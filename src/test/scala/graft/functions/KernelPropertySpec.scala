@@ -237,11 +237,15 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     assert(c("http://ex.com:8080/p") == "http://ex.com:8080/p") // non-default kept
     assert(c("https://ex.com:80/p") == "https://ex.com:80/p") // 80 not https default
     assert(c("https://ex.com") == "https://ex.com/") // empty path -> root
-    assert(c("https://ex.com?b=2&fbclid=x&ref=abc") == "https://ex.com/?b=2")
+    // Bare `ref` is KEPT (ADVICE r16: semantic on real sites — GitHub
+    // ?ref=branch); fbclid is still stripped, survivors still sort.
+    assert(c("https://ex.com?b=2&fbclid=x&ref=abc") == "https://ex.com/?b=2&ref=abc")
+    assert(c("https://ex.com/p?spm=a.b&x=1") == "https://ex.com/p?spm=a.b&x=1")
+    assert(c("https://ex.com/p?ref_src=twsrc&x=1") == "https://ex.com/p?x=1")
     assert(c("https://ex.com/p?utm_campaign=a&utm_b=c") == "https://ex.com/p") // all stripped
     assert(c("https://ex.com/p?&&a=1&") == "https://ex.com/p?a=1") // empty segments
     assert(c("https://ex.com/p?flag") == "https://ex.com/p?flag") // valueless non-tracking kept
-    assert(c("https://ex.com/p?ref") == "https://ex.com/p") // valueless tracking stripped
+    assert(c("https://ex.com/p?fbclid") == "https://ex.com/p") // valueless tracking stripped
     assert(c("not a url") == "not a url")
     assert(c("doc:12345") == "doc:12345") // no ://, opaque id stable
     // Userinfo is preserved verbatim; the host after the LAST '@' still
@@ -252,6 +256,13 @@ class KernelPropertySpec extends AnyFunSuite with SparkFixture {
     assert(c("https://[2001:DB8::1]:443/p") == "https://[2001:db8::1]/p")
     assert(c("http://[::1]:8080/p") == "http://[::1]:8080/p")
     assert(c("http://[::1]/p") == "http://[::1]/p")
+    // Registry arity check (ADVICE r16): a second argument fails loudly
+    // instead of being silently ignored.
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("https://x.com")
+    val e = intercept[IllegalArgumentException](
+      UrlCanonicalize.forArgs(Seq(lit, lit)))
+    assert(e.getMessage.contains("url_canonicalize"))
+    assert(UrlCanonicalize.forArgs(Seq(lit)).child == lit)
   }
 
   test("pq_code validates subvector length and subspace range with named errors") {
