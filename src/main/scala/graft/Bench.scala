@@ -19,11 +19,27 @@ object Bench {
       Right(args.headOption.getOrElse(
         env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
 
+  /** (total jiffies, steal jiffies) from /proc/stat — the hypervisor
+    * steal counter. This box (r17 finding) is throttled in BURSTS at the
+    * hypervisor level (cumulative steal exceeded cumulative user time in
+    * one session): a burst landing inside a timed run inflates it up to
+    * 25x with nothing in loadavg to show for it. Stamping the run's
+    * steal fraction makes a throttled artifact self-identifying, exactly
+    * like the loadavg stamp (round 7's lesson, same class).
+    */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = resolveSfDir(args, sys.env) match {
       case Right(d) => d
       case Left(msg) => System.err.println(s"graft.Bench: $msg"); sys.exit(2); return
     }
+    val (tick0, steal0) = cpuTicks()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -226,11 +242,15 @@ object Bench {
       val errNames = sweeps.flatMap(_._2).distinct.take(20)
         .map(s => "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\"")
         .mkString("[", ",", "]")
+      val (tick1, steal1) = cpuTicks()
+      val stealPct =
+        if (tick1 > tick0) 100.0 * (steal1 - steal0) / (tick1 - tick0) else -1.0
       val json =
         s"""{"metric":"total","value":${sweeps.head._1},"unit":"sec","mode":"throughput",""" +
           s""""conc":$conc,"serve":$serve,"sweeps":${sweeps.map(_._1).mkString("[", ",", "]")},""" +
           s""""cold":${sweeps.head._1},"steady":${sweeps.last._1},""" +
           s""""errors":${sweeps.map(_._2.size).sum},"failed":$errNames,"loadavg":$loadNow,""" +
+          s""""steal_pct":${math.round(stealPct * 100) / 100.0},""" +
           s""""queries":${selected.size},"sf":"$sfDir"}"""
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -322,8 +342,12 @@ object Bench {
           s"[${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}]"
       }
     // workers is quoted: SPARK_GRAFT_CPUS may legitimately be "*".
+    val (tick1, steal1) = cpuTicks()
+    val stealPct =
+      if (tick1 > tick0) 100.0 * (steal1 - steal0) / (tick1 - tick0) else -1.0
     val env = s""""loadavg":$loadAvg,"cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""workers":"$cpus","repeat":$repeat,"errors":${failed.size},""" +
+      s""""steal_pct":${math.round(stealPct * 100) / 100.0},""" +
       s""""serve":$serve,"cold":$cold,"steady":$steady"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
