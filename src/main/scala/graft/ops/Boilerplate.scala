@@ -32,8 +32,17 @@ object Boilerplate {
       maxDocs: Int = 3): DataFrame = {
     require(chunkWords > 0 && maxDocs > 0, "chunkWords and maxDocs must be positive")
     val chunks = chunked(docs, chunkWords)
+    // sum(cid) pins the chunk index into this branch so column pruning
+    // cannot specialize its subtree below the shared chunk-keyed exchange
+    // (see chunked) — the explode then runs once for both consumers (r17).
+    // sum, not count: cid is non-nullable, so count(cid) would be
+    // rewritten to count(1) and the pin would silently die.
     val freq = chunks.groupBy(col("chunk"))
-      .agg(countDistinct(col("doc_id")).as("cdf"))
+      .agg(countDistinct(col("doc_id")).as("cdf"), sum(col("cid")).as("__pin"))
+      // Always true (cid >= 0 and every group is non-empty): keeps the
+      // pin LIVE so pruning cannot drop cid below the shared exchange.
+      .filter(col("__pin") >= 0)
+      .select(col("chunk"), col("cdf"))
     chunks.join(freq, "chunk")
       .groupBy(col("doc_id"))
       .agg(
@@ -102,5 +111,12 @@ object Boilerplate {
         s"transform(sequence(0, CAST(ceil(size(ws) / $cw.0) AS INT) - 1), " +
           s"i -> array_join(slice(ws, i * $cw + 1, $cw), ' '))"))
         .as(Seq("cid", "chunk")))
+      // The chunk-keyed exchange is the share point for both consumers in
+      // each caller (the frequency aggregate and the reconstruction join):
+      // the frequency aggregates run exchange-free on it ({chunk} is a
+      // subset of every key set) and the join side reuses the shuffle, so
+      // the corpus is chunked ONCE (r17; was one explode pass per branch,
+      // plus a corpus-wide (chunk, doc_id) dedup exchange).
+      .repartition(col("chunk"))
   }
 }

@@ -204,6 +204,13 @@ object CorpusSignals {
           |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // element_at is nullable-typed, so the marginal joins infer
+      // isnotnull(w1) / isnotnull(w2) on DIFFERENT branches of the shared
+      // pair aggregate, splitting it into per-consumer subtrees. Stating
+      // both filters here keeps every consumer's subtree identical so the
+      // pair-count exchange is reused (r17); in-range element_at never
+      // actually yields null, so no row is dropped.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     // No persist: the four consumers below (marginals, total, top-k)
     // share this identical aggregate subtree, so ReuseExchange
     // materializes its shuffle once per action — without block-manager
@@ -267,26 +274,35 @@ object CorpusSignals {
     * decimal(38,0), exact past 100 TB token counts), so the flags are
     * bit-identical in any engine: no ratio, no float, no log.
     *
-    * Scale shape: ONE tokenize pass feeds three map-side-combinable
-    * aggregates (word totals, source totals, source×top-word counts —
-    * the last pre-filtered by a broadcast of the top-K words, so its
-    * shuffle is K·sources-bounded, not vocabulary-bounded). Top-K is a
+    * Scale shape: ONE tokenize pass feeds ONE map-side-combinable
+    * (word, source) count aggregate whose exchange every statistic
+    * reuses (word totals, source totals, grand total, source×top-word
+    * counts — all integer-identical sums of it over the vocab×sources
+    * bounded relation). Top-K is a
     * TakeOrdered, never a global sort; the (source × top-K) grid is a
     * broadcast cross of two tiny relations. Missing (source, word)
     * combinations surface as n_src = 0 — absence of a frequent token IS
     * the drift signal, so the grid left-join is load-bearing.
     */
   def sourceDrift(docs: DataFrame, topK: Int = 50, factor: Int = 2): DataFrame = {
+    // isnotnull(source) matches the filter the grid's left join infers on
+    // the srcWord branch — stated up front so all four consumers of the
+    // shared aggregate stay canonically identical (sources are never null
+    // in a generated corpus, so no row is dropped).
     val tok = docs
       .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
-    val top = tok.groupBy(col("word")).agg(count(lit(1)).as("n_tot"))
+      .filter(col("word") =!= "" && col("source").isNotNull)
+    // ONE corpus-wide (word, source) count aggregate; every statistic
+    // below is an integer-identical SUM of it over the vocab×sources
+    // bounded relation, so the tokenize pass runs once (r17; was one
+    // explode pass per consumer — four corpus passes).
+    val c = tok.groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
+    val top = c.groupBy(col("word")).agg(sum(col("n")).as("n_tot"))
       .orderBy(col("n_tot").desc, col("word")).limit(topK)
-    val srcTotals = tok.groupBy(col("source")).agg(count(lit(1)).as("n_src_total"))
-    val grandTotal = tok.agg(count(lit(1)).as("n_total"))
-    val srcWord = tok.join(broadcast(top.select(col("word"))), "word")
-      .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("n_src_raw"))
+    val srcTotals = c.groupBy(col("source")).agg(sum(col("n")).as("n_src_total"))
+    val grandTotal = c.agg(sum(col("n")).as("n_total"))
+    val srcWord = c.join(broadcast(top.select(col("word"))), "word")
+      .select(col("source"), col("word"), col("n").as("n_src_raw"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     srcTotals.crossJoin(broadcast(top))
       .join(srcWord, Seq("source", "word"), "left")

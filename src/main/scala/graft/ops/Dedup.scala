@@ -87,7 +87,13 @@ object Dedup {
     // to provide, without block-manager state outliving the query (a
     // long-lived gateway session would otherwise accumulate cached blocks
     // across requests).
-    val ex = shingles(docs, n, distinct = true)
+    // The explicit isnotnull(doc_id) matches the filter the optimizer
+    // infers on the candidate/verify branches from their doc_id joins —
+    // without it the df branch below lacks that filter, the subtrees no
+    // longer canonicalize together, and the shingle explode runs twice
+    // (r17: one scan+explode, exchange reused). doc_id is the fixture PK,
+    // so no row is dropped.
+    val ex = shingles(docs.filter(col("doc_id").isNotNull), n, distinct = true)
     val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val docData = ex
       .join(df, "shingle")
@@ -504,9 +510,9 @@ object Dedup {
     * maxDf docs (<= maxDf^2 pairs per hash) and throws away boilerplate
     * grams that say nothing about pairwise duplication.
     *
-    * Scale shape: the winnowed-anchor pass runs twice — once to learn the
-    * df cap, once to pair (a pipeline materializing anchors pays one) —
-    * never per join side; then one (hash, gram) aggregate collecting the
+    * Scale shape: the winnowed-anchor pass runs ONCE — the df-cap branch
+    * and the pairing branch are pinned (see below) to the same distinct
+    * exchange, which AQE reuses — then one (hash, gram) aggregate collecting the
     * <= maxDf matching doc ids, ROW-LOCAL pair expansion (<= C(maxDf, 2)
     * structs per anchor — no self-join, so nothing broadcasts or
     * shuffles the anchor relation whole), one partial-combinable
@@ -528,10 +534,21 @@ object Dedup {
         // chars here so the verify payload is k chars, not the document.
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .distinct()
+    // The df-cap branch re-aggregates the SAME distinct-anchor relation
+    // the pairing branch consumes. count(gram) is duplicate-SENSITIVE and
+    // references gram, so the optimizer can neither strip the distinct
+    // below it (RemoveRedundantAggregates requires every outer aggregate
+    // to be duplicate-agnostic) nor prune gram out of this branch's
+    // subtree — both branches therefore canonicalize to the SAME
+    // (doc_id, hash, gram) exchange and AQE's exchange reuse runs the
+    // winnow pass ONCE (r17; was two full text scans + winnow passes).
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd").between(2, maxDf))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(col("gram")).as("__pin"))
+      // `__pin > 0` is always true (every group has >= 1 non-null gram);
+      // it exists to keep the pin LIVE — a dead aggregate is pruned
+      // before it can anchor the shared subtree.
+      .filter(col("nd").between(2, maxDf) && col("__pin") > 0)
       .select(col("hash"))
     anchors.join(rare, "hash")
       // Docs carrying the same verified gram, gathered once: the sorted
@@ -559,8 +576,8 @@ object Dedup {
     * (hash, gram) as the deterministic representative anchor; the pair's
     * span is the MAX extension over its shared anchors.
     *
-    * Scale shape: [[exactSubstringPairs]]'s candidate machinery (two
-    * winnow passes, df cap, row-local pair expansion) plus two doc_id
+    * Scale shape: [[exactSubstringPairs]]'s candidate machinery (one
+    * winnow pass, df cap, row-local pair expansion) plus two doc_id
     * equi-joins that fetch the pair texts — candidate-bounded, the
     * standard fetch-for-verification stage — and ONE codegen'd O(cap)
     * [[graft.functions.CommonExtent]] call per (pair, anchor) row.
@@ -578,10 +595,22 @@ object Dedup {
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .groupBy(col("doc_id"), col("hash"), col("gram"))
       .agg(min(col("pos")).as("pos"))
+    // Same one-winnow-pass pin as [[exactSubstringPairs]] (r17): sum(pos)
+    // is duplicate-sensitive and references the min(pos) aggregate, and
+    // count(gram) references the gram key, so neither the per-doc anchor
+    // aggregate nor its columns can be stripped/pruned from this branch —
+    // it canonicalizes to the pairing branch's exchange and the winnow
+    // pass runs once.
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd").between(2, maxDf))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        count(col("gram")).as("__pin_g"), sum(col("pos")).as("__pin_p"))
+      // Always-true conditions that keep both pins LIVE (dead aggregates
+      // are pruned before they can anchor the shared subtree): every
+      // group has >= 1 non-null gram, and a sum over a non-empty group of
+      // non-null positions is non-null.
+      .filter(col("nd").between(2, maxDf) &&
+        col("__pin_g") > 0 && col("__pin_p").isNotNull)
       .select(col("hash"))
     val pairAnchors = anchors.join(rare, "hash")
       .groupBy(col("hash"), col("gram"))
@@ -705,10 +734,22 @@ object Dedup {
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .groupBy(col("doc_id"), col("hash"), col("gram"))
       .agg(min(col("pos")).as("pos"))
+    // Same one-winnow-pass pin as [[exactSubstringPairs]] (r17): sum(pos)
+    // is duplicate-sensitive and references the min(pos) aggregate, and
+    // count(gram) references the gram key, so neither the per-doc anchor
+    // aggregate nor its columns can be stripped/pruned from this branch —
+    // it canonicalizes to the pairing branch's exchange and the winnow
+    // pass runs once.
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd").between(2, maxDf))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        count(col("gram")).as("__pin_g"), sum(col("pos")).as("__pin_p"))
+      // Always-true conditions that keep both pins LIVE (dead aggregates
+      // are pruned before they can anchor the shared subtree): every
+      // group has >= 1 non-null gram, and a sum over a non-empty group of
+      // non-null positions is non-null.
+      .filter(col("nd").between(2, maxDf) &&
+        col("__pin_g") > 0 && col("__pin_p").isNotNull)
       .select(col("hash"))
     val pairAnchors = anchors.join(rare, "hash")
       .groupBy(col("hash"), col("gram"))
@@ -763,7 +804,20 @@ object Dedup {
   def canonicalDedup(docs: DataFrame): DataFrame = {
     val canon = md5(trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    // The canon-keyed exchange is the share point for both consumers:
+    // the min aggregate runs exchange-free on it and the keep join's
+    // probe side reuses the same shuffle, so the normalization regex
+    // runs ONCE over the corpus (r17; was one full regex pass per
+    // branch). Both consumers reference both columns, so nothing prunes
+    // the subtrees apart.
+    // The isnotnull filter is stated INSIDE the shared subtree: the keep
+    // join would infer it on its probe side only, splitting the two
+    // consumers into separate regex passes. It drops exactly the rows the
+    // inner join drops anyway (null keys never match), so results are
+    // identical even on a corpus with null text.
     val withCanon = docs.select(col("doc_id"), canon.as("canon_md5"))
+      .filter(col("canon_md5").isNotNull)
+      .repartition(col("canon_md5"))
     val keepers = withCanon.groupBy(col("canon_md5"))
       .agg(min(col("doc_id")).as("__keep_id"))
     withCanon.join(keepers, "canon_md5")

@@ -115,22 +115,29 @@ object Report {
     * aggregate; the six scalars then cross-join as 1-row relations.
     */
   def integrityCard(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"))
-    val v = emb.select(col("vec_id"))
-    val nDocs = d.agg(count(lit(1)).cast("long").as("n_docs"))
-    val nVecs = v.agg(count(lit(1)).cast("long").as("n_vecs"))
-    val docsNoVec = d.join(v, d("doc_id") === v("vec_id"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("docs_without_vec"))
-    val vecsNoDoc = v.join(d, v("vec_id") === d("doc_id"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("vecs_without_doc"))
-    val dupDocs = d.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .agg(count(lit(1)).cast("long").as("dup_doc_ids"))
-    val dupVecs = v.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .agg(count(lit(1)).cast("long").as("dup_vec_ids"))
-    nDocs.crossJoin(nVecs).crossJoin(docsNoVec).crossJoin(vecsNoDoc)
-      .crossJoin(dupDocs).crossJoin(dupVecs)
+    // Per-id counts from each side overlaid with ONE full-outer join:
+    // all six integers are aggregates of the (id, nd, ne) relation, so
+    // each table is scanned once and the join rides the groupBy's id
+    // partitioning with no extra exchange (r17; was six independent
+    // count/anti-join/dup branches — eight scans per action). coalesce
+    // keeps the sums 0 (not NULL) on an empty overlay, matching the old
+    // count-based form.
+    val d = docs.select(col("doc_id")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"))
+    val v = emb.select(col("vec_id")).groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("ne"))
+    d.join(v, d("doc_id") === v("vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("nd"), lit(0L))), lit(0L))
+          .cast("long").as("n_docs"),
+        coalesce(sum(coalesce(col("ne"), lit(0L))), lit(0L))
+          .cast("long").as("n_vecs"),
+        coalesce(sum(when(col("ne").isNull, col("nd")).otherwise(lit(0L))),
+          lit(0L)).cast("long").as("docs_without_vec"),
+        coalesce(sum(when(col("nd").isNull, col("ne")).otherwise(lit(0L))),
+          lit(0L)).cast("long").as("vecs_without_doc"),
+        count(when(col("nd") > 1, 1)).cast("long").as("dup_doc_ids"),
+        count(when(col("ne") > 1, 1)).cast("long").as("dup_vec_ids"))
   }
 
   /** Classifier CALIBRATION card — the reliability-diagram table an eval

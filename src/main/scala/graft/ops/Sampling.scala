@@ -439,9 +439,10 @@ object Sampling {
     * definition) whose members fall in different folds — the number a
     * release should quote as residual cross-fold contamination.
     *
-    * Scale shape: fold assignment is map-only; the per-(fold, source)
-    * counts and the canon-keyed leak check are map-side-combinable
-    * aggregates; the near-dup side is the codegen'd anchor pipeline with
+    * Scale shape: ONE map-side-combinable canon aggregate feeds both the
+    * per-(fold, source) counts and the canon-keyed leak check (fold is a
+    * pure function of the canon hash); per-doc folds are computed only
+    * for near-dup pair members; the near-dup side is the codegen'd anchor pipeline with
     * df-capped row-local pair expansion (graft 3×+ AHEAD of DuckDB on it
     * at 10×), never an all-pairs or banded self-join. Returns one row
     * per (fold, source) with the two corpus-level leak counts repeated
@@ -451,20 +452,51 @@ object Sampling {
     require(k > 1, "need at least two folds")
     val canon = md5(trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
-    val f = docs.select(col("doc_id"), col("source"), canon.as("canon"))
-      .withColumn("fold", (h56(col("canon")) % k).cast("int"))
-    val cnt = f.groupBy(col("fold"), col("source"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        countDistinct(col("canon")).cast("long").as("n_canon"))
-    val exactLeak = f.groupBy(col("canon"))
-      .agg(countDistinct(col("fold")).as("__nf"))
-      .filter(col("__nf") > 1)
+    def fold(c: Column): Column = (h56(c) % k).cast("int")
+    // ONE full-text canon pass (r17; was three): aggregate straight to
+    // the bounded (canon, source, n_rows) relation — every corpus-level
+    // statistic below derives from it, and fold is a pure function of
+    // canon, so it is recomputed from the 32-char canon hash rather than
+    // from document text. The per-doc folds the near-leak check needs
+    // are computed only for PAIR MEMBERS (candidate-bounded), after the
+    // id join — guide §8's rule: decide on small rows, not payloads.
+    val g = docs.select(col("source"), canon.as("canon"))
+      .groupBy(col("canon"), col("source"))
+      .agg(count(lit(1)).as("n_rows"))
+    val cnt = g.groupBy(fold(col("canon")).as("fold"), col("source"))
+      .agg(sum(col("n_rows")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_canon"))
+    // sum(n_rows) is the duplicate-sensitive pin that keeps this branch's
+    // subtree canonically identical to cnt's below g's exchange, so the
+    // canon pass runs once for both (the exactSubstringPairs r17 pattern).
+    val exactLeak = g.groupBy(col("canon"))
+      .agg(countDistinct(fold(col("canon"))).as("__nf"),
+        sum(col("n_rows")).as("__pin"))
+      // `__pin > 0` is always true (n_rows >= 1); it keeps the pin LIVE
+      // so pruning cannot specialize this branch below g's exchange.
+      .filter(col("__nf") > 1 && col("__pin") > 0)
       .agg(count(lit(1)).cast("long").as("exact_leak_canons"))
-    val folds = f.select(col("doc_id"), col("fold"))
-    val nearLeak = Dedup.exactSubstringPairs(docs)
+    // The explicit not-null filter matches the union of the isnotnull
+    // constraints the three consumers below (pair-id union i/j, near-leak
+    // join) would each infer separately — without it each consumer's
+    // inferred filter pushes below the pair aggregate and splits the
+    // shared anchor pipeline into per-consumer copies. doc ids are never
+    // null, so no row is dropped.
+    val prs = Dedup.exactSubstringPairs(docs)
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
       .select(col("doc_a").as("i"), col("doc_b").as("j"))
-      .join(folds.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
-      .join(folds.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
+    val pairIds = prs.select(col("i").as("doc_id"))
+      .union(prs.select(col("j").as("doc_id"))).distinct()
+    // coalesce makes the fold column non-nullable, so the cross-fold
+    // filter's inferred isnotnull(__fi/__fj) constant-folds away instead
+    // of being pushed below the pair-member join as a FULL-corpus regex
+    // evaluation (the expression itself never returns null here: a doc
+    // with no text has no anchors and cannot reach this join).
+    val pairFolds = docs.join(pairIds, "doc_id")
+      .select(col("doc_id"), coalesce(fold(canon), lit(-1)).as("fold"))
+    val nearLeak = prs
+      .join(pairFolds.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
+      .join(pairFolds.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
       .filter(col("__fi") =!= col("__fj"))
       .agg(count(lit(1)).cast("long").as("near_leak_pairs"))
     cnt.crossJoin(broadcast(exactLeak)).crossJoin(broadcast(nearLeak))

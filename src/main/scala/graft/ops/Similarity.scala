@@ -52,13 +52,24 @@ object Similarity {
     */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.6,
       idfCap: Int = 1000): DataFrame = {
-    val tf = docs
+    // isnotnull(doc_id) up front mirrors the filter the candidate joins
+    // infer downstream, and sum(tf) pins tf's count aggregate into the df
+    // branch — together they keep both consumers canonically identical so
+    // the (doc_id, term) exchange (and the explode feeding it) is planned
+    // once and reused (r17; was two full explode passes).
+    val tf = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val termDf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("__pin"))
+      // Always true (tf >= 1): keeps the pin LIVE so pruning cannot
+      // specialize this branch's subtree away from the shared exchange.
+      .filter(col("__pin") > 0)
+      .select(col("term"), col("df"))
     val w = tf
-      .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
+      .join(termDf, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         (col("tf") * least(expr("n_docs div df"), lit(idfCap.toLong))).as("w"))

@@ -149,7 +149,16 @@ object TextOps {
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // sum(tf) is the duplicate-sensitive pin that stops column pruning
+    // from stripping tf's count out of this branch — both consumers then
+    // canonicalize to ONE (doc_id, word) exchange and the token explode
+    // runs once (r17; was two full explode passes).
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("__pin"))
+      // Always true (tf >= 1): keeps the pin LIVE so pruning cannot
+      // specialize this branch's subtree away from the shared exchange.
+      .filter(col("__pin") > 0)
+      .select(col("word"), col("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     tf.join(df, "word")
       .crossJoin(broadcast(nDocs))

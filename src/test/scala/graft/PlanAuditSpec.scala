@@ -399,10 +399,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // Candidate pairs come from expanding the df-capped per-(hash, gram)
     // id array row-locally — NOT from a self-join of the anchor relation,
     // which would rebuild the winnowed corpus PER JOIN SIDE and broadcast
-    // or shuffle it whole. The honest pass count is two (one to learn the
-    // df cap, one to pair — a pipeline materializing anchors pays one);
-    // this pins that it never regresses to the three of the self-join
-    // form, and that no cartesian/window appears.
+    // or shuffle it whole. This static bound (<= 2 subtrees pre-AQE) pins
+    // that it never regresses to the three of the self-join form; the
+    // r17 runtime contract above pins the executed count at ONE.
     val p = plan("p82_exact_substring_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       p.linesIterator.take(12).mkString("\n"))
@@ -410,6 +409,115 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       l.contains("Generate") && l.contains("winnow_anchors"))
     assert(winnowGenerates <= 2, s"winnow passes: $winnowGenerates\n$p")
     assert(p.contains("partial"), p)
+  }
+
+  /** Executed (post-action) FORMATTED plan — AQE exchange reuse is a
+    * RUNTIME decision, so shared-subtree pins must read the final plan
+    * after an action (the r13 lesson, same as the p90 pin below), and in
+    * formatted mode, where a reused stage prints as ReusedExchange
+    * instead of reprinting its subtree (toString would double-count).
+    * Broadcasts are disabled for the run: at the fixture's toy sizes AQE
+    * turns the shared-lineage joins into per-branch broadcast builds
+    * (which cannot reuse a shuffle), while at bench/corpus scale they are
+    * shuffle joins — the contract under test is the shuffle-regime
+    * canonical equality, so the test pins that regime explicitly.
+    */
+  private def executedFinalPlan(name: String): String = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      graft.ops.CacheScope.releaseCurrent()
+    }
+  }
+
+  /** Number of FINAL-plan operators whose detail block contains `marker`
+    * (formatted explain lists the final tree first, `== Initial Plan ==`
+    * second, then one detail block per operator id from both).
+    */
+  private def finalPlanMarkerCount(formatted: String, marker: String): Int = {
+    val ids = "\\((\\d+)\\)".r
+      .findAllMatchIn(formatted.split("== Initial Plan ==")(0))
+      .map(_.group(1).toInt).toSet
+    formatted.split("\n\n").count { block =>
+      "^\\((\\d+)\\) ".r.findFirstMatchIn(block)
+        .exists(m => ids.contains(m.group(1).toInt)) && block.contains(marker)
+    }
+  }
+
+  test("r17 shared-lineage contracts: each expensive corpus pass runs once") {
+    // r17 collapsed multi-branch recomputation of expensive row-local
+    // lineages (winnow anchors, canon regex, token/chunk explodes) into
+    // ONE exchange that every consumer reuses. The contract is held by
+    // plan-canonicalization details (live aggregate pins, symmetric
+    // isnotnull filters) that an innocent-looking edit can silently
+    // break — in which case the marker expression reappears as a second
+    // Generate/Project in the FINAL plan recomputing the same pass.
+    // Each entry: query -> (marker substring, max lines allowed).
+    val contracts = Seq(
+      ("p82_exact_substring_pairs", "winnow_anchors", 1),
+      ("p85_substring_spans", "winnow_anchors", 1),
+      ("p87_span_excision", "winnow_anchors", 1),
+      ("p125_leakage_split", "winnow_anchors", 1),
+      // canon regex: one full-corpus pass + the two pair-member-only fold
+      // projections (above the id join, so they run on pair members, not
+      // the corpus; the coalesce in leakageSafeSplit keeps the inferred
+      // isnotnull from dragging a fourth, full-corpus copy below the join)
+      ("p125_leakage_split", "regexp_replace", 3),
+      // one shared pass: the symmetric isnotnull filter + the projection
+      // are two expression sites of the SAME scan stage
+      ("p109_canonical_dedup", "regexp_replace", 2),
+      ("p03_dedup_ngram_jaccard", "ngram_shingles", 1),
+      ("p60_tfidf_cosine", "explode(split(lower", 1),
+      ("p83_source_drift", "explode(split(lower", 1),
+      ("p45_passage_dedup", "posexplode(transform(sequence", 1),
+      ("p86_chunk_keep_first", "posexplode(transform(sequence", 1),
+      // single-source-scan contracts (the shared exchange serves every
+      // consumer, so the table is read once per action)
+      ("p03_dedup_ngram_jaccard", "Scan parquet", 1),
+      ("p82_exact_substring_pairs", "Scan parquet", 1),
+      ("p109_canonical_dedup", "Scan parquet", 1),
+      ("p83_source_drift", "Scan parquet", 1),
+      ("p45_passage_dedup", "Scan parquet", 1),
+      ("p86_chunk_keep_first", "Scan parquet", 1))
+    contracts.groupBy(_._1).foreach { case (q, cs) =>
+      val ep = executedFinalPlan(q)
+      cs.foreach { case (_, marker, maxN) =>
+        val n = finalPlanMarkerCount(ep, marker)
+        assert(n <= maxN, s"$q: '$marker' appears in $n final-plan operators " +
+          s"(max $maxN)\n" +
+          ep.linesIterator.filter(_.contains(marker)).mkString("\n"))
+      }
+      // Reuse must actually have fired — a shared lineage with no
+      // ReusedExchange means the branches each built their own copy.
+      assert(ep.split("== Initial Plan ==")(0).contains("ReusedExchange"),
+        s"$q: no ReusedExchange\n" +
+          ep.linesIterator.take(20).mkString("\n"))
+    }
+  }
+
+  test("r17 surprisal tf/df: one token explode, df branch reuses the tf exchange") {
+    val ep = executedFinalPlan("p75_surprisal_score")
+    val generates = finalPlanMarkerCount(ep, "Generate")
+    assert(generates <= 1, s"token explode ran $generates times\n$ep")
+    assert(ep.split("== Initial Plan ==")(0).contains("ReusedExchange"), ep)
+  }
+
+  test("r17 integrity card: one overlay join, no per-count branch scans") {
+    // Six integers out of ONE full-outer overlay of the per-id counts:
+    // the anti-join/count branches (8 scans per action) must not return.
+    val ep = executedFinalPlan("p108_integrity_card")
+    assert(!ep.contains("LeftAnti"), ep)
+    assert(ep.contains("FullOuter"), ep)
+    val scans = finalPlanMarkerCount(ep, "Scan parquet")
+    assert(scans <= 2, s"integrity card scans: $scans\n$ep")
   }
 
   test("substring spans: candidate-bounded text fetch, codegen'd extent, no cartesian") {
