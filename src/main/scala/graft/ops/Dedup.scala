@@ -510,9 +510,10 @@ object Dedup {
     * maxDf docs (<= maxDf^2 pairs per hash) and throws away boilerplate
     * grams that say nothing about pairwise duplication.
     *
-    * Scale shape: the winnowed-anchor pass runs ONCE — the df-cap branch
-    * and the pairing branch are pinned (see below) to the same distinct
-    * exchange, which AQE reuses — then one (hash, gram) aggregate collecting the
+    * Scale shape: the winnowed-anchor pass runs twice — once to learn the
+    * df cap (shuffling only 16 B/row), once to pair; the shared-exchange
+    * single-pass form was A/B-measured slower and wider (see the rare
+    * branch below) — then one (hash, gram) aggregate collecting the
     * <= maxDf matching doc ids, ROW-LOCAL pair expansion (<= C(maxDf, 2)
     * structs per anchor — no self-join, so nothing broadcasts or
     * shuffles the anchor relation whole), one partial-combinable
@@ -534,21 +535,18 @@ object Dedup {
         // chars here so the verify payload is k chars, not the document.
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .distinct()
-    // The df-cap branch re-aggregates the SAME distinct-anchor relation
-    // the pairing branch consumes. count(gram) is duplicate-SENSITIVE and
-    // references gram, so the optimizer can neither strip the distinct
-    // below it (RemoveRedundantAggregates requires every outer aggregate
-    // to be duplicate-agnostic) nor prune gram out of this branch's
-    // subtree — both branches therefore canonicalize to the SAME
-    // (doc_id, hash, gram) exchange and AQE's exchange reuse runs the
-    // winnow pass ONCE (r17; was two full text scans + winnow passes).
+    // Deliberately a SECOND winnow pass, not a reuse of the pairing
+    // branch's (doc_id, hash, gram) exchange: this branch shuffles 16
+    // bytes/row after map-side distinct, while the shared-exchange form
+    // (r17 A/B, live count(gram)/sum(pos) pins) re-reads the 40+ B/row
+    // gram-carrying exchange and re-aggregates it through two extra
+    // exchanges — measured +0.6 s/query at sf0.1 on BOTH 32 and 8 cores
+    // with MORE bytes shuffled (13.2 -> 17.0 MB). The winnow kernel is
+    // cheap; exchange serde is not.
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"), count(col("gram")).as("__pin"))
-      // `__pin > 0` is always true (every group has >= 1 non-null gram);
-      // it exists to keep the pin LIVE — a dead aggregate is pruned
-      // before it can anchor the shared subtree.
-      .filter(col("nd").between(2, maxDf) && col("__pin") > 0)
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
       .select(col("hash"))
     anchors.join(rare, "hash")
       // Docs carrying the same verified gram, gathered once: the sorted
@@ -576,8 +574,8 @@ object Dedup {
     * (hash, gram) as the deterministic representative anchor; the pair's
     * span is the MAX extension over its shared anchors.
     *
-    * Scale shape: [[exactSubstringPairs]]'s candidate machinery (one
-    * winnow pass, df cap, row-local pair expansion) plus two doc_id
+    * Scale shape: [[exactSubstringPairs]]'s candidate machinery (two
+    * winnow passes, df cap, row-local pair expansion) plus two doc_id
     * equi-joins that fetch the pair texts — candidate-bounded, the
     * standard fetch-for-verification stage — and ONE codegen'd O(cap)
     * [[graft.functions.CommonExtent]] call per (pair, anchor) row.
@@ -595,22 +593,12 @@ object Dedup {
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .groupBy(col("doc_id"), col("hash"), col("gram"))
       .agg(min(col("pos")).as("pos"))
-    // Same one-winnow-pass pin as [[exactSubstringPairs]] (r17): sum(pos)
-    // is duplicate-sensitive and references the min(pos) aggregate, and
-    // count(gram) references the gram key, so neither the per-doc anchor
-    // aggregate nor its columns can be stripped/pruned from this branch —
-    // it canonicalizes to the pairing branch's exchange and the winnow
-    // pass runs once.
+    // Deliberately a second winnow pass — see [[exactSubstringPairs]]'s
+    // rare branch for the r17 A/B that rejected the shared-exchange form.
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"),
-        count(col("gram")).as("__pin_g"), sum(col("pos")).as("__pin_p"))
-      // Always-true conditions that keep both pins LIVE (dead aggregates
-      // are pruned before they can anchor the shared subtree): every
-      // group has >= 1 non-null gram, and a sum over a non-empty group of
-      // non-null positions is non-null.
-      .filter(col("nd").between(2, maxDf) &&
-        col("__pin_g") > 0 && col("__pin_p").isNotNull)
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
       .select(col("hash"))
     val pairAnchors = anchors.join(rare, "hash")
       .groupBy(col("hash"), col("gram"))
@@ -734,22 +722,12 @@ object Dedup {
         expr(s"substring(text, cast(packed % 4294967296 as int), $k)").as("gram"))
       .groupBy(col("doc_id"), col("hash"), col("gram"))
       .agg(min(col("pos")).as("pos"))
-    // Same one-winnow-pass pin as [[exactSubstringPairs]] (r17): sum(pos)
-    // is duplicate-sensitive and references the min(pos) aggregate, and
-    // count(gram) references the gram key, so neither the per-doc anchor
-    // aggregate nor its columns can be stripped/pruned from this branch —
-    // it canonicalizes to the pairing branch's exchange and the winnow
-    // pass runs once.
+    // Deliberately a second winnow pass — see [[exactSubstringPairs]]'s
+    // rare branch for the r17 A/B that rejected the shared-exchange form.
     val rare = anchors
       .groupBy(col("hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"),
-        count(col("gram")).as("__pin_g"), sum(col("pos")).as("__pin_p"))
-      // Always-true conditions that keep both pins LIVE (dead aggregates
-      // are pruned before they can anchor the shared subtree): every
-      // group has >= 1 non-null gram, and a sum over a non-empty group of
-      // non-null positions is non-null.
-      .filter(col("nd").between(2, maxDf) &&
-        col("__pin_g") > 0 && col("__pin_p").isNotNull)
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDf))
       .select(col("hash"))
     val pairAnchors = anchors.join(rare, "hash")
       .groupBy(col("hash"), col("gram"))

@@ -441,8 +441,9 @@ object Sampling {
     *
     * Scale shape: ONE map-side-combinable canon aggregate feeds both the
     * per-(fold, source) counts and the canon-keyed leak check (fold is a
-    * pure function of the canon hash); per-doc folds are computed only
-    * for near-dup pair members; the near-dup side is the codegen'd anchor pipeline with
+    * pure function of the canon hash); the near-leak fold lookup is a
+    * map-only projection joined against the broadcast-small pair side;
+    * the near-dup side is the codegen'd anchor pipeline with
     * df-capped row-local pair expansion (graft 3×+ AHEAD of DuckDB on it
     * at 10×), never an all-pairs or banded self-join. Returns one row
     * per (fold, source) with the two corpus-level leak counts repeated
@@ -453,13 +454,13 @@ object Sampling {
     val canon = md5(trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
     def fold(c: Column): Column = (h56(c) % k).cast("int")
-    // ONE full-text canon pass (r17; was three): aggregate straight to
-    // the bounded (canon, source, n_rows) relation — every corpus-level
+    // ONE full-text canon pass feeds the fold counts AND the exact-leak
+    // check (r17; was one pass per consumer): aggregate straight to the
+    // bounded (canon, source, n_rows) relation — every corpus-level
     // statistic below derives from it, and fold is a pure function of
     // canon, so it is recomputed from the 32-char canon hash rather than
-    // from document text. The per-doc folds the near-leak check needs
-    // are computed only for PAIR MEMBERS (candidate-bounded), after the
-    // id join — guide §8's rule: decide on small rows, not payloads.
+    // from document text. The near-leak side keeps its own map-only
+    // per-doc fold projection (see below for the measured trade).
     val g = docs.select(col("source"), canon.as("canon"))
       .groupBy(col("canon"), col("source"))
       .agg(count(lit(1)).as("n_rows"))
@@ -476,27 +477,30 @@ object Sampling {
       // so pruning cannot specialize this branch below g's exchange.
       .filter(col("__nf") > 1 && col("__pin") > 0)
       .agg(count(lit(1)).cast("long").as("exact_leak_canons"))
-    // The explicit not-null filter matches the union of the isnotnull
-    // constraints the three consumers below (pair-id union i/j, near-leak
-    // join) would each infer separately — without it each consumer's
-    // inferred filter pushes below the pair aggregate and splits the
-    // shared anchor pipeline into per-consumer copies. doc ids are never
-    // null, so no row is dropped.
+    // The explicit not-null filter states BOTH isnotnull constraints the
+    // fold joins below infer — stated here so any future second consumer
+    // of the pair relation shares one anchor pipeline instead of
+    // splitting it per-consumer. doc ids are never null, so no row is
+    // dropped.
     val prs = Dedup.exactSubstringPairs(docs)
       .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
       .select(col("doc_a").as("i"), col("doc_b").as("j"))
-    val pairIds = prs.select(col("i").as("doc_id"))
-      .union(prs.select(col("j").as("doc_id"))).distinct()
-    // coalesce makes the fold column non-nullable, so the cross-fold
-    // filter's inferred isnotnull(__fi/__fj) constant-folds away instead
-    // of being pushed below the pair-member join as a FULL-corpus regex
-    // evaluation (the expression itself never returns null here: a doc
-    // with no text has no anchors and cannot reach this join).
-    val pairFolds = docs.join(pairIds, "doc_id")
+    // Per-doc folds stay the MAP-ONLY projection (one regex pass, no
+    // stage chain): an A/B at sf0.1 measured the pair-member-only
+    // variant (semi-join the pair ids first, regex on members only) at
+    // +1.9 s — its extra exchanges cost more than the saved pass at
+    // fixture scale, and this shape is scale-viable anyway (the planner
+    // broadcasts the SMALL pair side, so the fold projection streams
+    // with no corpus shuffle or broadcast). coalesce makes the fold
+    // non-nullable, so the cross-fold filter's inferred
+    // isnotnull(__fi/__fj) constant-folds away instead of being pushed
+    // down as a second FULL-corpus regex evaluation (the expression
+    // never returns null: every doc id here came from docs itself).
+    val foldsAll = docs
       .select(col("doc_id"), coalesce(fold(canon), lit(-1)).as("fold"))
     val nearLeak = prs
-      .join(pairFolds.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
-      .join(pairFolds.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
+      .join(foldsAll.select(col("doc_id").as("i"), col("fold").as("__fi")), "i")
+      .join(foldsAll.select(col("doc_id").as("j"), col("fold").as("__fj")), "j")
       .filter(col("__fi") =!= col("__fj"))
       .agg(count(lit(1)).cast("long").as("near_leak_pairs"))
     cnt.crossJoin(broadcast(exactLeak)).crossJoin(broadcast(nearLeak))

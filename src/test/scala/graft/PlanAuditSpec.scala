@@ -399,9 +399,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // Candidate pairs come from expanding the df-capped per-(hash, gram)
     // id array row-locally — NOT from a self-join of the anchor relation,
     // which would rebuild the winnowed corpus PER JOIN SIDE and broadcast
-    // or shuffle it whole. This static bound (<= 2 subtrees pre-AQE) pins
-    // that it never regresses to the three of the self-join form; the
-    // r17 runtime contract above pins the executed count at ONE.
+    // or shuffle it whole. The honest pass count is two (one to learn the
+    // df cap — 16 B/row after map-side distinct — one to pair; the r17
+    // shared-exchange single-pass form A/B-measured slower and wider);
+    // this pins that it never regresses to the three of the self-join
+    // form, and that no cartesian/window appears.
     val p = plan("p82_exact_substring_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       p.linesIterator.take(12).mkString("\n"))
@@ -462,15 +464,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // Generate/Project in the FINAL plan recomputing the same pass.
     // Each entry: query -> (marker substring, max lines allowed).
     val contracts = Seq(
-      ("p82_exact_substring_pairs", "winnow_anchors", 1),
-      ("p85_substring_spans", "winnow_anchors", 1),
-      ("p87_span_excision", "winnow_anchors", 1),
-      ("p125_leakage_split", "winnow_anchors", 1),
-      // canon regex: one full-corpus pass + the two pair-member-only fold
-      // projections (above the id join, so they run on pair members, not
-      // the corpus; the coalesce in leakageSafeSplit keeps the inferred
-      // isnotnull from dragging a fourth, full-corpus copy below the join)
-      ("p125_leakage_split", "regexp_replace", 3),
+      // NOTE the winnow family (p82/p85/p87) is deliberately ABSENT: its
+      // second winnow pass shuffles fewer bytes than a shared exchange
+      // would (A/B in the exactSubstringPairs rare-branch comment).
+      // canon regex: the (canon, source) aggregate pass + the map-only
+      // per-doc fold projection the two fold joins share (the coalesce in
+      // leakageSafeSplit keeps the inferred isnotnull from adding a third
+      // full-corpus copy as a pushed filter)
+      ("p125_leakage_split", "regexp_replace", 2),
       // one shared pass: the symmetric isnotnull filter + the projection
       // are two expression sites of the SAME scan stage
       ("p109_canonical_dedup", "regexp_replace", 2),
@@ -482,7 +483,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       // single-source-scan contracts (the shared exchange serves every
       // consumer, so the table is read once per action)
       ("p03_dedup_ngram_jaccard", "Scan parquet", 1),
-      ("p82_exact_substring_pairs", "Scan parquet", 1),
       ("p109_canonical_dedup", "Scan parquet", 1),
       ("p83_source_drift", "Scan parquet", 1),
       ("p45_passage_dedup", "Scan parquet", 1),
