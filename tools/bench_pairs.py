@@ -31,6 +31,18 @@ def loadavg1():
     return float(open("/proc/loadavg").read().split()[0])
 
 
+def cpu_ticks():
+    """(total jiffies, steal jiffies) — the hypervisor steal counter.
+
+    loadavg gating misses host-level steal bursts entirely (r17: two
+    conc8 bands refused with loadavg calm at every launch while the
+    steal counter moved ~254k jiffies mid-leg), so every leg is also
+    stamped with the steal percentage measured ACROSS the leg."""
+    f = open("/proc/stat").readline().split()[1:]
+    vals = [int(x) for x in f]
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
 def settle(threshold, timeout=240):
     t0 = time.time()
     while time.time() - t0 < timeout:
@@ -89,6 +101,7 @@ def main():
             ok = settle(thr)
             all_settled = all_settled and ok
             la = loadavg1()
+            tick0, steal0 = cpu_ticks()
             t0 = time.time()
             if leg == "graft":
                 g = run_graft(sf_dir, conc, repeat, f"/tmp/bp_graft_{p}.json")
@@ -107,6 +120,9 @@ def main():
                         if isinstance(v, float) and v < 0)
             rec[f"{leg}_launch_loadavg"] = la
             rec[f"{leg}_wall"] = round(time.time() - t0, 1)
+            tick1, steal1 = cpu_ticks()
+            rec[f"{leg}_steal_pct"] = round(
+                100.0 * (steal1 - steal0) / max(1, tick1 - tick0), 2)
         rec["ratio"] = round(rec["graft_steady"] / rec["duck_steady"], 3)
         records.append(rec)
         print(json.dumps(rec), flush=True)
