@@ -69,33 +69,44 @@ object Dedup {
     * intersections over candidates only — the result set (and hence the
     * oracle) is identical to the all-pairs formulation.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // PPJoin, collapsed to per-document state: ONE hash aggregate builds the
-    // rarity-sorted shingle array per doc ((df, shingle) is a consistent
-    // global total order), the PPJoin prefix is a row-local slice of it, and
-    // exact verification is a row-local array_intersect over the candidate
-    // pair's sets. Compared to the window-sort + exploded-index-double-join
-    // formulation this removes the per-doc shuffle-sort and both wide
-    // verification shuffles; only the tiny (doc_id, set, prefix) relation —
-    // one row per doc, not per shingle — flows into the joins, so the plan
-    // holds at corpus scale where the exploded index dwarfs memory.
-    //
-    // No persist: `docData` feeds four plan branches (both self-join sides
-    // and both verification lookups), but they share the identical
-    // aggregate subtree, so ReuseExchange materializes its shuffle ONCE and
-    // the branches re-read the shuffle files — the caching persist() used
-    // to provide, without block-manager state outliving the query (a
-    // long-lived gateway session would otherwise accumulate cached blocks
-    // across requests).
-    // The explicit isnotnull(doc_id) matches the filter the optimizer
-    // infers on the candidate/verify branches from their doc_id joins —
-    // without it the df branch below lacks that filter, the subtrees no
-    // longer canonicalize together, and the shingle explode runs twice
-    // (r17: one scan+explode, exchange reused). doc_id is the fixture PK,
-    // so no row is dropped.
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardPairsFromDocData(jaccardDocData(docs, n, threshold), threshold)
+
+  /** The per-document PPJoin state relation: (doc_id, set, n_sh, prefix)
+    * with `set` the doc's DISTINCT shingles sorted rarest-first. Split
+    * out of [[ngramJaccardPairs]] (r18) so [[lshTuningCard]] can persist
+    * it ONCE and derive both its pair lineages from the same shingle
+    * pass; composing the two halves reproduces the r17 plan exactly.
+    *
+    * PPJoin, collapsed to per-document state: ONE hash aggregate builds the
+    * rarity-sorted shingle array per doc ((df, shingle) is a consistent
+    * global total order), the PPJoin prefix is a row-local slice of it, and
+    * exact verification is a row-local array_intersect over the candidate
+    * pair's sets. Compared to the window-sort + exploded-index-double-join
+    * formulation this removes the per-doc shuffle-sort and both wide
+    * verification shuffles; only the tiny (doc_id, set, prefix) relation —
+    * one row per doc, not per shingle — flows into the joins, so the plan
+    * holds at corpus scale where the exploded index dwarfs memory.
+    *
+    * No persist here: in [[ngramJaccardPairs]] `docData` feeds four plan
+    * branches (both self-join sides and both verification lookups), but
+    * they share the identical aggregate subtree, so ReuseExchange
+    * materializes its shuffle ONCE and the branches re-read the shuffle
+    * files — the caching persist() used to provide, without
+    * block-manager state outliving the query (a long-lived gateway
+    * session would otherwise accumulate cached blocks across requests).
+    * The explicit isnotnull(doc_id) matches the filter the optimizer
+    * infers on the candidate/verify branches from their doc_id joins —
+    * without it the df branch below lacks that filter, the subtrees no
+    * longer canonicalize together, and the shingle explode runs twice
+    * (r17: one scan+explode, exchange reused). doc_id is the fixture PK,
+    * so no row is dropped.
+    */
+  private[ops] def jaccardDocData(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
     val ex = shingles(docs.filter(col("doc_id").isNotNull), n, distinct = true)
     val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val docData = ex
+    ex
       .join(df, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("arr"))
@@ -109,7 +120,14 @@ object Dedup {
       // bounds, rounding here may only ADMIT candidates.
       .withColumn("prefix", expr(
         s"slice(set, 1, cast(size(set) - ceil(size(set) * $threshold - 1e-9) + 1 as int))"))
+  }
 
+  /** Candidate generation + exact verification over a
+    * [[jaccardDocData]]-shaped relation (persisted or not — all four
+    * consumers reference the SAME DataFrame, so a cached input is read
+    * from the cache and an uncached one shares its exchange). */
+  private[ops] def jaccardPairsFromDocData(docData: DataFrame,
+      threshold: Double): DataFrame = {
     // Candidate generation: equi-join on prefix shingles, pruned row-locally
     // by (a) the length bound — jac >= t forces t*|A| <= |B| <= |A|/t — and
     // (b) PPJoin's positional bound: a pair matching at (sorted) positions
@@ -143,6 +161,36 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** (doc_id, band) derived ROW-LOCALLY from a per-doc distinct shingle
+    * array — no shingle explode, no signature shuffle. Signatures are
+    * identical to [[minhashSignature]]'s KM family: min(h1 + s*h2) over a
+    * doc's shingle MULTISET equals the min over its distinct set (the
+    * [[incrementalKeep]] construction, shared here for [[lshTuningCard]]).
+    * `sets` must expose (doc_id, set) with at least one shingle per row —
+    * exactly what [[jaccardDocData]] produces (short docs drop at the
+    * explode on both the exploded and the set-derived paths).
+    */
+  private def bandedFromSets(sets: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val hp = transform(
+      transform(col("set"), x => md5(x)),
+      d => struct(
+        conv(d.substr(lit(1), lit(14)), 16, 10).cast("long").as("h1"),
+        conv(d.substr(lit(17), lit(14)), 16, 10).cast("long").as("h2")))
+    val sig = (0 until numHashes).map(seed =>
+      array_min(transform(col("hp"),
+        p => p.getField("h1") + lit(seed.toLong) * p.getField("h2"))).as(s"h$seed"))
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(k => col(s"h${b * rowsPerBand + k}").as(s"v$k"))
+      struct((lit(b).as("b") +: parts): _*)
+    }
+    sets.select(col("doc_id"), hp.as("hp"))
+      .select((col("doc_id") +: sig): _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
   }
 
   /** Directional containment near-dup pairs: c(i→j) = |S_i ∩ S_j| / |S_i|
@@ -627,8 +675,10 @@ object Dedup {
     * (recall shortfall — the number that matters, since a missed pair is
     * a duplicate that survives dedup). Ratios left to the reader.
     *
-    * Scale shape: both pair relations are the candidate→verify shapes
-    * already proven at 10× (p03/p04); the card overlays them with ONE
+    * Scale shape: both pair relations derive from ONE persisted
+    * per-doc shingle-set pass ([[jaccardDocData]], r18) — the exact side
+    * is p03's candidate→verify shape and the LSH side's signatures are
+    * row-local over the cached sets; the card overlays them with ONE
     * full-outer equi-join on (i, j) and reads all four counts out of a
     * SINGLE multi-aggregate pass — each pair lineage executes exactly
     * once (the r13 four-separate-aggregate form re-traversed the shared
@@ -657,15 +707,32 @@ object Dedup {
     */
   def lshTuningCard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    // r18: ONE shingle pass serves BOTH sides. The exact side's
+    // rarity-sorted per-doc set relation ([[jaccardDocData]]) is persisted
+    // and the LSH side's KM signature derives ROW-LOCALLY from the cached
+    // set array ([[bandedFromSets]] — md5 once per DISTINCT shingle,
+    // per-seed array_min; the signature is provably the one
+    // [[minhashLshCandidates]] computes, so the candidate set is
+    // bit-identical). The minhash lineage's own corpus scan + shingle
+    // explode + signature shuffle from r17 never run: one corpus pass
+    // fewer at ANY scale, and the card's two sides can no longer disagree
+    // on tokenization.
+    val docData = CacheScope.persistTracked(jaccardDocData(docs, n, threshold))
     val exact = CacheScope.persistTracked(
-      ngramJaccardPairs(docs, n, threshold).select(col("i"), col("j")))
+      jaccardPairsFromDocData(docData, threshold).select(col("i"), col("j")))
+    val banded = bandedFromSets(docData.select(col("doc_id"), col("set")),
+      numHashes, bands)
     val cand = CacheScope.persistTracked(
-      minhashLshCandidates(docs, numHashes, bands, n)
-        .select(col("i"), col("j")).distinct())
+      banded.as("x")
+        .join(banded.as("y"), col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct())
     // Sequential materialization (construction runs two jobs): the point
     // of the persists is isolation between the two heavy lineages, which
     // a lazy persist would not provide — the first action would still
-    // execute both inside one job.
+    // execute both inside one job. The first count also materializes the
+    // shared docData persist as part of its own lineage (no third job).
     exact.count()
     cand.count()
     // Both sides are distinct on (i, j), so the full outer join has one
