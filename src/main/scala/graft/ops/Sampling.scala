@@ -496,6 +496,13 @@ object Sampling {
     // isnotnull(__fi/__fj) constant-folds away instead of being pushed
     // down as a second FULL-corpus regex evaluation (the expression
     // never returns null: every doc id here came from docs itself).
+    // The -1 sentinel maps a NULL-TEXT doc's fold to -1, which would
+    // count a null/non-null pair as a cross-fold leak and a null/null
+    // pair as same-fold — both differ from null-propagating semantics
+    // that would drop such pairs. Unreachable: exactSubstringPairs
+    // cannot emit a pair for null text (winnow_anchors of null explodes
+    // to nothing), so no pair row ever looks up a null-text doc's fold
+    // (ADVICE r17 — assumption recorded, not a behavior change).
     val foldsAll = docs
       .select(col("doc_id"), coalesce(fold(canon), lit(-1)).as("fold"))
     val nearLeak = prs

@@ -61,7 +61,12 @@ object Similarity {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    // Same isnotnull filter as tf/df (ADVICE r17): on a corpus that did
+    // contain null doc_ids, an unfiltered count would shift every idf
+    // weight while tf/df exclude those rows — the three idf inputs must
+    // agree. doc_id is never null on the fixtures, so no value changes.
+    val nDocs = docs.filter(col("doc_id").isNotNull)
+      .select(count(lit(1)).as("n_docs"))
     val termDf = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("__pin"))
       // Always true (tf >= 1): keeps the pin LIVE so pruning cannot

@@ -426,6 +426,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     */
   private def executedFinalPlan(name: String): String = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Capture-and-restore BOTH thresholds symmetrically (ADVICE r17: an
+    // unconditional unset would silently drop a fixture-level adaptive
+    // setting for later tests).
+    val prevAdaptive =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -435,7 +440,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         org.apache.spark.sql.execution.FormattedMode)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      prevAdaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       graft.ops.CacheScope.releaseCurrent()
     }
   }
